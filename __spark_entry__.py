@@ -3,36 +3,54 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in ``workbook_exporter_fe_spark.plans.registry*`` — importing
+those modules populates the registry dicts re-exported here.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from workbook_exporter_fe_spark.plans import registry as _r  # noqa: E402
+from workbook_exporter_fe_spark.plans import registry_timeseries  # noqa: E402,F401
+
+try:  # optional registries added as coverage widens
+    from workbook_exporter_fe_spark.plans import registry_trainingdata  # noqa: F401
+except ImportError:
+    pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic sequences → tier-0 events → tier-1 1m rollup.
+
+    The engine's core path (SURVEY §7 milestone 0) on a deterministic
+    generated corpus — smoke-checked for ≥0 rows and stable schema.
+    """
+    from pyspark.sql import functions as F
+
+    from workbook_exporter_fe_spark.operators.eventize import eventize
+    from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
+    from workbook_exporter_fe_spark.sources.datagen import gen_sequences
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    seq = gen_sequences(spark, 20_000, seed=42)
+    t1 = rollup_tier1(eventize(seq))
+    return t1.orderBy("source", "bucket_ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_r.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
+    return dict(_r.ORACLES)

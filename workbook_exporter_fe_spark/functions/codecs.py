@@ -1,0 +1,237 @@
+"""Gorilla XOR float codec + delta-of-delta timestamp codec (numpy).
+
+Implements the two compression schemes from the Gorilla paper (Pelkonen et
+al., "Gorilla: A Fast, Scalable, In-Memory Time Series Database", VLDB 2015)
+as pure-numpy encode/decode over whole arrays, wrapped in Arrow-vectorized
+Spark UDFs (`spark_codecs.py`). No per-row Python in the encode path: field
+computation (XOR, leading/trailing zero counts, bucket selection) is fully
+vectorized, and bit-packing runs in O(max_bits) vectorized passes instead of
+O(n) Python iterations.
+
+Encoding variant notes (documented deviations, both within the Gorilla
+format family and bit-exactly round-trippable):
+- float XOR: a non-zero XOR always writes a new (leading-zeros, sig-bits)
+  window (control '11'); the '10' reuse-previous-window optimization is
+  not emitted (decode would support it trivially). Costs a few % of ratio,
+  buys a fully vectorized encoder.
+- delta-of-delta buckets: '0' (dod=0), '10'+7b, '110'+9b, '1110'+12b,
+  '1111'+64b (the paper's 32-bit top bucket widened to 64 so arbitrary
+  int64 timestamps round-trip).
+
+Round-trip is bit-exact for every float64 payload (NaN, ±0, subnormals —
+only bit ops touch the values) — property-tested in tests/test_codecs.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CODEC_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# bit-level helpers (vectorized)
+# ---------------------------------------------------------------------------
+
+def _msb_pos(x: np.ndarray) -> np.ndarray:
+    """Position of the most significant set bit (0..63) for x > 0, vectorized."""
+    n = np.zeros(x.shape, dtype=np.int64)
+    y = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        high = (y >> np.uint64(shift)) != 0
+        n = np.where(high, n + shift, n)
+        y = np.where(high, y >> np.uint64(shift), y)
+    return n
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    return 63 - _msb_pos(x)
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    lowbit = x & (~x + np.uint64(1))
+    return _msb_pos(lowbit)
+
+
+def _pack_bits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
+    """MSB-first concatenation of the low `nbits[i]` bits of codes[i].
+
+    Vectorized: one pass per bit position (≤64 passes total, each a full-
+    array numpy op), then packbits.
+    """
+    codes = codes.astype(np.uint64)
+    nbits = nbits.astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(nbits)[:-1]))
+    total = int(nbits.sum())
+    buf = np.zeros(total, dtype=np.uint8)
+    for b in range(int(nbits.max()) if len(nbits) else 0):
+        m = nbits > b
+        shift = (nbits[m] - 1 - b).astype(np.uint64)
+        buf[offs[m] + b] = ((codes[m] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(buf).tobytes()
+
+
+class _BitReader:
+    """Sequential bit reader for decode (decode is inherently sequential —
+    field lengths depend on previously read control bits)."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, payload: bytes):
+        self.bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        chunk = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        out = 0
+        for b in chunk:
+            out = (out << 1) | int(b)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Gorilla XOR float64 codec
+# ---------------------------------------------------------------------------
+
+def gorilla_encode(values: np.ndarray) -> bytes:
+    """Encode float64 array → Gorilla XOR bitstream. Empty array → b''."""
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    n = len(v)
+    if n == 0:
+        return b""
+    bits = v.view(np.uint64)
+    if n == 1:
+        return _pack_bits(bits[:1], np.array([64]))
+
+    xors = bits[1:] ^ bits[:-1]
+    zero = xors == 0
+    nz = ~zero
+    # window for each non-zero xor: lz capped at 31 (5-bit field), sig 1..64
+    lz = np.minimum(_clz64(np.where(nz, xors, np.uint64(1))), 31)
+    tz = _ctz64(np.where(nz, xors, np.uint64(1)))
+    sig = 64 - lz - tz
+    meaningful = xors >> tz.astype(np.uint64)
+
+    counts = np.where(zero, 1, 2)
+    slots = np.concatenate(([0], np.cumsum(counts)[:-1])) + 1  # slot 0 = header
+    total = int(counts.sum()) + 1
+    codes = np.zeros(total, dtype=np.uint64)
+    nbits = np.zeros(total, dtype=np.int64)
+    codes[0], nbits[0] = bits[0], 64
+    # zero-xor: single '0' bit
+    codes[slots[zero]], nbits[slots[zero]] = 0, 1
+    # non-zero: '11' + 5-bit lz + 6-bit (sig-1), then sig meaningful bits
+    header = (
+        (np.uint64(0b11) << np.uint64(11))
+        | (lz[nz].astype(np.uint64) << np.uint64(6))
+        | (sig[nz] - 1).astype(np.uint64)
+    )
+    codes[slots[nz]], nbits[slots[nz]] = header, 13
+    codes[slots[nz] + 1], nbits[slots[nz] + 1] = meaningful[nz], sig[nz]
+    return _pack_bits(codes, nbits)
+
+
+def gorilla_decode(payload: bytes, n: int) -> np.ndarray:
+    """Decode n float64 values from a Gorilla XOR bitstream."""
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    r = _BitReader(payload)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = r.read(64)
+    prev = int(out[0])
+    lz = sig = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = prev
+            continue
+        if r.read(1) == 1:  # '11' new window ('10' = reuse previous window)
+            lz = r.read(5)
+            sig = r.read(6) + 1
+        tz = 64 - lz - sig
+        xor = r.read(sig) << tz
+        prev ^= xor
+        out[i] = prev
+    return out.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# delta-of-delta int64 timestamp codec
+# ---------------------------------------------------------------------------
+
+_DOD_BUCKETS = (  # (control, control_bits, payload_bits, offset)
+    (0b10, 2, 7, 63),
+    (0b110, 3, 9, 255),
+    (0b1110, 4, 12, 2047),
+)
+
+
+def dod_encode(ts: np.ndarray) -> bytes:
+    """Encode int64 array (e.g. epoch seconds) → delta-of-delta bitstream."""
+    t = np.ascontiguousarray(ts, dtype=np.int64)
+    n = len(t)
+    if n == 0:
+        return b""
+    if n == 1:
+        return _pack_bits(t.astype(np.uint64), np.array([64]))
+    d = np.diff(t)
+    header_codes = np.array([t[0], d[0]], dtype=np.int64).astype(np.uint64)
+    header_bits = np.array([64, 64])
+    if n == 2:
+        return _pack_bits(header_codes, header_bits)
+
+    dod = d[1:] - d[:-1]
+    m = len(dod)
+    zero = dod == 0
+    b1 = ~zero & (dod >= -63) & (dod <= 64)
+    b2 = ~zero & ~b1 & (dod >= -255) & (dod <= 256)
+    b3 = ~zero & ~b1 & ~b2 & (dod >= -2047) & (dod <= 2048)
+    b4 = ~zero & ~b1 & ~b2 & ~b3
+
+    counts = np.where(b4, 2, 1)
+    slots = np.concatenate(([0], np.cumsum(counts)[:-1])) + 2  # 2 header slots
+    total = int(counts.sum()) + 2
+    codes = np.zeros(total, dtype=np.uint64)
+    nbits = np.zeros(total, dtype=np.int64)
+    codes[:2], nbits[:2] = header_codes, header_bits
+    codes[slots[zero]], nbits[slots[zero]] = 0, 1
+    for mask, (ctl, cbits, pbits, off) in zip((b1, b2, b3), _DOD_BUCKETS):
+        val = (dod[mask] + off).astype(np.uint64)
+        codes[slots[mask]] = (np.uint64(ctl) << np.uint64(pbits)) | val
+        nbits[slots[mask]] = cbits + pbits
+    # '1111' + full 64-bit two's complement
+    codes[slots[b4]], nbits[slots[b4]] = 0b1111, 4
+    codes[slots[b4] + 1], nbits[slots[b4] + 1] = dod[b4].astype(np.uint64), 64
+    return _pack_bits(codes, nbits)
+
+
+def _wrap64(x: int) -> int:
+    """Two's-complement wrap to int64 (mirrors numpy's int64 arithmetic)."""
+    return (x + (1 << 63)) % (1 << 64) - (1 << 63)
+
+
+def dod_decode(payload: bytes, n: int) -> np.ndarray:
+    """Decode n int64 values from a delta-of-delta bitstream."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    r = _BitReader(payload)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = _wrap64(r.read(64))
+    if n == 1:
+        return out
+    delta = _wrap64(r.read(64))
+    out[1] = _wrap64(int(out[0]) + delta)
+    for i in range(2, n):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            dod = _wrap64(r.read(64))
+        delta = _wrap64(delta + dod)
+        out[i] = _wrap64(int(out[i - 1]) + delta)
+    return out

@@ -1,0 +1,102 @@
+"""Spark wrappers for the Gorilla / delta-of-delta codecs.
+
+Tier rows are compressed per (source, segment) group — segment = day of
+bucket_ts — into chunk rows
+``(source, segment_start, n_points, codec_version, ts_payload, v_payload)``
+(FIXTURES.md F3). The group boundary is the Arrow batch boundary: each
+group's timestamps+values arrive as contiguous numpy arrays inside
+``applyInPandas`` and the codec runs vectorized over the whole segment.
+
+Scale design: grouping key (source, segment) bounds chunk size (one day of
+1m buckets = 1440 points), so executor memory per group is constant; the
+shuffle that forms groups is the only shuffle and it is keyed the same way
+as the tier table's layout, so with a source-partitioned tier table the
+exchange is cheap. Decompression uses the same grouped shape.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .codecs import (
+    CODEC_VERSION,
+    dod_decode,
+    dod_encode,
+    gorilla_decode,
+    gorilla_encode,
+)
+
+CHUNK_SCHEMA = (
+    "source string, segment_start timestamp, n_points int, "
+    "codec_version int, ts_payload binary, v_payload binary"
+)
+
+
+def compress_tier(tier: DataFrame, value_col: str = "avg_v") -> DataFrame:
+    """tier(source, bucket_ts, <value_col>, ...) -> compressed chunk rows."""
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        ts = (pdf["bucket_ts"].astype("int64") // 1_000_000_000).to_numpy()
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "segment_start": [pdf["segment_start"].iloc[0]],
+                "n_points": [len(ts)],
+                "codec_version": [CODEC_VERSION],
+                "ts_payload": [dod_encode(ts)],
+                "v_payload": [gorilla_encode(vals)],
+            }
+        )
+
+    with_seg = tier.withColumn("segment_start", F.date_trunc("day", F.col("bucket_ts")))
+    return (
+        with_seg.select("source", "segment_start", "bucket_ts", value_col)
+        .groupBy("source", "segment_start")
+        .applyInPandas(encode_group, schema=CHUNK_SCHEMA)
+    )
+
+
+def decompress_chunks(chunks: DataFrame, value_col: str = "avg_v") -> DataFrame:
+    """chunk rows -> (source, bucket_ts, <value_col>) point rows."""
+
+    out_schema = f"source string, bucket_ts timestamp, {value_col} double"
+
+    def decode_batch(it):
+        for pdf in it:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.n_points)
+                ts = dod_decode(bytes(row.ts_payload), n)
+                vals = gorilla_decode(bytes(row.v_payload), n)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "source": row.source,
+                            "bucket_ts": pd.to_datetime(ts, unit="s"),
+                            value_col: vals,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return chunks.mapInPandas(decode_batch, schema=out_schema)
+
+
+def encode_ratio(chunks: DataFrame) -> DataFrame:
+    """Per-source compression metrics: raw vs encoded bytes (16B/point raw)."""
+    return chunks.groupBy("source").agg(
+        F.sum("n_points").alias("points"),
+        F.sum(F.octet_length("ts_payload") + F.octet_length("v_payload")).alias(
+            "encoded_bytes"
+        ),
+        (
+            F.sum(F.octet_length("ts_payload") + F.octet_length("v_payload"))
+            / (F.sum("n_points") * 16.0)
+        ).alias("ratio"),
+    )

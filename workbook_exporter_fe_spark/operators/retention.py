@@ -1,0 +1,40 @@
+"""Retention: tier-specific expiry of old buckets.
+
+Each tier keeps a TTL window behind the watermark (max observed bucket):
+tier-1 keeps fine-grained recent data, tier-2/3 keep progressively longer
+horizons — the classic downsample-and-expire layout. Expiry is a partition-
+level operation (filter + overwrite of expired partitions), never a row
+mutation, so the per-row invariant holds: any sequence that survives
+retention keeps its exact `tokens` array (BASELINE.json:15) — retention
+only ever drops whole rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# TTL per tier, expressed in the tier's own bucket units → interval.
+DEFAULT_TTL = {"1m": "interval 2 days", "1h": "interval 60 days", "1d": "interval 3650 days"}
+
+
+def watermark(tier: DataFrame) -> "F.Column":
+    return tier.agg(F.max("bucket_ts")).collect()[0][0]
+
+
+def apply_retention(tier: DataFrame, ttl_interval: str, wm=None) -> DataFrame:
+    """Keep rows with bucket_ts > watermark - ttl. Pure filter → at table
+    level this prunes whole partitions (bucket_ts-derived partition cols)."""
+    if wm is None:
+        wm = watermark(tier)
+    cutoff = F.lit(wm) - F.expr(ttl_interval)
+    return tier.filter(F.col("bucket_ts") > cutoff)
+
+
+def surviving_sequences(sequences: DataFrame, events: DataFrame, kept_events: DataFrame) -> DataFrame:
+    """Project the retention decision back to sequences via doc_id semi-join.
+
+    Used by the invariant test: sequences surviving retention must carry
+    byte-identical token arrays (no transform in this path ever touches
+    `tokens`)."""
+    return sequences.join(kept_events.select("doc_id"), "doc_id", "left_semi")

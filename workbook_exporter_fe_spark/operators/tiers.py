@@ -1,0 +1,124 @@
+"""Continuous-aggregate tiers: 1m → 1h → 1d rollups (FIXTURES.md F3).
+
+Tier-1 aggregates tier-0 events into 1-minute buckets; higher tiers
+re-aggregate the tier below **without touching raw data** — only
+decomposable aggregates are stored (sum, min, max, count; avg is finalized
+as sum/cnt and never stored pre-averaged across tiers).
+
+This generalizes the reference's scan→filter→derive→merge per-exporter
+pipeline (/root/reference/workbook_exporter-fe.py:1622-1687, SURVEY §2 O23)
+from "host rows → YAML config points" to "events → rolled-up points".
+
+Scale design:
+- `groupBy(source, bucket_ts)` does map-side partial aggregation for free
+  (Catalyst HashAggregate partial/final) — the shuffle carries one partial
+  row per (source, bucket) per task, not raw events.
+- `source` is Zipf-skewed; for the heavy tier-1 agg we optionally pre-salt:
+  group by (source, bucket, salt) first — the bucket key itself already
+  splits the hot source across time, so salting only matters when a single
+  (source, bucket) pair is hot. `rollup_tier1(salt_buckets=N)` does the
+  two-phase salted aggregate; AQE skew handling stays on as backstop.
+- `date_trunc` is a narrow expression (no window() struct materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+AGG_COLS = ["sum_v", "min_v", "max_v", "cnt"]
+
+
+def _finalize(df: DataFrame) -> DataFrame:
+    return df.withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+
+
+def rollup_tier1(
+    events: DataFrame, salt_buckets: int = 0, value_col: str = "v"
+) -> DataFrame:
+    """events(source, event_ts, v) -> tier-1 rows keyed by (source, bucket_ts).
+
+    With ``salt_buckets > 0`` the aggregation runs in two phases:
+    partial agg on (source, bucket, salt) then final on (source, bucket) —
+    the classic skew-salting pattern for a hot grouping key.
+    """
+    v = F.col(value_col)
+    bucket = F.date_trunc(TIER_TRUNC["1m"], F.col("event_ts")).alias("bucket_ts")
+    if salt_buckets > 0:
+        salt = F.pmod(F.xxhash64(F.col("doc_id")) if "doc_id" in events.columns else F.spark_partition_id(), F.lit(salt_buckets))
+        partial = events.groupBy(F.col("source"), bucket, salt.alias("_salt")).agg(
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.count(v).alias("cnt"),
+        )
+        out = partial.groupBy("source", "bucket_ts").agg(
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.sum("cnt").alias("cnt"),
+        )
+    else:
+        out = events.groupBy(F.col("source"), bucket).agg(
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.count(v).alias("cnt"),
+        )
+    return _finalize(out)
+
+
+def reaggregate(tier: DataFrame, to: str) -> DataFrame:
+    """Re-aggregate a tier table to a coarser bucket ('1h' or '1d').
+
+    Only decomposable aggs are combined; avg is re-finalized. This is the
+    engine's continuous-aggregate cascade — answering 1d queries never
+    rescans tier-0.
+    """
+    bucket = F.date_trunc(TIER_TRUNC[to], F.col("bucket_ts")).alias("bucket_ts")
+    out = tier.groupBy(F.col("source"), bucket).agg(
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("cnt").alias("cnt"),
+    )
+    return _finalize(out)
+
+
+def token_histogram(events: DataFrame, tier: str = "1m") -> DataFrame:
+    """Per-bucket token histogram: (source, bucket_ts, tok_hist map<int,long>).
+
+    Exact at test scale via explode+groupBy (SURVEY §4.2); the two-level
+    groupBy means the wide exploded relation is partially aggregated
+    map-side before the shuffle. At 100TB you'd cap the domain with a
+    count-min sketch inside applyInPandas; the exact path is the oracle.
+    """
+    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("event_ts")).alias("bucket_ts")
+    per_token = (
+        events.select("source", bucket, F.explode("tokens").alias("token"))
+        .groupBy("source", "bucket_ts", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_token.groupBy("source", "bucket_ts").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("token", "n")))
+        ).alias("tok_hist")
+    )
+
+
+def merge_token_histograms(hist: DataFrame, to: str) -> DataFrame:
+    """Re-aggregate tok_hist maps to a coarser tier (map explode + re-sum)."""
+    bucket = F.date_trunc(TIER_TRUNC[to], F.col("bucket_ts")).alias("bucket_ts")
+    exploded = hist.select(
+        "source", bucket, F.explode("tok_hist").alias("token", "n")
+    )
+    per_token = exploded.groupBy("source", "bucket_ts", "token").agg(
+        F.sum("n").alias("n")
+    )
+    return per_token.groupBy("source", "bucket_ts").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("token", "n")))
+        ).alias("tok_hist")
+    )
