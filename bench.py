@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the engine's north metric: tier-1 rollup
+throughput (rolled-up points/sec) over a deterministic synthetic sequences
+corpus materialized once (untimed) under /tmp.
+
+Each query is fully materialized through the `noop` sink (no driver
+collect, no metadata-only count shortcuts). Timing excludes SparkSession
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from workbook_exporter_fe_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SEQ_N = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_N", "2000000"))
+WORK = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
+
+HEADLINE = [
+    "q01_scan_agg",
+    "q03_join_dims",
+    "q13_multibranch_union",
+    "q20_tier1_1m",
+    "q21_tier2_1h",
+    "q23_gapfill_locf",
+    "q24_gapfill_interp",
+    "q27_codec_roundtrip",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _prepare_corpus(spark) -> tuple[str, int]:
+    """Generate + eventize the synthetic corpus once (untimed); cache on disk.
+
+    Corpus is keyed by (n, cpus-independent content): datagen is
+    deterministic, so any prior materialization with the same n is valid.
+    """
+    from workbook_exporter_fe_spark.operators.eventize import eventize
+    from workbook_exporter_fe_spark.sources.datagen import gen_sequences
+
+    path = f"{WORK}/events_n{SEQ_N}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        seq = gen_sequences(spark, SEQ_N, seed=42)
+        ev = eventize(seq).select("source", "event_ts", "v", "doc_id")
+        ev.write.mode("overwrite").partitionBy("source").parquet(path)
+    return path, SEQ_N
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+    import workbook_exporter_fe_spark.plans.registry as registry  # noqa: F401
+    import workbook_exporter_fe_spark.plans.registry_timeseries  # noqa: F401
+
+    try:
+        import workbook_exporter_fe_spark.plans.registry_trainingdata  # noqa: F401
+    except ImportError:
+        pass
+
+    from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
+
+    timings: dict[str, float] = {}
+
+    # North metric: tier-1 rollup over the synthetic corpus.
+    events_path, n_events = _prepare_corpus(spark)
+    ev = spark.read.parquet(events_path)
+    t0 = time.perf_counter()
+    t1 = rollup_tier1(ev)
+    _materialize(t1)
+    flagship_sec = time.perf_counter() - t0
+    timings["flagship_tier1_rollup"] = round(flagship_sec, 3)
+    rolled_points = t1.count()
+
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline wall-clock (flagship tier-1 rollup + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "flagship": {
+            "input_events": n_events,
+            "rolled_points": rolled_points,
+            "events_per_sec": round(n_events / flagship_sec),
+            "rolled_points_per_sec": round(rolled_points / flagship_sec),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,10 @@ def interpolate(dense: DataFrame, value_col: str = "avg_v", key: str = "source")
     out = prev + (next - prev) * (t - t_prev) / (t_next - t_prev);
     trailing gaps fall back to LOCF, leading gaps to the next value.
     """
+    # Both lookups use RUNNING frames (unbounded-preceding → current), which
+    # Spark evaluates in O(n) per partition; "next non-null" runs over the
+    # DESCENDING order instead of an unbounded-FOLLOWING frame, which Spark
+    # recomputes from scratch per row — O(n²) and ~300× slower in practice.
     wb = (
         Window.partitionBy(key)
         .orderBy("bucket_ts")
@@ -76,15 +80,15 @@ def interpolate(dense: DataFrame, value_col: str = "avg_v", key: str = "source")
     )
     wf = (
         Window.partitionBy(key)
-        .orderBy("bucket_ts")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("bucket_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     v = F.col(value_col)
     ts_obs = F.when(v.isNotNull(), F.col("bucket_ts"))
     prev_v = F.last(v, ignorenulls=True).over(wb)
-    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_v = F.last(v, ignorenulls=True).over(wf)
     prev_t = F.last(ts_obs, ignorenulls=True).over(wb).cast("double")
-    next_t = F.first(ts_obs, ignorenulls=True).over(wf).cast("double")
+    next_t = F.last(ts_obs, ignorenulls=True).over(wf).cast("double")
     t = F.col("bucket_ts").cast("double")
     frac = (t - prev_t) / (next_t - prev_t)
     filled = (
