@@ -1,0 +1,140 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a `queries()` entry with a DuckDB oracle:
+
+- **exact**: md5 content hash → groupBy (the reference's dedup-by-key O16
+  generalized from hostname to content).
+- **MinHash + LSH**: per-band signature = min(md5(shingle ∥ band)); docs
+  sharing any band signature are candidate near-dups. The lexicographic min
+  over md5 hex strings is a valid min-wise hash family and — critically —
+  reproducible in any engine with md5.
+- **n-gram Jaccard**: exact similarity on shingle *sets* via a shingle-level
+  equi-join (set-based; the O(n²) pair loop becomes one shuffle join).
+- **SimHash**: 32-bit sign-vector of summed ±1 votes from word hashes
+  (md5-hex-prefix → int), equal-hash or small-hamming grouping.
+
+Scale notes: all paths are explode → groupBy/join — shuffle-heavy by
+nature, so shingle exploding projects only (doc_id, shingle); the LSH
+band-bucket join keys on (band, signature) which spreads uniformly; the
+Jaccard join's hot keys are frequent shingles — at 100 TB drop top-frequency
+shingles (stopword shingles) before the join, exactly like salting a skewed
+key. Exact dedup reduces via partial aggregation (hash, min-id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.functions.textops import word_shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_hash, n_dups, keep_id): one row per distinct content."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_bands: int = 4, k: int = 3,
+) -> DataFrame:
+    """(id, band, sig): per-band min-wise signature over word k-shingles."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    banded = sh.select(
+        id_col,
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
+        "shingle",
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.col("band")))).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band signature."""
+    a = signatures.select(
+        F.col(id_col).alias("id_a"), "band", "sig"
+    )
+    b = signatures.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
+
+    jac = |A∩B| / (|A| + |B| - |A∩B|); emitted when ≥ threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """(id, simhash): sign-vector of per-bit ±1 votes from word md5 hashes.
+
+    word hash = first 8 hex chars of md5 as a 32-bit int (engine-portable);
+    bit i of the simhash is 1 iff sum over words of (2*bit_i(hash)-1) > 0.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    per_bit = words.select(
+        "id",
+        F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit"),
+        h.alias("h"),
+    ).select(
+        "id",
+        "bit",
+        (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2).alias(
+            "b"
+        ),
+    )
+    votes = per_bit.groupBy("id", "bit").agg(
+        F.sum(F.col("b") * 2 - 1).alias("vote")
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

@@ -1,0 +1,256 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis.
+
+These are the 100 TB-pipeline operators (dedup families, ANN, language ID,
+quality scoring, token counting, fingerprinting) over the `documents` and
+`embeddings` driver tables, each with a DuckDB oracle.
+
+Engine-portability discipline (same as registry.py): md5 is the only hash;
+dot products are integer-scaled (see operators/similarity.py); shingle
+index arithmetic matches DuckDB's 1-based inclusive list slicing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.functions import textops
+from workbook_exporter_fe_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from workbook_exporter_fe_spark.operators.similarity import cosine_topk, lsh_buckets
+
+from .registry import _t, query
+
+
+# -- Deduplication ---------------------------------------------------------
+
+@query(
+    "q30_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q30_dedup_exact(spark, sf_dir):
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id, UNNEST(list_transform(range(1, len(ws) - 1),
+                                       i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 3
+"""
+
+
+@query(
+    "q31_minhash_lsh_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    banded AS (SELECT doc_id, UNNEST([0,1,2,3]) AS band, shingle FROM sh),
+    sig AS (
+      SELECT doc_id, band,
+             MIN(md5(shingle || '#' || CAST(band AS VARCHAR))) AS sig
+      FROM banded GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q31_minhash_lsh_pairs(spark, sf_dir):
+    sig = minhash_signatures(_t(spark, sf_dir, "documents"), n_bands=4, k=3)
+    return lsh_candidate_pairs(sig)
+
+
+@query(
+    "q32_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id AS id, shingle FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.id < b.id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    """,
+)
+def q32_jaccard_pairs(spark, sf_dir):
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+@query(
+    "q33_simhash",
+    """
+    WITH words AS (
+      SELECT doc_id AS id, UNNEST(string_split(text, ' ')) AS word FROM documents
+    ),
+    hw AS (
+      SELECT id, CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS h FROM words
+    ),
+    bits AS (SELECT id, UNNEST(range(0, 32)) AS bit, h FROM hw),
+    votes AS (
+      SELECT id, bit,
+             SUM((CAST(floor(h / pow(2, bit)) AS BIGINT) % 2) * 2 - 1) AS vote
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY id
+    """,
+)
+def q33_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+# -- Similarity search -----------------------------------------------------
+
+_IVEC = "CAST(ROUND(CAST({x} AS DOUBLE) * 10000000) AS BIGINT)"
+
+
+@query(
+    "q34_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    z AS (
+      SELECT e.vec_id, UNNEST(e.embedding) AS x, UNNEST(q.qe) AS qx
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    i AS (SELECT vec_id, {_IVEC.format(x='x')} AS ax, {_IVEC.format(x='qx')} AS bx FROM z),
+    d AS (SELECT vec_id, SUM(ax * bx) AS dot, SUM(ax * ax) AS na FROM i GROUP BY 1),
+    nq AS (
+      SELECT SUM({_IVEC.format(x='u')} * {_IVEC.format(x='u')}) AS nqv
+      FROM (SELECT UNNEST(qe) AS u FROM q)
+    )
+    SELECT vec_id,
+           ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nqv AS DOUBLE))), 6) AS cos
+    FROM d, nq
+    ORDER BY cos DESC, vec_id LIMIT 20
+    """,
+)
+def q34_cosine_topk(spark, sf_dir):
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+
+
+@query(
+    "q35_lsh_ann_buckets",
+    f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS pe FROM embeddings
+      WHERE vec_id IN (1, 2, 3, 4)
+    ),
+    z AS (
+      SELECT e.vec_id, p.plane_id, UNNEST(e.embedding) AS x, UNNEST(p.pe) AS px
+      FROM embeddings e, planes p
+    ),
+    d AS (
+      SELECT vec_id, plane_id,
+             SUM({_IVEC.format(x='x')} * {_IVEC.format(x='px')}) AS dot
+      FROM z GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, plane_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM d GROUP BY vec_id
+    """,
+)
+def q35_lsh_ann_buckets(spark, sf_dir):
+    return lsh_buckets(_t(spark, sf_dir, "embeddings"), plane_ids=(1, 2, 3, 4))
+
+
+# -- Text analysis ---------------------------------------------------------
+
+@query(
+    "q36_lang_id",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','a','is'))) AS en,
+        len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les','de'))) AS fr,
+        len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das','ist'))) AS de,
+        len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','es','que'))) AS es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+                WHEN en = greatest(en, fr, de, es) THEN 'en'
+                WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+                WHEN de = greatest(en, fr, de, es) THEN 'de'
+                ELSE 'es' END AS lang_pred
+    FROM h
+    """,
+)
+def q36_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q37_quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id, length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens_ws,
+             ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
+             ROUND(CAST(len(list_filter(string_split(text,' '),
+               w -> w IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE)
+               / len(string_split(text,' ')), 6) AS stopword_ratio,
+             ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text), 6) AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens_ws, avg_token_len, stopword_ratio, punct_ratio,
+           ROUND(least(CAST(n_tokens_ws AS DOUBLE) / 50.0, 1.0) * 0.4
+                 + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 8.0 THEN 0.3 ELSE 0.0 END
+                 + least(stopword_ratio * 3.0, 0.3), 6) AS quality_score
+    FROM f
+    """,
+)
+def q37_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = textops.quality_features(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(name) for name, c in feats.items()]
+    )
+
+
+@query(
+    "q38_token_count_bpe",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS n_bpe
+    FROM documents
+    """,
+)
+def q38_token_count_bpe(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count_ws(F.col("text")).alias("n_ws"),
+        textops.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+@query(
+    "q39_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN len(ws) >= 5 THEN
+             (SELECT MIN(md5(s)) FROM UNNEST(list_transform(range(1, len(ws) - 3),
+                i -> array_to_string(ws[i:i+4], ' '))) AS t(s))
+           ELSE md5(text) END AS fingerprint
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    """,
+)
+def q39_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.fingerprint(F.col("text"), k=5).alias("fingerprint"))
