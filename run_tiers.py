@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""CLI entry point: run (or resume) the tier cascade.
+
+Usage (local or spark-submit --py-files engine.zip run_tiers.py ...):
+
+    python run_tiers.py --generate 100000 --out /tmp/tiers_out
+    python run_tiers.py --input /path/to/sequences_parquet --out /tmp/tiers_out
+    python run_tiers.py --generate 100000 --out /tmp/tiers_out --resume
+
+Re-running with --resume skips stages already recorded `done` in the
+manifest (<out>/_manifest/manifest.jsonl).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="sequences parquet path")
+    src.add_argument("--generate", type=int, help="generate N synthetic sequences")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    ap.add_argument("--salt", type=int, default=0, help="salt buckets for skewed tier-1 agg")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    from workbook_exporter_fe_spark.plans.pipeline import TierPipeline
+    from workbook_exporter_fe_spark.session import get_spark
+    from workbook_exporter_fe_spark.sources.datagen import gen_sequences
+
+    spark = get_spark(app_name="run_tiers", cores=args.cores)
+    if args.input:
+        seq = spark.read.parquet(args.input)
+        run_fp = f"input:{args.input}"
+    else:
+        seq = gen_sequences(spark, args.generate, seed=args.seed)
+        run_fp = f"gen:{args.generate}:{args.seed}"
+
+    if not args.resume and os.path.exists(f"{args.out}/_manifest/manifest.jsonl"):
+        os.remove(f"{args.out}/_manifest/manifest.jsonl")
+
+    pipe = TierPipeline(spark, args.out, salt_buckets=args.salt)
+    tables = pipe.run(seq, run_fp)
+    summary = {name: df.count() for name, df in tables.items()}
+    print(json.dumps({"out": args.out, "rows": summary, "resumed": args.resume}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

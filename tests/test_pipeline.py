@@ -1,0 +1,94 @@
+"""Pipeline tests: resumability, idempotency, manifest lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.plans import pipeline as pl
+from workbook_exporter_fe_spark.plans.pipeline import TierPipeline
+from workbook_exporter_fe_spark.sources.datagen import gen_sequences
+
+
+def _tiers_sorted(df):
+    return [r.asDict() for r in df.orderBy("source", "bucket_ts").collect()]
+
+
+def test_full_run_and_reresume_noop(spark, tmp_path):
+    seq = gen_sequences(spark, 2000, seed=42)
+    pipe = TierPipeline(spark, str(tmp_path / "out"))
+    t = pipe.run(seq, run_fp="r1")
+    t1_first = _tiers_sorted(t["tier1"])
+    # second run with same fingerprint: all stages skipped, tables unchanged
+    pipe2 = TierPipeline(spark, str(tmp_path / "out"))
+    t2 = pipe2.run(seq, run_fp="r1")
+    assert _tiers_sorted(t2["tier1"]) == t1_first
+    stages = [e["stage"] for e in pipe2.manifest.entries if e["status"] == "done"]
+    assert len(stages) == len(set(stages))  # no duplicate stage entries
+
+
+def test_crash_after_tier1_resume_converges(spark, tmp_path, monkeypatch):
+    seq = gen_sequences(spark, 2000, seed=42)
+
+    # reference result: uninterrupted run
+    ref = TierPipeline(spark, str(tmp_path / "ref")).run(seq, run_fp="r1")
+    ref_t3 = _tiers_sorted(ref["tier3"])
+
+    # crash the first reaggregate call (tier2 stage)
+    calls = {"n": 0}
+    real = pl.reaggregate
+
+    def flaky(df, to):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after tier1")
+        return real(df, to)
+
+    monkeypatch.setattr(pl, "reaggregate", flaky)
+    crashed = TierPipeline(spark, str(tmp_path / "out"))
+    with pytest.raises(RuntimeError):
+        crashed.run(seq, run_fp="r1")
+    done = [e["stage"] for e in crashed.manifest.entries if e["status"] == "done"]
+    assert "tier1_1m" in done and "tier2_1h" not in done
+
+    # resume: completed stages skipped, rest re-run; final tables identical
+    resumed = TierPipeline(spark, str(tmp_path / "out")).run(seq, run_fp="r1")
+    assert _tiers_sorted(resumed["tier3"]) == ref_t3
+    # no double-counted buckets: total cnt equals event count
+    assert (
+        resumed["tier3"].agg(F.sum("cnt")).collect()[0][0]
+        == ref["events"].count()
+    )
+
+
+def test_manifest_lineage_metrics(spark, tmp_path):
+    seq = gen_sequences(spark, 1000, seed=42)
+    pipe = TierPipeline(spark, str(tmp_path / "out"))
+    pipe.run(seq, run_fp="r1")
+    mpath = str(tmp_path / "out" / "_manifest" / "manifest.jsonl")
+    assert os.path.exists(mpath)
+    entries = [json.loads(line) for line in open(mpath)]
+    by_stage = {e["stage"]: e for e in entries}
+    assert set(by_stage) == {"t0_eventize", "tier1_1m", "tier2_1h", "tier3_1d", "compress"}
+    t1 = by_stage["tier1_1m"]
+    assert t1["rows_out"] > 0 and t1["watermark"] and t1["wall_sec"] > 0
+    # per-partition lineage: per-source row counts recorded
+    assert sum(t1["partitions"].values()) == t1["rows_out"]
+    comp = by_stage["compress"]
+    assert 0 < comp["encode_ratio"] < 1.5 and comp["points"] == t1["rows_out"]
+
+
+def test_new_data_merges_incrementally(spark, tmp_path):
+    """Second batch with a new fingerprint upserts; buckets never double."""
+    seq_a = gen_sequences(spark, 1500, seed=42)
+    out = str(tmp_path / "out")
+    TierPipeline(spark, out).run(seq_a, run_fp="batch_a")
+    # superset batch (same 1500 + 500 more): rerun as batch_b
+    seq_b = gen_sequences(spark, 2000, seed=42)
+    t = TierPipeline(spark, out).run(seq_b, run_fp="batch_b")
+    # final tier1 == tier1 of a clean 2000-row run
+    clean = TierPipeline(spark, str(tmp_path / "clean")).run(seq_b, run_fp="x")
+    assert _tiers_sorted(t["tier1"]) == _tiers_sorted(clean["tier1"])

@@ -1,0 +1,159 @@
+"""The tier-cascade pipeline: resumable, manifest-tracked, idempotent.
+
+Replaces the reference's output-file-as-state pattern (re-read the YAML,
+anti-join, merge, rewrite — /root/reference/workbook_exporter-fe.py:1732-1767)
+with explicit *table* state:
+
+- every stage writes a partitioned parquet tier table via an idempotent
+  merge keyed on (source, bucket_ts) — re-running a completed stage is a
+  no-op on the data;
+- a JSON-lines **manifest** records per-stage lineage + metrics (rows
+  in/out, per-source partition rows, encode ratio, watermark position,
+  wall time) — the engine's equivalent of an Iceberg metadata table;
+- **resume**: a stage whose manifest entry is `done` for the same run
+  fingerprint is skipped; a crash mid-stage leaves either no output swap
+  (staging dir) or a completed entry, so re-running converges.
+
+Scale: stages communicate only through partitioned tables; the manifest is
+tiny driver-side JSON (one row per stage × source), so no collect() of data
+ever happens. On a real cluster the manifest becomes an Iceberg table and
+the staging-swap becomes a MERGE INTO snapshot commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.functions.spark_codecs import compress_tier, encode_ratio
+from workbook_exporter_fe_spark.operators.eventize import eventize
+from workbook_exporter_fe_spark.operators.merge import merge_upsert_path
+from workbook_exporter_fe_spark.operators.tiers import reaggregate, rollup_tier1
+
+
+@dataclass
+class Manifest:
+    """Append-only JSON-lines stage ledger (driver-side, tiny)."""
+
+    path: str
+    entries: list[dict] = field(default_factory=list)
+
+    def __post_init__(self):
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.entries = [json.loads(line) for line in f if line.strip()]
+
+    def done(self, run_fp: str, stage: str) -> bool:
+        return any(
+            e["run_fp"] == run_fp and e["stage"] == stage and e["status"] == "done"
+            for e in self.entries
+        )
+
+    def record(self, **entry) -> None:
+        entry.setdefault("ts", time.time())
+        self.entries.append(entry)
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry, default=str) + "\n")
+
+
+def _per_source_counts(df: DataFrame) -> dict[str, int]:
+    return {r["source"]: r["n"] for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+
+
+class TierPipeline:
+    """sequences → tier-0 events → 1m → 1h → 1d → compressed chunks."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        salt_buckets: int = 0,
+        value_col: str = "avg_v",
+    ):
+        self.spark = spark
+        self.out = out_dir
+        self.salt_buckets = salt_buckets
+        self.value_col = value_col
+        self.manifest = Manifest(os.path.join(out_dir, "_manifest", "manifest.jsonl"))
+
+    def _stage(self, run_fp: str, stage: str, build, out_path: str, keys: list[str]):
+        """Run one stage idempotently: skip if done, else build → merge → log."""
+        if self.manifest.done(run_fp, stage):
+            return self.spark.read.parquet(out_path)
+        t0 = time.perf_counter()
+        df = build()
+        merge_upsert_path(self.spark, out_path, df, keys)
+        result = self.spark.read.parquet(out_path)
+        rows_out = result.count()
+        wm = result.agg(F.max(keys[-1] if "bucket_ts" not in keys else "bucket_ts")).collect()[0][0]
+        self.manifest.record(
+            run_fp=run_fp,
+            stage=stage,
+            status="done",
+            rows_out=rows_out,
+            partitions=_per_source_counts(result) if "source" in result.columns else {},
+            watermark=str(wm),
+            wall_sec=round(time.perf_counter() - t0, 3),
+        )
+        return result
+
+    def run(self, sequences: DataFrame, run_fp: str) -> dict[str, DataFrame]:
+        """Execute (or resume) the full cascade; returns the tier tables."""
+        out: dict[str, DataFrame] = {}
+
+        events = self._stage(
+            run_fp,
+            "t0_eventize",
+            lambda: eventize(sequences).select("source", "event_ts", "v", "doc_id"),
+            f"{self.out}/events",
+            ["source", "doc_id"],
+        )
+        out["events"] = events
+
+        t1 = self._stage(
+            run_fp,
+            "tier1_1m",
+            lambda: rollup_tier1(events, salt_buckets=self.salt_buckets),
+            f"{self.out}/tier1",
+            ["source", "bucket_ts"],
+        )
+        out["tier1"] = t1
+
+        t2 = self._stage(
+            run_fp, "tier2_1h", lambda: reaggregate(t1, "1h"), f"{self.out}/tier2",
+            ["source", "bucket_ts"],
+        )
+        out["tier2"] = t2
+
+        t3 = self._stage(
+            run_fp, "tier3_1d", lambda: reaggregate(t2, "1d"), f"{self.out}/tier3",
+            ["source", "bucket_ts"],
+        )
+        out["tier3"] = t3
+
+        chunks_path = f"{self.out}/chunks"
+        if not self.manifest.done(run_fp, "compress"):
+            t0c = time.perf_counter()
+            chunks = compress_tier(t1, value_col=self.value_col)
+            merge_upsert_path(self.spark, chunks_path, chunks, ["source", "segment_start"])
+            persisted = self.spark.read.parquet(chunks_path)
+            ratios = encode_ratio(persisted).collect()
+            pts = sum(r["points"] for r in ratios)
+            enc = sum(r["encoded_bytes"] for r in ratios)
+            self.manifest.record(
+                run_fp=run_fp,
+                stage="compress",
+                status="done",
+                rows_out=persisted.count(),
+                points=pts,
+                encode_ratio=round(enc / (16.0 * pts), 4) if pts else None,
+                wall_sec=round(time.perf_counter() - t0c, 3),
+            )
+        out["chunks"] = self.spark.read.parquet(chunks_path)
+        return out
