@@ -22,10 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from workbook_exporter_fe_spark.plans import registry as _r  # noqa: E402
 from workbook_exporter_fe_spark.plans import registry_timeseries  # noqa: E402,F401
 
-try:  # optional registries added as coverage widens
-    from workbook_exporter_fe_spark.plans import registry_trainingdata  # noqa: F401
-except ImportError:
-    pass
+from workbook_exporter_fe_spark.plans import registry_trainingdata  # noqa: E402,F401
+from workbook_exporter_fe_spark.plans import registry_workbook  # noqa: E402,F401
 
 
 def entry(spark: SparkSession) -> DataFrame:
