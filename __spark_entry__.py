@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from workbook_exporter_fe_spark.plans import registry as _r  # noqa: E402
 from workbook_exporter_fe_spark.plans import registry_timeseries  # noqa: E402,F401
 
+from workbook_exporter_fe_spark.plans import registry_olap  # noqa: E402,F401
 from workbook_exporter_fe_spark.plans import registry_trainingdata  # noqa: E402,F401
 from workbook_exporter_fe_spark.plans import registry_workbook  # noqa: E402,F401
 
