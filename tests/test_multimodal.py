@@ -1,0 +1,53 @@
+"""Multimodal plumbing tests: schema, batching, fan-out, decoder gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    gen_media,
+    sample_frames,
+)
+
+
+def test_media_schema_and_determinism(spark):
+    m1 = gen_media(spark, 50, seed=1).orderBy("media_id").collect()
+    m2 = gen_media(spark, 50, seed=1).orderBy("media_id").collect()
+    assert m1 == m2
+    r = m1[0]
+    assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) > 0
+    assert r["meta"]["width"] >= 1
+
+
+def test_feature_extraction_shape(spark):
+    media = gen_media(spark, 90, seed=42)
+    feats = extract_features(media)
+    rows = feats.collect()
+    # video rows (1/3) are plan-side filtered: no decoder, no crash
+    assert len(rows) == 60
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows)
+    assert {r["kind"] for r in rows} == {"image", "audio"}
+    # deterministic across partitionings
+    again = extract_features(media.repartition(7)).orderBy("media_id").collect()
+    assert sorted(rows, key=lambda r: r["media_id"]) == again
+
+
+def test_frame_sampling_fanout(spark):
+    media = gen_media(spark, 90, seed=42)
+    frames = sample_frames(media, every_n=30)
+    rows = frames.collect()
+    vids = media.filter(F.col("kind") == "video").select("media_id", "meta.n_frames").collect()
+    expected = sum(len(range(0, v["n_frames"], 30)) for v in vids)
+    assert len(rows) == expected
+    assert all(r["frame_idx"] % 30 == 0 for r in rows)
+    assert all(len(r["frame_payload"]) > 0 for r in rows)
+
+
+def test_video_decode_is_stubbed(spark):
+    """Forcing the video decoder raises NotImplementedError (clearly-marked stub)."""
+    media = gen_media(spark, 9, seed=42)
+    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+        extract_features(media, kinds=("video",)).collect()
