@@ -1,0 +1,71 @@
+"""TableIO seam: one API over Iceberg and hive-style-parquet backends.
+
+SURVEY §7: no Iceberg runtime jar ships in this sandbox, so the engine
+programs against this seam. With an Iceberg catalog configured
+(`spark.sql.catalog.<name>` + runtime jar), reads/writes/merges go through
+the Iceberg SQL surface (snapshot isolation, hidden partitioning, real
+MERGE INTO); otherwise the parquet backend provides the same call shapes
+with partitioned directories + staged-swap merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
+    try:
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """backend='auto' picks iceberg when the runtime jar is present."""
+
+    def __init__(self, spark: SparkSession, backend: str = "auto"):
+        self.spark = spark
+        if backend == "auto":
+            backend = "iceberg" if iceberg_available(spark) else "parquet"
+        if backend not in ("iceberg", "parquet"):
+            raise ValueError(backend)
+        self.backend = backend
+
+    # -- reads ------------------------------------------------------------
+    def read(self, table_or_path: str) -> DataFrame:
+        if self.backend == "iceberg":
+            return self.spark.read.format("iceberg").load(table_or_path)
+        return self.spark.read.parquet(table_or_path)
+
+    # -- writes -----------------------------------------------------------
+    def write(self, df: DataFrame, table_or_path: str, partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+        if self.backend == "iceberg":
+            w = df.writeTo(table_or_path)
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            (w.createOrReplace() if mode == "overwrite" else w.append())
+            return
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(table_or_path)
+
+    # -- merge-upsert -------------------------------------------------------
+    def merge(self, new: DataFrame, table_or_path: str, keys: list[str]) -> None:
+        if self.backend == "iceberg":
+            view = "_merge_src"
+            new.createOrReplaceTempView(view)
+            on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO {table_or_path} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        from workbook_exporter_fe_spark.operators.merge import merge_upsert_path
+
+        merge_upsert_path(self.spark, table_or_path, new, keys)
