@@ -57,7 +57,13 @@ def _prepare_corpus(spark) -> tuple[str, int]:
     if not os.path.exists(marker):
         seq = gen_sequences(spark, SEQ_N, seed=42)
         ev = eventize(seq).select("source", "event_ts", "v", "doc_id")
-        ev.write.mode("overwrite").partitionBy("source").parquet(path)
+        # ranged layout: scan-balanced + time-contiguous (BENCH/BASELINE.md)
+        (
+            ev.repartitionByRange(max(CPUS * 4, 8), "source", "event_ts")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 16 * 1024 * 1024)
+            .parquet(path)
+        )
     return path, SEQ_N
 
 

@@ -254,3 +254,23 @@ def q38_token_count_bpe(spark, sf_dir):
 def q39_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textops.fingerprint(F.col("text"), k=5).alias("fingerprint"))
+
+
+# Token-histogram analog over the documents table: the flat (source, token,
+# n) form of the tier tables' tok_hist map column (operators/tiers.py
+# token_histogram builds the map form; this is its oracle-able projection).
+@query(
+    "q25_word_histogram",
+    """
+    SELECT source, word, COUNT(*) AS n
+    FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY source, word
+    """,
+)
+def q25_word_histogram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
