@@ -100,3 +100,17 @@ def test_engine_covers_all_current_rows(spark, engine_rows):
     n_linux_rows = df.filter(df["Exporter_name_os"] == "exporter_linux").count()
     linux_hosts = {h for (e, h, _, _, _) in engine_rows if e == "exporter_linux"}
     assert len(linux_hosts) == n_linux_rows  # all 84, not the golden's 43
+
+
+def test_all_exporters_run(spark):
+    """Every spec in the catalog executes over the reference CSV; exporters
+    with matching rows produce output ('all' really means all)."""
+    from workbook_exporter_fe_spark.operators.workbook import EXPORTER_SPECS, run_exporters
+    from workbook_exporter_fe_spark.sources.workbook_io import read_workbook_csv
+
+    df = read_workbook_csv(spark, CSV, preamble_rows=7)
+    out = run_exporters(df)  # all specs
+    per = {r["exporter"] for r in out.select("exporter").distinct().collect()}
+    assert len(per) >= 30  # CSV has rows for 32 of the 37 specs
+    assert "exporter_kafka" in per  # NameError-dead in the reference (:830)
+    assert "exporter_weblm" in per  # NameError-dead in the reference (:1052)

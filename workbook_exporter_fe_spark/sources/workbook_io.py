@@ -17,6 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 BOOL_COLS = ["http_2xx", "icmp", "ssh-banner", "tcp-connect", "SNMP", "Exporter_SSL"]
 PORT_COLS = ["OS-Listen-Port", "App-Listen-Port", "TCP_Connect_Port",
              "App-Listen-Port-1", "App-Listen-Port-2", "App-Listen-Port-3"]
+# column-contract string columns: pandas infers all-NaN columns as float64,
+# which would make Spark coerce when/otherwise branches to DOUBLE (ANSI cast
+# failure on literal defaults like 'maas') — pin them to string.
+STRING_COLS = ["comm_string", "ssh_username", "ssh_password", "jmx_ports",
+               "snmp_version", "snmp_user", "snmp_password", "h2xx_url",
+               "Hostnames", "FQDN", "IP Address", "Location", "Country",
+               "Environment", "Domain", "Exporter_name_os", "Exporter_name_app"]
 
 
 def read_workbook_csv(
@@ -43,6 +50,9 @@ def _normalize(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
     for c in pdf.columns:
         if c in PORT_COLS:
             pdf[c] = pd.to_numeric(pdf[c], errors="coerce")
-        elif pdf[c].dtype == object:
+        elif c in STRING_COLS or pdf[c].dtype == object:
             pdf[c] = pdf[c].astype("string")
+    if "snmp_version" in pdf.columns:
+        # numeric-inferred versions stringify as '2.0'/'3.0' — normalize
+        pdf["snmp_version"] = pdf["snmp_version"].str.replace(r"\.0$", "", regex=True)
     return spark.createDataFrame(pdf)
