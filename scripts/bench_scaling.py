@@ -38,7 +38,8 @@ from workbook_exporter_fe_spark.session import get_spark
 from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
 
 cores = {cores}
-spark = get_spark(app_name=f"scale{{cores}}", cores=cores, shuffle_partitions=cores)
+spark = get_spark(app_name=f"scale{{cores}}", cores=cores, shuffle_partitions=cores,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "32m"}})
 ev = spark.read.parquet({events!r})
 rollup_tier1(ev).write.format("noop").mode("overwrite").save()  # warmup, discarded
 times = []
