@@ -1,0 +1,55 @@
+"""Retention semantics + the per-row invariant (BASELINE.json:15):
+any sequence surviving retention carries a byte-identical `tokens` array."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.operators.eventize import eventize
+from workbook_exporter_fe_spark.operators.retention import (
+    apply_retention,
+    surviving_sequences,
+)
+from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
+from workbook_exporter_fe_spark.sources.datagen import gen_sequences, write_sequences
+
+
+def test_retention_drops_only_old_buckets(spark, events):
+    t1 = rollup_tier1(events)
+    kept = apply_retention(t1, "interval 10 minutes")
+    wm = t1.agg(F.max("bucket_ts")).collect()[0][0]
+    assert kept.count() < t1.count()
+    bad = kept.filter(
+        F.col("bucket_ts") <= F.lit(wm) - F.expr("interval 10 minutes")
+    ).count()
+    assert bad == 0
+    # retained rows are bit-identical to their tier-1 originals (row drops
+    # only — no value mutation)
+    assert kept.exceptAll(t1).count() == 0
+
+
+def test_surviving_sequences_token_equality(spark, sequences, events):
+    """Project retention back to sequences: survivors keep exact tokens."""
+    wm = events.agg(F.max("event_ts")).collect()[0][0]
+    kept_events = events.filter(
+        F.col("event_ts") > F.lit(wm) - F.expr("interval 10 minutes")
+    )
+    survivors = surviving_sequences(sequences, events, kept_events)
+    n = survivors.count()
+    assert 0 < n < sequences.count()
+    # byte-exact token arrays: anti-join on (doc_id, tokens) must be empty
+    mismatch = survivors.select("doc_id", "tokens").exceptAll(
+        sequences.select("doc_id", "tokens")
+    )
+    assert mismatch.count() == 0
+
+
+def test_write_read_roundtrip_token_equality(spark, sequences, tmp_path):
+    """Landing + re-reading the sequences table never mutates tokens."""
+    path = str(tmp_path / "seq")
+    write_sequences(sequences, path, range_partitions=8)
+    back = spark.read.parquet(path)
+    assert back.count() == sequences.count()
+    assert back.select("doc_id", "tokens", "n_tok", "source").exceptAll(
+        sequences.select("doc_id", "tokens", "n_tok", "source")
+    ).count() == 0
