@@ -73,21 +73,23 @@ def _pack_bits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
 
 class _BitReader:
     """Sequential bit reader for decode (decode is inherently sequential —
-    field lengths depend on previously read control bits)."""
+    field lengths depend on previously read control bits). Each read slices
+    ≤ 10 raw bytes and masks — O(1), no per-bit Python loop."""
 
-    __slots__ = ("bits", "pos")
+    __slots__ = ("buf", "pos")
 
     def __init__(self, payload: bytes):
-        self.bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+        self.buf = payload
         self.pos = 0
 
     def read(self, n: int) -> int:
-        chunk = self.bits[self.pos : self.pos + n]
-        self.pos += n
-        out = 0
-        for b in chunk:
-            out = (out << 1) | int(b)
-        return out
+        pos = self.pos
+        self.pos = pos + n
+        start = pos >> 3
+        end = (pos + n + 7) >> 3
+        window = int.from_bytes(self.buf[start:end], "big")
+        shift = (end - start) * 8 - (pos - start * 8) - n
+        return (window >> shift) & ((1 << n) - 1)
 
 
 # ---------------------------------------------------------------------------
