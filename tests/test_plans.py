@@ -59,3 +59,19 @@ def test_anti_join_not_nested_loop(spark, sf_dir):
     plan = _plan(QUERIES["q04_anti_join"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_rollup_two_phase_plan(events):
+    """salt_buckets>0 compiles to two aggregation pairs (salted partial →
+    final), the explicit skew-spread for a hot (source, bucket) key."""
+    from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
+
+    salted = _plan(rollup_tier1(events, salt_buckets=8))
+    assert "_salt" in salted  # salted partial-agg key present
+    assert salted.count("HashAggregate") >= 3  # salted partial/final + final pair
+    assert salted.count("Exchange") >= 2  # two shuffles: salted then final
+
+
+def test_aqe_enabled_in_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from workbook_exporter_fe_spark.operators.gapfill import densify, interpolate, locf
-from workbook_exporter_fe_spark.operators.tiers import reaggregate, rollup_tier1
 
 from .registry import _t, query
 
@@ -35,7 +34,6 @@ def _tier1(spark, sf_dir):
         F.col("ts").alias("event_ts"),
         F.col("value").alias("v"),
     )
-    t1 = rollup_tier1(ev)
     # decimal-exact sum for oracle parity (rollup_tier1's double sum is the
     # perf path; the gate path re-derives sum_v exactly)
     exact = ev.groupBy(
