@@ -66,8 +66,10 @@ def test_salted_rollup_two_phase_plan(events):
     final), the explicit skew-spread for a hot (source, bucket) key."""
     from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
 
-    salted = _plan(rollup_tier1(events, salt_buckets=8))
-    assert "_salt" in salted  # salted partial-agg key present
+    df = rollup_tier1(events, salt_buckets=8)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "_salt" in analyzed  # salted partial-agg key present
+    salted = _plan(df)
     assert salted.count("HashAggregate") >= 3  # salted partial/final + final pair
     assert salted.count("Exchange") >= 2  # two shuffles: salted then final
 
