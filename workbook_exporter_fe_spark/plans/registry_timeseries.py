@@ -65,7 +65,7 @@ def q20_tier1_1m(spark, sf_dir):
     f"""
     SELECT source, date_trunc('hour', bucket_ts) AS bucket_ts,
            CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_v,
-           MIN(min_v) AS min_v, MAX(max_v) AS max_v, SUM(cnt) AS cnt,
+           MIN(min_v) AS min_v, MAX(max_v) AS max_v, CAST(SUM(cnt) AS BIGINT) AS cnt,
            ROUND(CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) / SUM(cnt), 6) AS avg_v
     FROM ({_T1_SQL}) GROUP BY 1, 2
     """,
@@ -88,7 +88,7 @@ def q21_tier2_1h(spark, sf_dir):
     f"""
     SELECT source, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS bucket_ts,
            CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_v,
-           MIN(min_v) AS min_v, MAX(max_v) AS max_v, SUM(cnt) AS cnt
+           MIN(min_v) AS min_v, MAX(max_v) AS max_v, CAST(SUM(cnt) AS BIGINT) AS cnt
     FROM ({_T1_SQL}) GROUP BY 1, 2
     """,
 )
