@@ -74,3 +74,109 @@ def lsh_buckets(
         F.pow(F.lit(2.0), F.array_position(F.array(*[F.lit(p) for p in plane_ids]), F.col("plane_id")) - 1).cast("long"),
     ).otherwise(F.lit(0))
     return joined.groupBy(id_col).agg(F.sum(bit_val).alias("bucket"))
+
+
+def _cos(dot, na, nb):
+    return F.round(
+        dot.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))), 6
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, plane_ids: tuple[int, ...] = (1, 2, 3, 4),
+    threshold: float = 0.4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates, exact verify.
+
+    Completes the dedup family set (exact / MinHash-LSH / Jaccard / SimHash /
+    embedding-cosine): candidate pairs are vectors sharing an LSH sign
+    bucket (2^planes-way partition of the corpus), then each candidate pair
+    is verified with the exact integer-scaled cosine and kept at
+    ``cos >= threshold``. The bucket join is the scale path — at 100 TB the
+    all-pairs O(n²) join never materializes; the self-join keys on
+    ``bucket``, which spreads the corpus 2^planes ways (add planes to
+    shrink buckets; recall is tunable via multiple plane sets OR-ed, same
+    seam as MinHash bands).
+    """
+    b = lsh_buckets(embeddings, plane_ids, id_col, vec_col)
+    v = embeddings.select(F.col(id_col), _ivec(F.col(vec_col)).alias("iv")).join(
+        b, id_col
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("iv").alias("va"), "bucket")
+    c = v.select(F.col(id_col).alias("id_b"), F.col("iv").alias("vb"), "bucket")
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _cos(
+        _idot(F.col("va"), F.col("vb")),
+        _idot(F.col("va"), F.col("va")),
+        _idot(F.col("vb"), F.col("vb")),
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cos")).filter(
+        F.col("cos") >= threshold
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, centroid_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
+    query_vec_id: int = 0, nprobe: int = 2, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantize into cells, probe nearest cells only.
+
+    The coarse quantizer's centroids are *data rows* (fixed vec_ids) rather
+    than k-means output so both Spark and the SQL oracle derive identical
+    cells without sharing an RNG or an iterative trainer; a k-means
+    refinement drops into the same seam (centroids df in, nothing else
+    changes). Assignment = argmax cosine over the broadcast centroid set
+    (ties to the lower centroid id); search probes the query's ``nprobe``
+    nearest cells and brute-forces only those candidates.
+
+    Scale: assignment is a broadcast nested loop over #centroids (a few
+    thousand at 100 TB — still broadcastable) + a map-side argmax, no
+    shuffle; the probe filter prunes the candidate scan to
+    nprobe/#cells of the corpus, and partitioning the vector table by
+    cell turns that into partition pruning at the source.
+    """
+    from pyspark.sql import Window
+
+    cents = embeddings.filter(F.col(id_col).isin(list(centroid_ids))).select(
+        F.col(id_col).alias("cid"), _ivec(F.col(vec_col)).alias("cv")
+    )
+    v = embeddings.select(F.col(id_col), _ivec(F.col(vec_col)).alias("iv"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cid",
+        _cos(
+            _idot(F.col("iv"), F.col("cv")),
+            _idot(F.col("iv"), F.col("iv")),
+            _idot(F.col("cv"), F.col("cv")),
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cid"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cell"))
+    )
+    probed = (
+        scored.filter(F.col(id_col) == query_vec_id)
+        .orderBy(F.desc("ccos"), F.asc("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("cell"))
+    )
+    q = v.filter(F.col(id_col) == query_vec_id).select(F.col("iv").alias("qv"))
+    cand = (
+        v.filter(F.col(id_col) != query_vec_id)
+        .join(cells, id_col)
+        .join(F.broadcast(probed), "cell")
+        .crossJoin(F.broadcast(q))
+    )
+    cos = _cos(
+        _idot(F.col("iv"), F.col("qv")),
+        _idot(F.col("iv"), F.col("iv")),
+        _idot(F.col("qv"), F.col("qv")),
+    )
+    return (
+        cand.select("cell", F.col(id_col), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -21,7 +21,12 @@ from workbook_exporter_fe_spark.operators.dedup import (
     minhash_signatures,
     simhash,
 )
-from workbook_exporter_fe_spark.operators.similarity import cosine_topk, lsh_buckets
+from workbook_exporter_fe_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_buckets,
+)
 
 from .registry import _t, query
 
@@ -164,6 +169,123 @@ def q34_cosine_topk(spark, sf_dir):
 )
 def q35_lsh_ann_buckets(spark, sf_dir):
     return lsh_buckets(_t(spark, sf_dir, "embeddings"), plane_ids=(1, 2, 3, 4))
+
+
+_BUCKET_SQL = f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS pe FROM embeddings
+      WHERE vec_id IN (1, 2, 3, 4)
+    ),
+    zb AS (
+      SELECT e.vec_id, p.plane_id, UNNEST(e.embedding) AS x, UNNEST(p.pe) AS px
+      FROM embeddings e, planes p
+    ),
+    db AS (
+      SELECT vec_id, plane_id,
+             SUM({_IVEC.format(x='x')} * {_IVEC.format(x='px')}) AS dot
+      FROM zb GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, plane_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM db GROUP BY vec_id
+    )
+"""
+
+_COS_SQL = (
+    "ROUND(CAST(SUM(ax * bx) AS DOUBLE)"
+    " / (sqrt(CAST(SUM(ax * ax) AS DOUBLE)) * sqrt(CAST(SUM(bx * bx) AS DOUBLE))), 6)"
+)
+
+
+# Dedup family #5 (brief): embedding-cosine near-dup — LSH-bucketed
+# candidate pairs verified with the exact integer-scaled cosine.
+@query(
+    "q28_embedding_neardup",
+    f"""
+    {_BUCKET_SQL},
+    iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, ia.iv AS va, ib.iv AS vb
+      FROM bucketed a
+      JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN iv ia ON ia.vec_id = a.vec_id
+      JOIN iv ib ON ib.vec_id = b.vec_id
+    ),
+    z AS (SELECT id_a, id_b, UNNEST(va) AS ax, UNNEST(vb) AS bx FROM cand),
+    d AS (SELECT id_a, id_b, {_COS_SQL} AS cos FROM z GROUP BY 1, 2)
+    SELECT id_a, id_b, cos FROM d WHERE cos >= 0.4
+    """,
+)
+def q28_embedding_neardup(spark, sf_dir):
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), plane_ids=(1, 2, 3, 4), threshold=0.4
+    )
+
+
+# IVF-style ANN: data-derived coarse quantizer cells, nprobe=2 probe, top-k
+# within the probed cells only (the scale path next to q34's brute force).
+@query(
+    "q29_ivf_ann",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id IN (1, 2, 3, 4, 5, 6, 7, 8)
+    ),
+    za AS (
+      SELECT e.vec_id, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.ce) AS cx
+      FROM embeddings e, cents c
+    ),
+    scored AS (
+      SELECT vec_id, cid,
+             ROUND(CAST(SUM({_IVEC.format(x='x')} * {_IVEC.format(x='cx')}) AS DOUBLE)
+               / (sqrt(CAST(SUM({_IVEC.format(x='x')} * {_IVEC.format(x='x')}) AS DOUBLE))
+                  * sqrt(CAST(SUM({_IVEC.format(x='cx')} * {_IVEC.format(x='cx')}) AS DOUBLE))), 6) AS ccos
+      FROM za GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell
+      FROM (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    probed AS (
+      SELECT cid AS cell FROM scored WHERE vec_id = 0
+      ORDER BY ccos DESC, cid LIMIT 2
+    ),
+    iv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    zq AS (
+      SELECT c.cell, v.vec_id, UNNEST(v.iv) AS ax, UNNEST(q.iv) AS bx
+      FROM iv v
+      JOIN cells c ON c.vec_id = v.vec_id
+      JOIN probed p ON p.cell = c.cell
+      CROSS JOIN (SELECT iv FROM iv WHERE vec_id = 0) q
+      WHERE v.vec_id <> 0
+    )
+    SELECT cell, vec_id, {_COS_SQL} AS cos
+    FROM zq GROUP BY 1, 2
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def q29_ivf_ann(spark, sf_dir):
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8),
+        query_vec_id=0,
+        nprobe=2,
+        k=10,
+    )
 
 
 # -- Text analysis ---------------------------------------------------------
