@@ -259,3 +259,36 @@ def q50_datetime_math(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.round(F.sum(expr), 6).cast("double").alias("math_sum"),
     )
+
+
+# Window-function family the reference lacks entirely (SURVEY §2: closest
+# thing is the sequential port counter O17 ≈ row_number): lag/lead frame
+# navigation, a running count, and ntile bucketing per user stream —
+# the per-key ordered-scan shape tier gap-fill is built from.
+@query(
+    "q19_window_funcs",
+    """
+    SELECT event_id, user_id,
+           LAG(value) OVER w AS prev_value,
+           ROUND(value - LAG(value) OVER w, 6) AS delta,
+           LEAD(event_type) OVER w AS next_type,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
+           NTILE(4) OVER w AS qtile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q19_window_funcs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.count("*").over(run).alias("run_cnt"),
+        F.ntile(4).over(w).alias("qtile"),
+    )

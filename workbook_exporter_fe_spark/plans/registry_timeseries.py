@@ -214,3 +214,62 @@ def q27_codec_roundtrip(spark, sf_dir):
     return points.select(
         "source", F.col("bucket_ts").cast("timestamp_ntz").alias("bucket_ts"), "avg_v"
     )
+
+
+# Structured Streaming tier-1 through the correctness gate: the same
+# windowed aggregation as q20 executed as a streaming query (parquet file
+# source -> complete-mode memory sink, processAllAvailable). Complete mode
+# retains all window state, so the streamed result must equal the batch
+# tier-1 exactly — the oracle IS q20's SQL, making the streaming path
+# oracle-checked rather than rows-only.
+_STREAM_SEQ = iter(range(1_000_000))
+
+
+@query(
+    "q51_stream_tier1",
+    f"""
+    SELECT source, bucket_ts, sum_v, min_v, max_v, cnt,
+           ROUND(sum_v / cnt, 6) AS avg_v
+    FROM ({_T1_SQL})
+    """,
+)
+def q51_stream_tier1(spark, sf_dir):
+    import hashlib
+    import os
+
+    src = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(src)
+    # FileStreamSource requires a directory; stage the single-file driver
+    # table into a cached temp dir once per sf_dir.
+    staged = "/tmp/spark_graft_stream_src_" + hashlib.md5(src.encode()).hexdigest()[:12]
+    if not os.path.exists(f"{staged}/_SUCCESS"):
+        static.write.mode("overwrite").parquet(staged)
+    stream = spark.readStream.schema(static.schema).parquet(staged)
+    ev = stream.select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
+        F.col("value").alias("v"),
+    )
+    agg = ev.groupBy("source", F.window("event_ts", "1 minute").alias("win")).agg(
+        F.round(F.sum(F.col("v").cast("decimal(28,6)")), 6).cast("double").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.count("*").alias("cnt"),
+    )
+    name = f"q51_stream_run_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "source",
+        F.col("win.start").alias("bucket_ts"),
+        "sum_v",
+        "min_v",
+        "max_v",
+        "cnt",
+        F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v"),
+    )

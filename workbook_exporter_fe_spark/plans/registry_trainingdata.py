@@ -396,3 +396,28 @@ def q25_word_histogram(spark, sf_dir):
         .groupBy("source", "word")
         .agg(F.count("*").alias("n"))
     )
+
+
+# -- Multimodal plumbing (rows-only: the media decode step is a stub by
+# design — no image/audio libs in this build — so there is no SQL oracle;
+# the driver records the weaker rows+schema check and pytest
+# (tests/test_multimodal.py) pins the deterministic feature values) -------
+
+@query("q52_multimodal_features")
+def q52_multimodal_features(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.multimodal import (
+        extract_features,
+        gen_media,
+    )
+
+    return extract_features(gen_media(spark, 300, seed=7))
+
+
+@query("q53_frame_sampling")
+def q53_frame_sampling(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.multimodal import (
+        gen_media,
+        sample_frames,
+    )
+
+    return sample_frames(gen_media(spark, 300, seed=7), every_n=30)
