@@ -273,3 +273,33 @@ def q51_stream_tier1(spark, sf_dir):
         "cnt",
         F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v"),
     )
+
+
+# Custom stateful streaming operator through the gate (rows-only: explicit
+# applyInPandasWithState running totals are not SQL-expressible; pytest
+# pins exact values in tests/test_tableio_stateful.py).
+@query("q56_stateful_running_stats")
+def q56_stateful_running_stats(spark, sf_dir):
+    import hashlib
+    import os
+
+    from workbook_exporter_fe_spark.streaming.stateful import running_source_stats
+
+    src = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(src)
+    staged = "/tmp/spark_graft_stream_src_" + hashlib.md5(src.encode()).hexdigest()[:12]
+    if not os.path.exists(f"{staged}/_SUCCESS"):
+        static.write.mode("overwrite").parquet(staged)
+    ev = spark.readStream.schema(static.schema).parquet(staged).select(
+        F.col("event_type").alias("source"),
+        F.col("ts").cast("timestamp").alias("event_ts"),
+        F.col("value").alias("v"),
+    )
+    stats = running_source_stats(ev)
+    name = f"q56_stateful_run_{next(_STREAM_SEQ)}"
+    q = stats.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -421,3 +421,47 @@ def q53_frame_sampling(spark, sf_dir):
     )
 
     return sample_frames(gen_media(spark, 300, seed=7), every_n=30)
+
+
+# -- Sampling + packing ----------------------------------------------------
+
+# Deterministic hash-gated downsample (reproducible across cluster sizes,
+# partition layouts, and engines — unlike RNG df.sample()).
+@query(
+    "q54_hash_sample",
+    """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 16384
+    """,
+)
+def q54_hash_sample(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return hash_sample(d, rate=0.25)
+
+
+# GPT-style sequence packing: chunk the per-source doc concatenation into
+# capacity-4096 training examples (weight = n_chars on the driver table;
+# the engine's sequences table uses n_tok through the same operator).
+@query(
+    "q55_sequence_packing",
+    """
+    SELECT source, doc_id, n_chars,
+           CAST(floor((cum - n_chars) / 4096) AS BIGINT) AS pack_id,
+           CAST((cum - n_chars) % 4096 AS BIGINT) AS pack_offset
+    FROM (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    """,
+)
+def q55_sequence_packing(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.sampling import pack_greedy
+
+    return pack_greedy(
+        _t(spark, sf_dir, "documents"), capacity=4096, weight_col="n_chars"
+    )
