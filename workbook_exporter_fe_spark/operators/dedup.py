@@ -38,21 +38,40 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+# Affine min-hash family over Z_P: band b's hash = (A[b]*h + B[b]) mod P,
+# h = first 60 bits of md5(shingle) mod P. One md5 per shingle (not per
+# shingle×band), all band mins in ONE partial-aggregating groupBy — the
+# exploded shuffle rows carry (id, h:int64) instead of (id, band,
+# shingle:string)×bands, an ~8× byte reduction that matters when the
+# shingle stream is the dominant shuffle at corpus scale. Constants fit
+# int64 exactly (A*h < 2^53·…< 2^63), so Spark and DuckDB agree bit-wise.
+MINHASH_P = 2_147_483_647
+MINHASH_A = (1_000_003, 2_000_003, 3_000_017, 4_000_037, 5_000_011, 6_000_011, 7_000_003, 8_000_009)
+MINHASH_B = (12_345, 67_891, 13_579, 24_680, 11_111, 22_222, 33_333, 44_444)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_bands: int = 4, k: int = 3,
 ) -> DataFrame:
-    """(id, band, sig): per-band min-wise signature over word k-shingles."""
+    """(id, band, sig): per-band affine min-wise signature over k-shingles."""
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
-    banded = sh.select(
-        id_col,
-        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
-        "shingle",
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MINHASH_P
+    ).alias("h")
+    wide = sh.select(id_col, h).groupBy(id_col).agg(
+        *[
+            F.min((F.lit(MINHASH_A[b]) * F.col("h") + F.lit(MINHASH_B[b])) % MINHASH_P).alias(
+                f"sig_{b}"
+            )
+            for b in range(n_bands)
+        ]
     )
-    return banded.groupBy(id_col, "band").agg(
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.col("band")))).alias("sig")
+    stack = ", ".join(f"{b}, sig_{b}" for b in range(n_bands))
+    return wide.select(
+        id_col, F.expr(f"stack({n_bands}, {stack}) as (band, sig)")
     )
 
 

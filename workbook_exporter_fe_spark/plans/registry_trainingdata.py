@@ -56,11 +56,24 @@ _SHINGLE_SQL = """
     "q31_minhash_lsh_pairs",
     f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    banded AS (SELECT doc_id, UNNEST([0,1,2,3]) AS band, shingle FROM sh),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h
+      FROM sh
+    ),
+    wide AS (
+      SELECT doc_id,
+             MIN((1000003 * h + 12345) % 2147483647) AS sig_0,
+             MIN((2000003 * h + 67891) % 2147483647) AS sig_1,
+             MIN((3000017 * h + 13579) % 2147483647) AS sig_2,
+             MIN((4000037 * h + 24680) % 2147483647) AS sig_3
+      FROM h GROUP BY doc_id
+    ),
     sig AS (
-      SELECT doc_id, band,
-             MIN(md5(shingle || '#' || CAST(band AS VARCHAR))) AS sig
-      FROM banded GROUP BY 1, 2
+      SELECT doc_id, 0 AS band, sig_0 AS sig FROM wide
+      UNION ALL SELECT doc_id, 1, sig_1 FROM wide
+      UNION ALL SELECT doc_id, 2, sig_2 FROM wide
+      UNION ALL SELECT doc_id, 3, sig_3 FROM wide
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
