@@ -36,9 +36,11 @@ HEADLINE = [
     "q23_gapfill_locf",
     "q24_gapfill_interp",
     "q27_codec_roundtrip",
+    "q28_embedding_neardup",
     "q30_dedup_exact",
     "q31_minhash_lsh_pairs",
     "q34_cosine_topk",
+    "q55_sequence_packing",
     "q40_cube",
     "q46_sessionize",
 ]

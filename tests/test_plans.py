@@ -77,3 +77,45 @@ def test_salted_rollup_two_phase_plan(events):
 def test_aqe_enabled_in_session(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf_dir):
+    """IVF cell assignment must broadcast the centroid set — the corpus
+    side never shuffles for assignment."""
+    from workbook_exporter_fe_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(ivf_topk(emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_minhash_single_preagg_exchange(spark, sf_dir):
+    """All band mins reduce in ONE groupBy(doc_id): exactly one Exchange
+    below the stack(), and it carries int64 hashes, not shingle strings."""
+    from workbook_exporter_fe_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(minhash_signatures(docs, n_bands=4))
+    assert plan.count("Exchange") == 1
+    # partial+final agg around that exchange (map-side combine of mins)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_neardup_joins_on_bucket_not_cartesian(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(embedding_neardup_pairs(emb))
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_is_scan_side_filter(spark, sf_dir):
+    """hash_sample adds zero exchanges — a pure map-side gate."""
+    from workbook_exporter_fe_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(hash_sample(docs, 0.25))
+    assert "Exchange" not in plan
+    assert "Filter" in plan

@@ -292,3 +292,80 @@ def q19_window_funcs(spark, sf_dir):
         F.count("*").over(run).alias("run_cnt"),
         F.ntile(4).over(w).alias("qtile"),
     )
+
+
+# -- Function-surface parity (array / string / null semantics) -------------
+# The reference's expression surface is tiny (casts + string probes,
+# SURVEY §1.2); the engine exposes Spark's full function families. These
+# pin cross-engine semantics for the ones the training pipeline leans on:
+# higher-order array ops, string editing, and three-valued null logic.
+
+@query(
+    "q57_array_funcs",
+    """
+    SELECT doc_id,
+           len(ws) AS n_words,
+           list_sort(list_distinct(ws)) AS distinct_sorted,
+           len(list_filter(ws, x -> length(x) > 6)) AS n_long,
+           list_sort(ws)[1:3] AS first3
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    """,
+)
+def q57_array_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.array_sort(F.array_distinct(ws)).alias("distinct_sorted"),
+        F.size(F.filter(ws, lambda x: F.length(x) > 6)).alias("n_long"),
+        F.slice(F.array_sort(ws), 1, 3).alias("first3"),
+    )
+
+
+@query(
+    "q58_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+           levenshtein(p_brand, 'Brand#13') AS brand_dist,
+           split_part(p_type, ' ', 2) AS type_mid,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+    FROM part
+    """,
+)
+def q58_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).alias("brand_dist"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@query(
+    "q59_null_semantics",
+    """
+    SELECT coalesce(nullif(event_type, 'view'), 'other') AS et,
+           COUNT(*) AS cnt,
+           COUNT(nullif(user_id, 7)) AS cnt_nonnull,
+           CAST(COUNT(DISTINCT nullif(user_id, 7)) AS BIGINT) AS distinct_nonnull
+    FROM events GROUP BY 1
+    """,
+)
+def q59_null_semantics(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    nn = F.expr("nullif(user_id, 7)")
+    return ev.groupBy(
+        F.coalesce(F.expr("nullif(event_type, 'view')"), F.lit("other")).alias("et")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.count(nn).alias("cnt_nonnull"),
+        F.countDistinct(nn).alias("distinct_nonnull"),
+    )
