@@ -55,6 +55,40 @@ spark.stop()
 """
 
 
+DEDUP_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from workbook_exporter_fe_spark.session import get_spark
+from workbook_exporter_fe_spark.operators.dedup import (
+    lsh_candidate_pairs, minhash_signatures_tokens)
+from workbook_exporter_fe_spark.sources.datagen import gen_sequences, write_sequences
+
+cores = {cores}
+spark = get_spark(app_name=f"scale_dedup{{cores}}", cores=cores,
+                  shuffle_partitions=cores,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "32m"}})
+path = {corpus!r}
+if not os.path.exists(path + "/_SUCCESS"):
+    write_sequences(gen_sequences(spark, {n_docs}, seed=42), path)
+seq = spark.read.parquet(path)
+
+def job():
+    sig = minhash_signatures_tokens(seq)
+    lsh_candidate_pairs(sig).write.format("noop").mode("overwrite").save()
+
+job()  # warmup, discarded
+times = []
+for i in range({repeats}):
+    t0 = time.perf_counter()
+    job()
+    times.append(time.perf_counter() - t0)
+n_shingles = seq.selectExpr("sum(greatest(n_tok - 2, 0)) AS s").first().s
+print("RESULT " + json.dumps({{"cores": cores, "times": times,
+      "best": min(times), "shingles": int(n_shingles), "docs": seq.count()}}))
+spark.stop()
+"""
+
+
 def run_at(cores: int, events: str, repeats: int) -> dict:
     code = RUNNER.format(repo=REPO, cores=cores, events=events, repeats=repeats)
     out = subprocess.run(
@@ -66,11 +100,72 @@ def run_at(cores: int, events: str, repeats: int) -> dict:
     raise RuntimeError(f"no RESULT from cores={cores}: {out.stderr[-2000:]}")
 
 
+def run_dedup_at(cores: int, corpus: str, n_docs: int, repeats: int) -> dict:
+    code = DEDUP_RUNNER.format(
+        repo=REPO, cores=cores, corpus=corpus, n_docs=n_docs, repeats=repeats
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from cores={cores}: {out.stderr[-2000:]}")
+
+
+DEDUP_MARKER = "## Second operator class: MinHash dedup scaling"
+
+
+def dedup_main(corpus: str, n_docs: int, repeats: int) -> None:
+    """Scaling evidence for a second, shuffle-dominated operator class:
+    token-shingle MinHash + LSH pair generation (explode → md5 → groupBy →
+    self-join), the opposite plan shape from tier-1's map-side-combining
+    rollup. Appends a section to BENCH/BASELINE.md."""
+    results = {c: run_dedup_at(c, corpus, n_docs, repeats) for c in (4, 16)}
+    t4, t16 = results[4]["best"], results[16]["best"]
+    eff = (t4 / t16) / 4
+    sh = results[4]["shingles"]
+    section = f"""{DEDUP_MARKER}
+
+Same protocol (fresh JVM per level, warmup discarded, best of {repeats}),
+second job class: token-shingle MinHash signatures + LSH candidate pairs
+over {results[4]['docs']:,} generated sequences ({sh:,} 3-gram shingles) —
+a shuffle-dominated plan (explode → md5 → single-exchange groupBy →
+band/sig self-join → distinct), complementing tier-1's partial-agg shape.
+
+| quantity | local[4] (N) | local[16] (4N) |
+|---|---|---|
+| wall-clock (s) | {round(t4, 2)} | {round(t16, 2)} |
+| shingles/s | {round(sh / t4):,} | {round(sh / t16):,} |
+
+- **scaling efficiency (T_N/T_4N)/4 = {round(eff, 3)}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- repeat timings (s): local[4] {[round(x, 2) for x in results[4]['times']]}, local[16] {[round(x, 2) for x in results[16]['times']]}
+"""
+    path = f"{REPO}/BENCH/BASELINE.md"
+    with open(path) as f:
+        doc = f.read()
+    if DEDUP_MARKER in doc:
+        doc = doc[: doc.index(DEDUP_MARKER)].rstrip() + "\n\n" + section
+    else:
+        doc = doc.rstrip() + "\n\n" + section
+    with open(path, "w") as f:
+        f.write(doc)
+    print(json.dumps({"job": "dedup", "efficiency": round(eff, 3),
+                      "t4": round(t4, 2), "t16": round(t16, 2)}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", default="/tmp/spark_graft_bench/events_750m")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--job", choices=("tier1", "dedup"), default="tier1")
+    ap.add_argument("--dedup-corpus", default="/tmp/spark_graft_bench/seq_dedup_200k")
+    ap.add_argument("--dedup-docs", type=int, default=200_000)
     args = ap.parse_args()
+
+    if args.job == "dedup":
+        dedup_main(args.dedup_corpus, args.dedup_docs, args.repeats)
+        return
 
     results = {c: run_at(c, args.events, args.repeats) for c in (4, 16, 8, 32)}
     t4, t16 = results[4]["best"], results[16]["best"]

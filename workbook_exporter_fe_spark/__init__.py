@@ -15,9 +15,12 @@ idiomatic Spark engine:
   (``operators.merge``, ``operators.retention``, ``plans.pipeline``),
 - operator-parity surface for every abstract operator in SURVEY.md §2
   (``operators.workbook``),
-- training-data pipeline ops: dedup (exact/minhash/simhash/jaccard),
-  similarity search, text analysis (``operators.dedup``,
-  ``operators.similarity``, ``functions.textops``).
+- training-data pipeline ops: dedup (exact / MinHash-LSH over words or
+  token shingles / SimHash / n-gram Jaccard / embedding-cosine near-dup),
+  similarity search (brute cosine, hyperplane LSH, IVF probe), text
+  analysis, deterministic hash sampling + sequence packing
+  (``operators.dedup``, ``operators.similarity``, ``operators.sampling``,
+  ``functions.textops``).
 
 Everything is DataFrame-native; pandas/Arrow UDFs appear only where Column
 expressions cannot express the semantics (bit-packing codecs).

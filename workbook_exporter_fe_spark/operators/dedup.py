@@ -50,14 +50,8 @@ MINHASH_A = (1_000_003, 2_000_003, 3_000_017, 4_000_037, 5_000_011, 6_000_011, 7
 MINHASH_B = (12_345, 67_891, 13_579, 24_680, 11_111, 22_222, 33_333, 44_444)
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n_bands: int = 4, k: int = 3,
-) -> DataFrame:
-    """(id, band, sig): per-band affine min-wise signature over k-shingles."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
-    )
+def _minhash_from_shingles(sh: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """(id, band, sig) from an exploded (id, shingle) stream."""
     h = (
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % MINHASH_P
     ).alias("h")
@@ -73,6 +67,36 @@ def minhash_signatures(
     return wide.select(
         id_col, F.expr(f"stack({n_bands}, {stack}) as (band, sig)")
     )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_bands: int = 4, k: int = 3,
+) -> DataFrame:
+    """(id, band, sig): per-band affine min-wise signature over k-shingles."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+    return _minhash_from_shingles(sh, id_col, n_bands)
+
+
+def minhash_signatures_tokens(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+    n_bands: int = 4, k: int = 3,
+) -> DataFrame:
+    """MinHash over token k-gram shingles — dedup for pre-tokenized corpora
+    (the engine's native ``(doc_id, tokens, n_tok, source)`` table), no
+    detokenization round-trip. Same affine family as the text variant."""
+    sh = df.filter(F.size(F.col(tokens_col)) >= k).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size({tokens_col}) - {k}),"
+                f" i -> concat_ws('-', slice({tokens_col}, i + 1, {k})))"
+            )
+        ).alias("shingle"),
+    )
+    return _minhash_from_shingles(sh, id_col, n_bands)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -122,3 +122,41 @@ def merge_token_histograms(hist: DataFrame, to: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("token", "n")))
         ).alias("tok_hist")
     )
+
+
+def distinct_sketch_tier1(
+    events: DataFrame, key_col: str = "doc_id", lg_k: int = 12
+) -> DataFrame:
+    """Tier-1 HLL sketches: (source, bucket_ts, hll binary, cnt).
+
+    COUNT(DISTINCT) is NOT decomposable, so a naive tier cascade would have
+    to rescan tier-0 for every coarser bucket. Datasketches HLL is the
+    standard fix: per-register max is associative/commutative, so tier-1
+    stores the sketch bytes and every coarser tier merges sketches — same
+    contract as sum/min/max/cnt. Spark ships this natively
+    (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), JVM-side,
+    whole-stage-codegen friendly."""
+    bucket = F.date_trunc(TIER_TRUNC["1m"], F.col("event_ts")).alias("bucket_ts")
+    return events.groupBy(F.col("source"), bucket).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("hll"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def distinct_sketch_reaggregate(tier: DataFrame, to: str) -> DataFrame:
+    """Merge tier HLL sketches to a coarser bucket — never rescans tier-0."""
+    bucket = F.date_trunc(TIER_TRUNC[to], F.col("bucket_ts")).alias("bucket_ts")
+    return tier.groupBy(F.col("source"), bucket).agg(
+        F.hll_union_agg("hll").alias("hll"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
+def distinct_sketch_finalize(tier: DataFrame) -> DataFrame:
+    """(source, bucket_ts, approx_distinct, cnt) from a sketch tier."""
+    return tier.select(
+        "source",
+        "bucket_ts",
+        F.hll_sketch_estimate("hll").alias("approx_distinct"),
+        "cnt",
+    )

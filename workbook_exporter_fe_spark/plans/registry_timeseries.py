@@ -303,3 +303,48 @@ def q56_stateful_running_stats(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name)
+
+
+# Distinct-count tiers. q60 is the exact path (oracle-checked); q61 is the
+# scale path — tier-1 HLL sketches merged upward (hll_union_agg) so coarser
+# tiers never rescan tier-0 (COUNT DISTINCT is not decomposable; per-
+# register-max sketch union is). Rows-only: DuckDB's approx_count_distinct
+# is a different HLL implementation, so estimates cannot hash-match;
+# tests/test_hll_tiers.py pins the ≤2% accuracy envelope vs exact.
+@query(
+    "q60_distinct_rollup",
+    """
+    SELECT event_type AS source,
+           date_trunc('hour', ts) AS bucket_ts,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q60_distinct_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query("q61_hll_distinct_cascade")
+def q61_hll_distinct_cascade(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.tiers import (
+        distinct_sketch_finalize,
+        distinct_sketch_reaggregate,
+        distinct_sketch_tier1,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
+        F.col("user_id").cast("string").alias("doc_id"),
+    )
+    t1 = distinct_sketch_tier1(ev)
+    t2 = distinct_sketch_reaggregate(t1, "1h")
+    return distinct_sketch_finalize(t2)
