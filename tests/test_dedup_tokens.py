@@ -41,3 +41,17 @@ def test_short_sequences_dropped_not_errored(spark):
     got = minhash_signatures_tokens(df)
     ids = {r.doc_id for r in got.collect()}
     assert ids == {"d2"}
+
+
+def test_native_mode_duplicates_collide_on_every_band(spark, sequences):
+    base = sequences.limit(40).cache()
+    dup = base.select(
+        F.concat(F.col("doc_id"), F.lit("#dup")).alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+    )
+    sig = minhash_signatures_tokens(base.unionByName(dup), hash_fn="native")
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig).collect()}
+    for r in base.filter(F.size("tokens") >= 3).select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + "#dup") in pairs
