@@ -160,3 +160,41 @@ def distinct_sketch_finalize(tier: DataFrame) -> DataFrame:
         F.hll_sketch_estimate("hll").alias("approx_distinct"),
         "cnt",
     )
+
+
+def quantile_sketch_tier1(
+    events: DataFrame, value_col: str = "v", k: int = 200
+) -> DataFrame:
+    """Tier-1 KLL quantile sketches: (source, bucket_ts, kll binary, cnt).
+
+    Percentiles are not decomposable either; KLL sketches merge with
+    bounded rank error (~1.7% at k=200), so p50/p95/p99 at 1h/1d come from
+    merging 1m sketches, never from rescanning tier-0 — the same
+    continuous-aggregate contract as the HLL distinct path."""
+    bucket = F.date_trunc(TIER_TRUNC["1m"], F.col("event_ts")).alias("bucket_ts")
+    return events.groupBy(F.col("source"), bucket).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias("kll"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def quantile_sketch_reaggregate(tier: DataFrame, to: str) -> DataFrame:
+    """Merge tier KLL sketches to a coarser bucket."""
+    bucket = F.date_trunc(TIER_TRUNC[to], F.col("bucket_ts")).alias("bucket_ts")
+    return tier.groupBy(F.col("source"), bucket).agg(
+        F.kll_merge_agg_double("kll").alias("kll"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
+def quantile_sketch_finalize(
+    tier: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """(source, bucket_ts, p50, p95, ..., cnt) from a KLL sketch tier."""
+    cols = [
+        F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(q)).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return tier.select("source", "bucket_ts", *cols, "cnt")

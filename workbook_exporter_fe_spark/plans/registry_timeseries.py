@@ -348,3 +348,25 @@ def q61_hll_distinct_cascade(spark, sf_dir):
     t1 = distinct_sketch_tier1(ev)
     t2 = distinct_sketch_reaggregate(t1, "1h")
     return distinct_sketch_finalize(t2)
+
+
+# Mergeable percentiles: tier-1 KLL sketches merged to 1h, finalized as
+# p50/p95/p99 (rows-only for the same reason as q61 — sketch estimates are
+# implementation-specific; tests/test_hll_tiers.py pins the rank-error
+# envelope vs exact percentile). q48 remains the exact oracle-checked path.
+@query("q62_kll_quantile_cascade")
+def q62_kll_quantile_cascade(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.tiers import (
+        quantile_sketch_finalize,
+        quantile_sketch_reaggregate,
+        quantile_sketch_tier1,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
+        F.col("value").alias("v"),
+    )
+    t1 = quantile_sketch_tier1(ev)
+    t2 = quantile_sketch_reaggregate(t1, "1h")
+    return quantile_sketch_finalize(t2)
