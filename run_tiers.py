@@ -30,6 +30,11 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     ap.add_argument("--salt", type=int, default=0, help="salt buckets for skewed tier-1 agg")
+    ap.add_argument(
+        "--sketches",
+        action="store_true",
+        help="also build mergeable HLL/KLL sketch tiers (distinct + quantiles)",
+    )
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -48,7 +53,9 @@ def main() -> None:
     if not args.resume and os.path.exists(f"{args.out}/_manifest/manifest.jsonl"):
         os.remove(f"{args.out}/_manifest/manifest.jsonl")
 
-    pipe = TierPipeline(spark, args.out, salt_buckets=args.salt)
+    pipe = TierPipeline(
+        spark, args.out, salt_buckets=args.salt, with_sketches=args.sketches
+    )
     tables = pipe.run(seq, run_fp)
     summary = {name: df.count() for name, df in tables.items()}
     print(json.dumps({"out": args.out, "rows": summary, "resumed": args.resume}))

@@ -92,3 +92,32 @@ def test_new_data_merges_incrementally(spark, tmp_path):
     # final tier1 == tier1 of a clean 2000-row run
     clean = TierPipeline(spark, str(tmp_path / "clean")).run(seq_b, run_fp="x")
     assert _tiers_sorted(t["tier1"]) == _tiers_sorted(clean["tier1"])
+
+
+def test_sketch_tiers_in_pipeline(spark, tmp_path):
+    """--sketches adds mergeable HLL/KLL tiers that resume like the rest
+    and whose finalized estimates track the exact tier counts."""
+    from pyspark.sql import functions as F
+
+    from workbook_exporter_fe_spark.operators.tiers import sketch_finalize
+
+    seq = gen_sequences(spark, 3000, seed=42)
+    out = str(tmp_path / "out")
+    t = TierPipeline(spark, out, with_sketches=True).run(seq, run_fp="r1")
+    assert {"sketch1", "sketch2", "sketch3"} <= set(t)
+    # one sketch row per (source, bucket): aligned with the sum/max tier
+    assert t["sketch1"].count() == t["tier1"].count()
+    fin = sketch_finalize(t["sketch2"])
+    joined = fin.join(
+        t["tier2"].select("source", "bucket_ts", F.col("cnt").alias("cnt_t")),
+        ["source", "bucket_ts"],
+    ).collect()
+    assert joined
+    for r in joined:
+        assert r.cnt == r.cnt_t  # exact count decomposes identically
+        # every doc is one event, so distinct ≈ cnt within HLL error
+        assert abs(r.approx_distinct - r.cnt) <= max(0.02 * r.cnt, 2)
+        assert r.p50 is not None and r.p95 is not None
+    # resume: rerun is a no-op with identical tables
+    t2 = TierPipeline(spark, out, with_sketches=True).run(seq, run_fp="r1")
+    assert t2["sketch2"].count() == t["sketch2"].count()

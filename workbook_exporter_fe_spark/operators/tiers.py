@@ -198,3 +198,46 @@ def quantile_sketch_finalize(
         for q in quantiles
     ]
     return tier.select("source", "bucket_ts", *cols, "cnt")
+
+
+def sketch_tier1(
+    events: DataFrame, key_col: str = "doc_id", value_col: str = "v",
+    lg_k: int = 12, kll_k: int = 200,
+) -> DataFrame:
+    """Combined sketch tier row: (source, bucket_ts, hll, kll, cnt).
+
+    One pass over tier-0 builds both non-decomposable aggregates (distinct
+    keys via HLL, value quantiles via KLL) next to the exact cnt — the
+    pipeline stores this beside the sum/min/max tier so 1h/1d answers for
+    COUNT DISTINCT and percentiles re-merge sketches instead of rescanning."""
+    bucket = F.date_trunc(TIER_TRUNC["1m"], F.col("event_ts")).alias("bucket_ts")
+    return events.groupBy(F.col("source"), bucket).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("hll"),
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(kll_k)).alias("kll"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def sketch_reaggregate(tier: DataFrame, to: str) -> DataFrame:
+    bucket = F.date_trunc(TIER_TRUNC[to], F.col("bucket_ts")).alias("bucket_ts")
+    return tier.groupBy(F.col("source"), bucket).agg(
+        F.hll_union_agg("hll").alias("hll"),
+        F.kll_merge_agg_double("kll").alias("kll"),
+        F.sum("cnt").alias("cnt"),
+    )
+
+
+def sketch_finalize(
+    tier: DataFrame, quantiles: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    qcols = [
+        F.kll_sketch_get_quantile_double(F.col("kll"), F.lit(q)).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return tier.select(
+        "source",
+        "bucket_ts",
+        F.hll_sketch_estimate("hll").alias("approx_distinct"),
+        *qcols,
+        "cnt",
+    )

@@ -75,11 +75,13 @@ class TierPipeline:
         out_dir: str,
         salt_buckets: int = 0,
         value_col: str = "avg_v",
+        with_sketches: bool = False,
     ):
         self.spark = spark
         self.out = out_dir
         self.salt_buckets = salt_buckets
         self.value_col = value_col
+        self.with_sketches = with_sketches
         self.manifest = Manifest(os.path.join(out_dir, "_manifest", "manifest.jsonl"))
 
     def _stage(self, run_fp: str, stage: str, build, out_path: str, keys: list[str]):
@@ -136,6 +138,39 @@ class TierPipeline:
             ["source", "bucket_ts"],
         )
         out["tier3"] = t3
+
+        if self.with_sketches:
+            # Non-decomposable aggregates (distinct keys, percentiles) ride
+            # beside the sum/min/max tiers as mergeable sketch tables —
+            # coarser tiers re-merge sketches, never rescan tier-0.
+            from workbook_exporter_fe_spark.operators.tiers import (
+                sketch_reaggregate,
+                sketch_tier1,
+            )
+
+            s1 = self._stage(
+                run_fp,
+                "sketch1_1m",
+                lambda: sketch_tier1(events),
+                f"{self.out}/sketch1",
+                ["source", "bucket_ts"],
+            )
+            out["sketch1"] = s1
+            s2 = self._stage(
+                run_fp,
+                "sketch2_1h",
+                lambda: sketch_reaggregate(s1, "1h"),
+                f"{self.out}/sketch2",
+                ["source", "bucket_ts"],
+            )
+            out["sketch2"] = s2
+            out["sketch3"] = self._stage(
+                run_fp,
+                "sketch3_1d",
+                lambda: sketch_reaggregate(s2, "1d"),
+                f"{self.out}/sketch3",
+                ["source", "bucket_ts"],
+            )
 
         chunks_path = f"{self.out}/chunks"
         if not self.manifest.done(run_fp, "compress"):
