@@ -72,3 +72,43 @@ def test_kll_quantiles_merge_within_rank_tolerance(spark, events):
             continue
         assert r.lo50 <= r.p50 <= r.hi50, (r.source, r.bucket_ts, r.p50, r.lo50, r.hi50)
         assert r.lo95 <= r.p95 <= r.hi95, (r.source, r.bucket_ts, r.p95, r.lo95, r.hi95)
+
+
+def test_theta_churn_tracks_exact_set_algebra(spark, sf_dir):
+    """Returning/new user estimates between consecutive hour buckets match
+    the exact set intersection/difference within sketch error."""
+    from workbook_exporter_fe_spark.operators.tiers import (
+        bucket_churn,
+        theta_bucket_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
+        F.col("user_id").cast("string").alias("doc_id"),
+    )
+    churn = bucket_churn(theta_bucket_sketches(ev, tier="1h"))
+    rows = churn.collect()
+    assert rows
+    # exact per-bucket user sets (small at sf0.01) for comparison
+    import collections
+
+    buckets = collections.defaultdict(set)
+    for r in ev.select(
+        "source", F.date_trunc("hour", "event_ts").alias("b"), "doc_id"
+    ).collect():
+        buckets[(r.source, r.b)].add(r.doc_id)
+    from datetime import timedelta
+
+    checked = 0
+    for r in rows:
+        cur = buckets[(r.source, r.bucket_ts)]
+        prev = buckets.get((r.source, r.bucket_ts - timedelta(hours=1)))
+        if prev is None:  # lag pairs non-adjacent buckets across gaps; skip
+            continue
+        checked += 1
+        tol = lambda x: max(0.05 * x, 3)
+        assert abs(r.est_total - len(cur)) <= tol(len(cur))
+        assert abs(r.est_returning - len(cur & prev)) <= tol(len(cur & prev))
+        assert abs(r.est_new - len(cur - prev)) <= tol(len(cur - prev))
+    assert checked > 10

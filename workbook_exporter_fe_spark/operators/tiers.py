@@ -241,3 +241,54 @@ def sketch_finalize(
         *qcols,
         "cnt",
     )
+
+
+def theta_bucket_sketches(
+    events: DataFrame, tier: str = "1h", key_col: str = "doc_id", lg_k: int = 12
+) -> DataFrame:
+    """(source, bucket_ts, theta binary, cnt): per-bucket theta sketches.
+
+    Theta sketches support set EXPRESSIONS (union / intersection /
+    difference), which HLL cannot — the basis for cohort questions like
+    "how many keys from bucket B also appeared in bucket B-1"."""
+    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("event_ts")).alias("bucket_ts")
+    return events.groupBy(F.col("source"), bucket).agg(
+        F.theta_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("theta"),
+        F.count("*").alias("cnt"),
+    )
+
+
+def bucket_churn(sketches: DataFrame) -> DataFrame:
+    """Consecutive-bucket churn from theta sketches: per (source, bucket),
+    estimated total / returning (∩ previous bucket) / new (∖ previous).
+
+    A lag window hands each bucket its predecessor's sketch — set algebra
+    then runs as scalar sketch expressions, no rescan of keys. At corpus
+    scale this answers retention/churn over any tier without a
+    distinct-join between adjacent partitions (which would shuffle the
+    full key universe)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("bucket_ts")
+    prev = F.lag("theta").over(w)
+    cur = F.col("theta")
+    return (
+        sketches.select(
+            "source",
+            "bucket_ts",
+            cur.alias("theta"),
+            prev.alias("prev_theta"),
+        )
+        .filter(F.col("prev_theta").isNotNull())
+        .select(
+            "source",
+            "bucket_ts",
+            F.round(F.theta_sketch_estimate("theta"), 2).alias("est_total"),
+            F.round(
+                F.theta_sketch_estimate(F.theta_intersection("theta", "prev_theta")), 2
+            ).alias("est_returning"),
+            F.round(
+                F.theta_sketch_estimate(F.theta_difference("theta", "prev_theta")), 2
+            ).alias("est_new"),
+        )
+    )

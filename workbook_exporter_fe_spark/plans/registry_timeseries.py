@@ -370,3 +370,22 @@ def q62_kll_quantile_cascade(spark, sf_dir):
     t1 = quantile_sketch_tier1(ev)
     t2 = quantile_sketch_reaggregate(t1, "1h")
     return quantile_sketch_finalize(t2)
+
+
+# Theta-sketch set algebra between consecutive buckets: returning vs new
+# distinct users per (source, hour). Rows-only (sketch estimates);
+# tests/test_hll_tiers.py pins them against exact set intersection/
+# difference at sf0.01.
+@query("q63_theta_churn")
+def q63_theta_churn(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.tiers import (
+        bucket_churn,
+        theta_bucket_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
+        F.col("user_id").cast("string").alias("doc_id"),
+    )
+    return bucket_churn(theta_bucket_sketches(ev, tier="1h"))
