@@ -75,3 +75,69 @@ def test_interpolate_recovers_injected_gaps(spark, events):
     unchanged = out.filter(~F.col("filled")).select("source", "bucket_ts", "avg_v")
     orig = t.select("source", "bucket_ts", "avg_v")
     assert unchanged.exceptAll(orig).count() == 0
+
+
+# -- segmented (scale-path) variants: bit-equal to the plain operators ----
+
+
+def _multi_day_gaps(spark):
+    """Two sources, observations on days 1 and 5 only — days 2-4 are
+    entirely empty segments, so carries must cross multiple segments."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for src, off in (("a", 0), ("b", 17)):
+        for day, hour, val in [(0, 1, 10.0), (0, 5, 20.0), (4, 3, 50.0), (4, 9, 30.0)]:
+            rows.append((src, base + dt.timedelta(days=day, hours=hour, minutes=off), val))
+    df = spark.createDataFrame(rows, "source string, bucket_ts timestamp, avg_v double")
+    from workbook_exporter_fe_spark.operators.gapfill import densify
+
+    return densify(df, "1h", value_cols=["avg_v"])
+
+
+def test_locf_segmented_equals_plain(spark):
+    from workbook_exporter_fe_spark.operators.gapfill import locf, locf_segmented
+
+    dense = _multi_day_gaps(spark)
+    a = locf(dense, "avg_v").orderBy("source", "bucket_ts").collect()
+    b = locf_segmented(dense, "avg_v", segment="1d").orderBy("source", "bucket_ts").collect()
+    assert a == b
+
+
+def test_interpolate_segmented_equals_plain(spark):
+    from workbook_exporter_fe_spark.operators.gapfill import (
+        interpolate,
+        interpolate_segmented,
+    )
+
+    dense = _multi_day_gaps(spark)
+    a = interpolate(dense, "avg_v").orderBy("source", "bucket_ts").collect()
+    b = (
+        interpolate_segmented(dense, "avg_v", segment="1d")
+        .orderBy("source", "bucket_ts")
+        .collect()
+    )
+    assert a == b
+
+
+def test_segmented_equals_plain_on_tier_data(spark, events):
+    """Same equality over the real tier-1 shape (dense minute spine)."""
+    from workbook_exporter_fe_spark.operators.gapfill import (
+        densify,
+        interpolate,
+        interpolate_segmented,
+        locf,
+        locf_segmented,
+    )
+    from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
+
+    t1 = rollup_tier1(events).select("source", "bucket_ts", "avg_v")
+    dense = densify(t1, "1m", value_cols=["avg_v"])
+    for plain, seg in (
+        (locf, locf_segmented),
+        (interpolate, interpolate_segmented),
+    ):
+        a = plain(dense, "avg_v").orderBy("source", "bucket_ts").collect()
+        b = seg(dense, "avg_v", segment="1h").orderBy("source", "bucket_ts").collect()
+        assert a == b, plain.__name__

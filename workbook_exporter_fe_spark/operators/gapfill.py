@@ -98,3 +98,128 @@ def interpolate(dense: DataFrame, value_col: str = "avg_v", key: str = "source")
         .otherwise(prev_v + (next_v - prev_v) * frac)
     )
     return dense.withColumn(value_col, filled)
+
+
+# --------------------------------------------------------------------------
+# Segmented gap-fill: the scale path (SURVEY §7 risk 2).
+#
+# The plain windows above partition by `source` only, so a source's whole
+# history is one window partition — fine for tier tables (~525k buckets per
+# source-year) but a parallelism ceiling when sources are few and ranges
+# long. The segmented variants partition by (source, time-segment):
+# per-segment windows run in parallel, and cross-segment carry values come
+# from a second window over a *summary* relation with one row per
+# (source, segment) — thousands of rows where the dense table has billions,
+# so the sequential part is negligible (classic two-level scan pattern).
+# Results are bit-identical to the unsegmented operators (pinned by tests).
+# --------------------------------------------------------------------------
+
+_SEG_TRUNC = {"1h": "hour", "1d": "day", "1mo": "month"}
+
+
+def _with_segment(dense: DataFrame, segment: str) -> DataFrame:
+    return dense.withColumn("_seg", F.date_trunc(_SEG_TRUNC[segment], "bucket_ts"))
+
+
+def _segment_carries(
+    with_seg: DataFrame, value_col: str, key: str
+) -> DataFrame:
+    """(key, _seg, carry_prev_v/t, carry_next_v/t): nearest observation in
+    any earlier / later segment. One row per (key, segment)."""
+    v = F.col(value_col)
+    obs = with_seg.filter(v.isNotNull())
+    summ = obs.groupBy(key, "_seg").agg(
+        F.max_by(v, F.col("bucket_ts")).alias("seg_last_v"),
+        F.max("bucket_ts").alias("seg_last_t"),
+        F.min_by(v, F.col("bucket_ts")).alias("seg_first_v"),
+        F.min("bucket_ts").alias("seg_first_t"),
+    )
+    # every segment needs a summary row, including all-gap segments
+    spine = with_seg.select(key, "_seg").distinct()
+    summ = spine.join(summ, [key, "_seg"], "left")
+    wprev = (
+        Window.partitionBy(key)
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_seg").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return summ.select(
+        key,
+        "_seg",
+        F.last("seg_last_v", ignorenulls=True).over(wprev).alias("carry_prev_v"),
+        F.last("seg_last_t", ignorenulls=True).over(wprev).alias("carry_prev_t"),
+        F.last("seg_first_v", ignorenulls=True).over(wnext).alias("carry_next_v"),
+        F.last("seg_first_t", ignorenulls=True).over(wnext).alias("carry_next_t"),
+    )
+
+
+def locf_segmented(
+    dense: DataFrame, value_col: str = "avg_v", key: str = "source",
+    segment: str = "1d",
+) -> DataFrame:
+    """LOCF with (source, segment)-parallel windows; equals ``locf``."""
+    ws = _with_segment(dense, segment)
+    w = (
+        Window.partitionBy(key, "_seg")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = F.last(value_col, ignorenulls=True).over(w)
+    carries = _segment_carries(ws, value_col, key).select(
+        key, "_seg", "carry_prev_v"
+    )
+    return (
+        ws.withColumn("_local", local)
+        .join(carries, [key, "_seg"])
+        .withColumn(value_col, F.coalesce(F.col("_local"), F.col("carry_prev_v")))
+        .drop("_seg", "_local", "carry_prev_v")
+    )
+
+
+def interpolate_segmented(
+    dense: DataFrame, value_col: str = "avg_v", key: str = "source",
+    segment: str = "1d",
+) -> DataFrame:
+    """Linear interpolation with (source, segment)-parallel windows; equals
+    ``interpolate`` (prev/next neighbours cross segment edges via the
+    carry summary)."""
+    ws = _with_segment(dense, segment)
+    v = F.col(value_col)
+    wb = (
+        Window.partitionBy(key, "_seg")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key, "_seg")
+        .orderBy(F.col("bucket_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ts_obs = F.when(v.isNotNull(), F.col("bucket_ts"))
+    step = (
+        ws.withColumn("_lpv", F.last(v, ignorenulls=True).over(wb))
+        .withColumn("_lpt", F.last(ts_obs, ignorenulls=True).over(wb))
+        .withColumn("_lnv", F.last(v, ignorenulls=True).over(wf))
+        .withColumn("_lnt", F.last(ts_obs, ignorenulls=True).over(wf))
+    )
+    joined = step.join(_segment_carries(ws, value_col, key), [key, "_seg"])
+    prev_v = F.coalesce(F.col("_lpv"), F.col("carry_prev_v"))
+    prev_t = F.coalesce(F.col("_lpt"), F.col("carry_prev_t")).cast("double")
+    next_v = F.coalesce(F.col("_lnv"), F.col("carry_next_v"))
+    next_t = F.coalesce(F.col("_lnt"), F.col("carry_next_t")).cast("double")
+    t = F.col("bucket_ts").cast("double")
+    frac = (t - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return joined.withColumn(value_col, filled).drop(
+        "_seg", "_lpv", "_lpt", "_lnv", "_lnt",
+        "carry_prev_v", "carry_prev_t", "carry_next_v", "carry_next_t",
+    )

@@ -389,3 +389,67 @@ def q63_theta_churn(spark, sf_dir):
         F.col("user_id").cast("string").alias("doc_id"),
     )
     return bucket_churn(theta_bucket_sketches(ev, tier="1h"))
+
+
+# Segmented gap-fill (the scale path: (source, segment)-parallel windows +
+# per-segment carry summaries) checked against the SAME oracles as the
+# plain operators — the segmentation must be invisible in the results.
+@query(
+    "q64_gapfill_locf_segmented",
+    _DENSE_SQL
+    + """
+    SELECT source, bucket_ts,
+           last_value(avg_v IGNORE NULLS) OVER (
+             PARTITION BY source ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v,
+           filled
+    FROM dense
+    """,
+)
+def q64_gapfill_locf_segmented(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.gapfill import locf_segmented
+
+    t1 = _tier1(spark, sf_dir).select(
+        "source", "bucket_ts", F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v")
+    )
+    dense = densify(t1, "1m", value_cols=["avg_v"])
+    return locf_segmented(dense, "avg_v", segment="1h").select(
+        "source", "bucket_ts", "avg_v", "filled"
+    )
+
+
+@query(
+    "q65_gapfill_interp_segmented",
+    _DENSE_SQL
+    + """
+    SELECT source, bucket_ts,
+           CASE WHEN avg_v IS NOT NULL THEN avg_v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v) * ((epoch(bucket_ts) - prev_t) / (next_t - prev_t))
+           END AS avg_v,
+           filled
+    FROM (
+      SELECT *,
+             last_value(avg_v IGNORE NULLS) OVER wb AS prev_v,
+             first_value(avg_v IGNORE NULLS) OVER wf AS next_v,
+             last_value(CASE WHEN avg_v IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS) OVER wb AS prev_t,
+             first_value(CASE WHEN avg_v IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS) OVER wf AS next_t
+      FROM dense
+      WINDOW wb AS (PARTITION BY source ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY source ORDER BY bucket_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    """,
+)
+def q65_gapfill_interp_segmented(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.gapfill import interpolate_segmented
+
+    t1 = _tier1(spark, sf_dir).select(
+        "source", "bucket_ts", F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v")
+    )
+    dense = densify(t1, "1m", value_cols=["avg_v"])
+    return interpolate_segmented(dense, "avg_v", segment="1h").select(
+        "source", "bucket_ts", "avg_v", "filled"
+    )
