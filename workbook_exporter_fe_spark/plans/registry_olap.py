@@ -369,3 +369,33 @@ def q59_null_semantics(spark, sf_dir):
         F.count(nn).alias("cnt_nonnull"),
         F.countDistinct(nn).alias("distinct_nonnull"),
     )
+
+
+# Range join: equi key + time-range predicate (ship within 30 days of the
+# order date) — the join shape between pure equi (q03) and as-of (q47).
+# The equi key keeps it a hash join with the range as residual; a pure
+# range-only join would need a broadcast range join / binning strategy.
+@query(
+    "q66_range_join",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 6) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+    """,
+)
+def q66_range_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("interval 30 days")),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        _dsum(F.col("l_extendedprice"), "revenue"),
+    )
