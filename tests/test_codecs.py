@@ -10,10 +10,17 @@ from pyspark.sql import functions as F
 
 from workbook_exporter_fe_spark.functions.codecs import (
     dod_decode,
+    dod_decode_v2,
     dod_encode,
+    dod_encode_v2,
     gorilla_decode,
+    gorilla_decode_v2,
     gorilla_encode,
+    gorilla_encode_v2,
 )
+
+GORILLA = {1: (gorilla_encode, gorilla_decode), 2: (gorilla_encode_v2, gorilla_decode_v2)}
+DOD = {1: (dod_encode, dod_decode), 2: (dod_encode_v2, dod_decode_v2)}
 from workbook_exporter_fe_spark.functions.spark_codecs import (
     compress_tier,
     decompress_chunks,
@@ -30,10 +37,12 @@ from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
     )
 )
 @settings(max_examples=200, deadline=None)
-def test_gorilla_roundtrip_property(vals):
+@pytest.mark.parametrize("ver", [1, 2])
+def test_gorilla_roundtrip_property(ver, vals):
+    enc, dec = GORILLA[ver]
     v = np.array(vals, dtype=np.float64)
-    dec = gorilla_decode(gorilla_encode(v), len(v))
-    assert dec.tobytes() == v.tobytes()  # bit-exact incl. NaN payloads, ±0
+    got = dec(enc(v), len(v))
+    assert got.tobytes() == v.tobytes()  # bit-exact incl. NaN payloads, ±0
 
 
 @given(
@@ -42,10 +51,12 @@ def test_gorilla_roundtrip_property(vals):
     )
 )
 @settings(max_examples=200, deadline=None)
-def test_dod_roundtrip_property(ts):
+@pytest.mark.parametrize("ver", [1, 2])
+def test_dod_roundtrip_property(ver, ts):
+    enc, dec = DOD[ver]
     t = np.array(ts, dtype=np.int64)
-    dec = dod_decode(dod_encode(t), len(t))
-    assert np.array_equal(dec, t)
+    got = dec(enc(t), len(t))
+    assert np.array_equal(got, t)
 
 
 def test_gorilla_edge_bits():
@@ -77,3 +88,17 @@ def test_spark_compress_roundtrip(spark, events):
     # so assert the aggregate, not per-source)
     overall = sum(r["encoded_bytes"] for r in ratios) / (16.0 * total_points)
     assert overall < 1.0
+
+
+def test_mixed_version_chunk_table_decodes(spark, events):
+    """v1 and v2 chunks coexist in one table; the reader dispatches per row."""
+    t1 = rollup_tier1(events).cache()
+    c1 = compress_tier(t1, value_col="avg_v", codec_version=1)
+    c2 = compress_tier(t1, value_col="avg_v", codec_version=2)
+    mixed = c1.filter(F.xxhash64("source") % 2 == 0).unionByName(
+        c2.filter(F.xxhash64("source") % 2 != 0)
+    )
+    back = decompress_chunks(mixed, value_col="avg_v")
+    orig = t1.select("source", "bucket_ts", "avg_v")
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0

@@ -241,3 +241,178 @@ def dod_decode(payload: bytes, n: int) -> np.ndarray:
         delta = _wrap64(delta + dod)
         out[i] = _wrap64(int(out[i - 1]) + delta)
     return out
+
+
+# ---------------------------------------------------------------------------
+# v2 "split-stream" layout: same Gorilla XOR / delta-of-delta field
+# semantics, but control metadata and payload bits live in separate
+# vectorizable streams instead of being interleaved bit-by-bit. The
+# interleaved v1 decoder is inherently sequential (each entry's length
+# depends on its own control bits); v2 moves every length into byte-wide
+# side arrays so DECODE is also whole-array numpy:
+#
+#   gorilla v2: [first:8B][zero-xor bitmap][lz:u8 ×m][sig-1:u8 ×m]
+#               [meaningful bits, MSB-first]
+#   dod v2:     [t0:8B][d0:8B][zero-dod bitmap][cat:u8 ×k]
+#               [bucket-encoded dod bits, MSB-first]
+#
+# Value reconstruction is a cumulative XOR (np.bitwise_xor.accumulate) /
+# double cumsum — no per-point Python anywhere. Chunk rows carry
+# codec_version, so v1 and v2 chunks coexist in one table and the reader
+# dispatches per row.
+# ---------------------------------------------------------------------------
+
+CODEC_VERSION_V2 = 2
+
+_DOD_CATS = (  # cat id → (payload_bits, offset); cat 4 = raw 64-bit
+    (7, 63),
+    (9, 255),
+    (12, 2047),
+)
+
+
+def _unpack_bits(payload: bytes, nbits: np.ndarray, bit_offset: int = 0) -> np.ndarray:
+    """Inverse of `_pack_bits`: read len(nbits) MSB-first fields starting at
+    `bit_offset` in payload. Vectorized via unpackbits + weighted reduceat."""
+    nbits = nbits.astype(np.int64)
+    if len(nbits) == 0:
+        return np.empty(0, dtype=np.uint64)
+    total = int(nbits.sum())
+    bits = np.unpackbits(
+        np.frombuffer(payload, dtype=np.uint8), count=bit_offset + total
+    )[bit_offset:].astype(np.uint64)
+    ends = np.cumsum(nbits)
+    offs = ends - nbits
+    weights = np.uint64(1) << (np.repeat(ends, nbits) - 1 - np.arange(total)).astype(
+        np.uint64
+    )
+    return np.add.reduceat(bits * weights, offs)
+
+
+def gorilla_encode_v2(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    n = len(v)
+    if n == 0:
+        return b""
+    bits = v.view(np.uint64)
+    head = bits[:1].byteswap().tobytes()  # big-endian first value
+    if n == 1:
+        return head
+    xors = bits[1:] ^ bits[:-1]
+    zero = xors == 0
+    nz = ~zero
+    lz = np.minimum(_clz64(np.where(nz, xors, np.uint64(1))), 31)
+    tz = _ctz64(np.where(nz, xors, np.uint64(1)))
+    sig = 64 - lz - tz
+    meaningful = (xors >> tz.astype(np.uint64))[nz]
+    return b"".join(
+        (
+            head,
+            np.packbits(zero.astype(np.uint8)).tobytes(),
+            lz[nz].astype(np.uint8).tobytes(),
+            (sig[nz] - 1).astype(np.uint8).tobytes(),
+            _pack_bits(meaningful, sig[nz]),
+        )
+    )
+
+
+def gorilla_decode_v2(payload: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    first = np.frombuffer(payload[:8], dtype=">u8")[0]
+    if n == 1:
+        return np.array([first], dtype=np.uint64).view(np.float64)
+    pos = 8
+    nbytes_map = (n - 1 + 7) // 8
+    zero = np.unpackbits(
+        np.frombuffer(payload[pos : pos + nbytes_map], dtype=np.uint8), count=n - 1
+    ).astype(bool)
+    pos += nbytes_map
+    m = int((~zero).sum())
+    lz = np.frombuffer(payload[pos : pos + m], dtype=np.uint8).astype(np.uint64)
+    pos += m
+    sig = np.frombuffer(payload[pos : pos + m], dtype=np.uint8).astype(np.int64) + 1
+    pos += m
+    meaningful = _unpack_bits(payload[pos:], sig)
+    tz = (64 - lz - sig.astype(np.uint64)).astype(np.uint64)
+    xors = np.zeros(n - 1, dtype=np.uint64)
+    xors[~zero] = meaningful << tz
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = first
+    out[1:] = xors
+    return np.bitwise_xor.accumulate(out).view(np.float64)
+
+
+def dod_encode_v2(ts: np.ndarray) -> bytes:
+    t = np.ascontiguousarray(ts, dtype=np.int64)
+    n = len(t)
+    if n == 0:
+        return b""
+    head = t[:1].astype(">i8").tobytes()
+    if n == 1:
+        return head
+    d = np.diff(t)
+    head += d[:1].astype(">i8").tobytes()
+    if n == 2:
+        return head
+    dod = d[1:] - d[:-1]
+    zero = dod == 0
+    nzv = dod[~zero]
+    cat = np.full(len(nzv), 4, dtype=np.uint8)
+    pbits = np.full(len(nzv), 64, dtype=np.int64)
+    enc = nzv.astype(np.uint64)
+    for ci, (pb, off) in enumerate(_DOD_CATS, start=1):
+        lo, hi = -off, off + 1
+        m = (cat == 4) & (nzv >= lo) & (nzv <= hi)
+        cat[m] = ci
+        pbits[m] = pb
+        enc[m] = (nzv[m] + off).astype(np.uint64)
+    return b"".join(
+        (
+            head,
+            np.packbits(zero.astype(np.uint8)).tobytes(),
+            cat.tobytes(),
+            _pack_bits(enc, pbits),
+        )
+    )
+
+
+def dod_decode_v2(payload: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    t0 = int(np.frombuffer(payload[:8], dtype=">i8")[0])
+    if n == 1:
+        return np.array([t0], dtype=np.int64)
+    d0 = int(np.frombuffer(payload[8:16], dtype=">i8")[0])
+    if n == 2:
+        return np.array([t0, t0 + d0], dtype=np.int64)
+    pos = 16
+    m = n - 2
+    nbytes_map = (m + 7) // 8
+    zero = np.unpackbits(
+        np.frombuffer(payload[pos : pos + nbytes_map], dtype=np.uint8), count=m
+    ).astype(bool)
+    pos += nbytes_map
+    k = int((~zero).sum())
+    cat = np.frombuffer(payload[pos : pos + k], dtype=np.uint8)
+    pos += k
+    pbits = np.full(k, 64, dtype=np.int64)
+    for ci, (pb, _off) in enumerate(_DOD_CATS, start=1):
+        pbits[cat == ci] = pb
+    raw = _unpack_bits(payload[pos:], pbits)
+    nzv = raw.astype(np.int64)
+    for ci, (_pb, off) in enumerate(_DOD_CATS, start=1):
+        sel = cat == ci
+        nzv[sel] = raw[sel].astype(np.int64) - off
+    dod = np.zeros(m, dtype=np.int64)
+    dod[~zero] = nzv
+    deltas = np.empty(n - 1, dtype=np.int64)
+    deltas[0] = d0
+    deltas[1:] = dod
+    np.cumsum(deltas, out=deltas)  # dod chain → per-step deltas d_i
+    np.cumsum(deltas, out=deltas)  # deltas → offsets from t0
+    # int64 wraparound in both cumsums == v1's _wrap64 chain
+    out = np.empty(n, dtype=np.int64)
+    out[0] = t0
+    out[1:] = t0 + deltas
+    return out

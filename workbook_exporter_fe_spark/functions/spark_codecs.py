@@ -23,11 +23,29 @@ from pyspark.sql import functions as F
 
 from .codecs import (
     CODEC_VERSION,
+    CODEC_VERSION_V2,
     dod_decode,
+    dod_decode_v2,
     dod_encode,
+    dod_encode_v2,
     gorilla_decode,
+    gorilla_decode_v2,
     gorilla_encode,
+    gorilla_encode_v2,
 )
+
+# v1 = paper-faithful interleaved bitstream (sequential decode);
+# v2 = split-stream layout, vectorized decode (~3.6×), ~6% larger values
+# payload. Chunk rows carry their version, so tables mix freely and the
+# reader dispatches per row — format evolution without rewrites.
+_ENCODERS = {
+    CODEC_VERSION: (dod_encode, gorilla_encode),
+    CODEC_VERSION_V2: (dod_encode_v2, gorilla_encode_v2),
+}
+_DECODERS = {
+    CODEC_VERSION: (dod_decode, gorilla_decode),
+    CODEC_VERSION_V2: (dod_decode_v2, gorilla_decode_v2),
+}
 
 CHUNK_SCHEMA = (
     "source string, segment_start timestamp, n_points int, "
@@ -35,8 +53,12 @@ CHUNK_SCHEMA = (
 )
 
 
-def compress_tier(tier: DataFrame, value_col: str = "avg_v") -> DataFrame:
+def compress_tier(
+    tier: DataFrame, value_col: str = "avg_v",
+    codec_version: int = CODEC_VERSION_V2,
+) -> DataFrame:
     """tier(source, bucket_ts, <value_col>, ...) -> compressed chunk rows."""
+    enc_ts, enc_v = _ENCODERS[codec_version]
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_ts")
@@ -47,9 +69,9 @@ def compress_tier(tier: DataFrame, value_col: str = "avg_v") -> DataFrame:
                 "source": [pdf["source"].iloc[0]],
                 "segment_start": [pdf["segment_start"].iloc[0]],
                 "n_points": [len(ts)],
-                "codec_version": [CODEC_VERSION],
-                "ts_payload": [dod_encode(ts)],
-                "v_payload": [gorilla_encode(vals)],
+                "codec_version": [codec_version],
+                "ts_payload": [enc_ts(ts)],
+                "v_payload": [enc_v(vals)],
             }
         )
 
@@ -71,8 +93,9 @@ def decompress_chunks(chunks: DataFrame, value_col: str = "avg_v") -> DataFrame:
             frames = []
             for row in pdf.itertuples(index=False):
                 n = int(row.n_points)
-                ts = dod_decode(bytes(row.ts_payload), n)
-                vals = gorilla_decode(bytes(row.v_payload), n)
+                dec_ts, dec_v = _DECODERS[int(row.codec_version)]
+                ts = dec_ts(bytes(row.ts_payload), n)
+                vals = dec_v(bytes(row.v_payload), n)
                 frames.append(
                     pd.DataFrame(
                         {
