@@ -121,3 +121,15 @@ def test_sketch_tiers_in_pipeline(spark, tmp_path):
     # resume: rerun is a no-op with identical tables
     t2 = TierPipeline(spark, out, with_sketches=True).run(seq, run_fp="r1")
     assert t2["sketch2"].count() == t["sketch2"].count()
+
+
+def test_metrics_parquet_table(spark, tmp_path):
+    """The JSONL manifest is mirrored as a queryable parquet metrics table."""
+    seq = gen_sequences(spark, 1000, seed=42)
+    out = str(tmp_path / "out")
+    TierPipeline(spark, out).run(seq, run_fp="r1")
+    m = spark.read.parquet(f"{out}/_manifest/metrics")
+    stages = {r.stage for r in m.collect()}
+    assert {"t0_eventize", "tier1_1m", "tier2_1h", "tier3_1d", "compress"} <= stages
+    comp = m.filter(m.stage == "compress").first()
+    assert comp.encode_ratio is not None and comp.rows_out > 0

@@ -191,4 +191,34 @@ class TierPipeline:
                 wall_sec=round(time.perf_counter() - t0c, 3),
             )
         out["chunks"] = self.spark.read.parquet(chunks_path)
+        self._write_metrics_table()
         return out
+
+    def _write_metrics_table(self) -> None:
+        """Mirror the JSONL manifest as a queryable parquet metrics table —
+        the hive-fallback analog of the north rule's Iceberg metadata
+        table (on Iceberg, this becomes an append to a metadata table)."""
+        rows = [
+            {
+                "run_fp": e.get("run_fp"),
+                "stage": e.get("stage"),
+                "status": e.get("status"),
+                "rows_out": e.get("rows_out"),
+                "watermark": str(e.get("watermark")),
+                "wall_sec": float(e.get("wall_sec", 0.0)),
+                "encode_ratio": float(e["encode_ratio"]) if e.get("encode_ratio") is not None else None,
+                "partitions_json": json.dumps(e.get("partitions", {})),
+                "ts": float(e.get("ts", 0.0)),
+            }
+            for e in self.manifest.entries
+        ]
+        if not rows:
+            return
+        schema = (
+            "run_fp string, stage string, status string, rows_out long, "
+            "watermark string, wall_sec double, encode_ratio double, "
+            "partitions_json string, ts double"
+        )
+        self.spark.createDataFrame(rows, schema=schema).write.mode(
+            "overwrite"
+        ).parquet(f"{self.out}/_manifest/metrics")
