@@ -11,21 +11,21 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import _dsum, _t, query
+from .registry import _dsum, _isum, _t, query
 
 
 @query(
     "q40_cube",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_qty
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def q40_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("cnt"), _dsum(F.col("l_quantity"), "sum_qty")
+        F.count("*").alias("cnt"), _isum(F.col("l_quantity"), "sum_qty")
     )
 
 
@@ -379,7 +379,7 @@ def q59_null_semantics(spark, sf_dir):
     "q66_range_join",
     """
     SELECT o_orderpriority, COUNT(*) AS n_lines,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 6) AS DOUBLE) AS revenue
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
      AND l_shipdate >= o_orderdate
      AND l_shipdate < o_orderdate + INTERVAL 30 DAY
@@ -397,5 +397,5 @@ def q66_range_join(spark, sf_dir):
     )
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
-        _dsum(F.col("l_extendedprice"), "revenue"),
+        _isum(F.col("l_extendedprice"), "revenue"),
     )
