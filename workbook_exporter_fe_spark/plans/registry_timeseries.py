@@ -22,7 +22,7 @@ from .registry import _t, query
 # Shared SQL fragment: tier-1 over events with decimal-exact sums.
 _T1_SQL = """
   SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_v,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_v,
          MIN(value) AS min_v, MAX(value) AS max_v, COUNT(*) AS cnt
   FROM events GROUP BY 1, 2
 """
@@ -34,12 +34,12 @@ def _tier1(spark, sf_dir):
         F.col("ts").alias("event_ts"),
         F.col("value").alias("v"),
     )
-    # decimal-exact sum for oracle parity (rollup_tier1's double sum is the
-    # perf path; the gate path re-derives sum_v exactly)
+    # int64-scaled exact sum (see registry._isum): order-independent like
+    # the decimal path but stays inside whole-stage codegen
     exact = ev.groupBy(
         "source", F.date_trunc("minute", "event_ts").alias("bucket_ts")
     ).agg(
-        F.round(F.sum(F.col("v").cast("decimal(28,6)")), 6).cast("double").alias("sum_v"),
+        (F.sum(F.round(F.col("v") * 100).cast("long")) / 100.0).alias("sum_v"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
         F.count("*").alias("cnt"),
