@@ -51,3 +51,19 @@ def test_video_decode_is_stubbed(spark):
     media = gen_media(spark, 9, seed=42)
     with pytest.raises(Exception, match="NotImplementedError|no decoder"):
         extract_features(media, kinds=("video",)).collect()
+
+
+def test_resize_images_bounded_output(spark):
+    from workbook_exporter_fe_spark.operators.multimodal import gen_media, resize_images
+
+    media = gen_media(spark, 90, seed=7)
+    out = resize_images(media, width=8, height=8).collect()
+    # only image rows survive, every payload exactly w*h bytes
+    assert len(out) == sum(1 for r in media.collect() if r.kind == "image")
+    assert all(len(bytes(r.payload)) == 64 for r in out)
+    assert all(r.width == 8 and r.height == 8 for r in out)
+    # deterministic across runs
+    again = resize_images(gen_media(spark, 90, seed=7), width=8, height=8).collect()
+    assert sorted((r.media_id, bytes(r.payload)) for r in out) == sorted(
+        (r.media_id, bytes(r.payload)) for r in again
+    )

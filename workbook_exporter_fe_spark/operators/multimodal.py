@@ -144,3 +144,45 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
         .select("media_id", "payload", "meta")
         .mapInPandas(run, schema=out_schema)
     )
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """(media_id, width, height, payload binary): image resize plumbing.
+
+    STUB decode/encode (no image libs in this container): the "resize"
+    maps the payload bytes onto a deterministic width×height grid by
+    nearest-neighbour index sampling — exactly the array-shape contract a
+    real `PIL.Image.resize` implementation would fill in (swap the body,
+    keep the schema/batching). Only rows with kind='image' are read
+    (plan-side pruning), and output payload size is bounded at
+    width×height bytes regardless of input size — the property that makes
+    the shuffle/write after a resize predictable at 100 TB."""
+    out_schema = "media_id string, width int, height int, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(bytes(p), dtype=np.uint8)
+                if len(a) == 0:
+                    payloads.append(b"\x00" * target)
+                    continue
+                idx = (np.arange(target) * len(a)) // target
+                payloads.append(a[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=out_schema)
+    )
