@@ -53,3 +53,26 @@ def test_write_read_roundtrip_token_equality(spark, sequences, tmp_path):
     assert back.select("doc_id", "tokens", "n_tok", "source").exceptAll(
         sequences.select("doc_id", "tokens", "n_tok", "source")
     ).count() == 0
+
+
+def test_bound_late_events_drops_behind_watermark(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.retention import bound_late_events
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
+        F.col("value").alias("v"),
+    )
+    bounded, wm = bound_late_events(events, delay="interval 3 days")
+    assert wm == events.agg(F.max("event_ts")).first()[0]
+    kept = bounded.count()
+    assert 0 < kept < events.count()
+    # everything kept is strictly inside the watermark window
+    import datetime
+
+    lo = wm - datetime.timedelta(days=3)
+    assert bounded.filter(F.col("event_ts") <= F.lit(lo)).count() == 0
+    # idempotent: bounding an already-bounded stream with the same
+    # watermark drops nothing further
+    again, _ = bound_late_events(bounded, delay="interval 3 days", wm=wm)
+    assert again.count() == kept

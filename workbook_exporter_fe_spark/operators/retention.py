@@ -38,3 +38,22 @@ def surviving_sequences(sequences: DataFrame, events: DataFrame, kept_events: Da
     byte-identical token arrays (no transform in this path ever touches
     `tokens`)."""
     return sequences.join(kept_events.select("doc_id"), "doc_id", "left_semi")
+
+
+def bound_late_events(
+    events: DataFrame, delay: str = "interval 1 hour", wm=None
+) -> tuple[DataFrame, "F.Column"]:
+    """Batch watermark for late tier-0 data: (bounded_events, watermark).
+
+    The batch analog of Structured Streaming's `withWatermark`: events with
+    `event_ts <= high_water - delay` are dropped before the rollup, so an
+    incremental tier merge never reopens buckets that earlier runs already
+    finalized — the same guarantee the streaming path gets from its
+    watermark, and the reason the pipeline's keyed merge stays idempotent
+    under out-of-order arrivals. The returned watermark is what the
+    manifest records as the run's `watermark` position; the next run's
+    finalized frontier starts there."""
+    if wm is None:
+        wm = events.agg(F.max("event_ts")).collect()[0][0]
+    cutoff = F.lit(wm) - F.expr(delay)
+    return events.filter(F.col("event_ts") > cutoff), wm
