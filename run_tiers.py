@@ -35,6 +35,12 @@ def main() -> None:
         action="store_true",
         help="also build mergeable HLL/KLL sketch tiers (distinct + quantiles)",
     )
+    ap.add_argument(
+        "--late-delay",
+        default=None,
+        help="batch watermark, e.g. 'interval 1 hour': drop tier-0 events "
+        "behind (high-water - delay) so finalized buckets never reopen",
+    )
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
@@ -54,7 +60,11 @@ def main() -> None:
         os.remove(f"{args.out}/_manifest/manifest.jsonl")
 
     pipe = TierPipeline(
-        spark, args.out, salt_buckets=args.salt, with_sketches=args.sketches
+        spark,
+        args.out,
+        salt_buckets=args.salt,
+        with_sketches=args.sketches,
+        late_delay=args.late_delay,
     )
     tables = pipe.run(seq, run_fp)
     summary = {name: df.count() for name, df in tables.items()}

@@ -133,3 +133,24 @@ def test_metrics_parquet_table(spark, tmp_path):
     assert {"t0_eventize", "tier1_1m", "tier2_1h", "tier3_1d", "compress"} <= stages
     comp = m.filter(m.stage == "compress").first()
     assert comp.encode_ratio is not None and comp.rows_out > 0
+
+
+def test_pipeline_late_delay_bounds_tier1(spark, tmp_path):
+    """With late_delay set, buckets behind (watermark - delay) never enter
+    tier-1; the manifest records the watermark position."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    seq = gen_sequences(spark, 3000, seed=42)
+    full = TierPipeline(spark, str(tmp_path / "full")).run(seq, run_fp="r1")
+    bounded = TierPipeline(
+        spark, str(tmp_path / "bounded"), late_delay="interval 10 minutes"
+    ).run(seq, run_fp="r1")
+    n_full, n_bounded = full["tier1"].count(), bounded["tier1"].count()
+    assert 0 < n_bounded < n_full
+    wm = full["events"].agg(F.max("event_ts")).first()[0]
+    lo = wm - datetime.timedelta(minutes=10)
+    assert bounded["tier1"].filter(F.col("bucket_ts") < F.lit(lo) - F.expr("interval 1 minute")).count() == 0
+    m = spark.read.parquet(f"{tmp_path}/bounded/_manifest/metrics")
+    assert m.filter(m.stage == "late_bound").count() == 1

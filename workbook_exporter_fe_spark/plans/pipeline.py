@@ -76,12 +76,14 @@ class TierPipeline:
         salt_buckets: int = 0,
         value_col: str = "avg_v",
         with_sketches: bool = False,
+        late_delay: str | None = None,
     ):
         self.spark = spark
         self.out = out_dir
         self.salt_buckets = salt_buckets
         self.value_col = value_col
         self.with_sketches = with_sketches
+        self.late_delay = late_delay
         self.manifest = Manifest(os.path.join(out_dir, "_manifest", "manifest.jsonl"))
 
     def _stage(self, run_fp: str, stage: str, build, out_path: str, keys: list[str]):
@@ -117,6 +119,25 @@ class TierPipeline:
             ["source", "doc_id"],
         )
         out["events"] = events
+
+        if self.late_delay:
+            # batch watermark: events behind (high-water - delay) never
+            # reach the rollup, so finalized buckets stay finalized under
+            # out-of-order re-deliveries (operators/retention.py).
+            from workbook_exporter_fe_spark.operators.retention import (
+                bound_late_events,
+            )
+
+            events, wm = bound_late_events(events, self.late_delay)
+            if not self.manifest.done(run_fp, "late_bound"):
+                self.manifest.record(
+                    run_fp=run_fp,
+                    stage="late_bound",
+                    status="done",
+                    rows_out=events.count(),
+                    watermark=str(wm),
+                    wall_sec=0.0,
+                )
 
         t1 = self._stage(
             run_fp,
