@@ -399,3 +399,55 @@ def q66_range_join(spark, sf_dir):
         F.count("*").alias("n_lines"),
         _isum(F.col("l_extendedprice"), "revenue"),
     )
+
+
+# Correlated subqueries through the SQL surface: Catalyst de-correlates
+# EXISTS into a left-semi join and a scalar subquery into a broadcast of
+# the 1-row aggregate — plan shapes distinct from the explicit joins above.
+@query(
+    "q67_exists_semijoin",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q67_exists_semijoin(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "q68_scalar_subquery",
+    """
+    SELECT p_brand, COUNT(*) AS n_above
+    FROM part
+    WHERE p_retailprice > (SELECT SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) * 1.0
+                              / (100.0 * COUNT(*)) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def q68_scalar_subquery(spark, sf_dir):
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_above
+        FROM part_v
+        WHERE p_retailprice > (SELECT SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) * 1.0
+                              / (100.0 * COUNT(*)) FROM part_v)
+        GROUP BY p_brand
+        """
+    )
