@@ -119,3 +119,53 @@ def test_hash_sample_is_scan_side_filter(spark, sf_dir):
     plan = _plan(hash_sample(docs, 0.25))
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_aqe_skew_join_split_triggers(spark):
+    """A Zipf-hot join key actually trips AQE's skew-join split (SURVEY §7
+    risk 5: don't just enable the conf — observe the runtime re-plan)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # 400k rows, ~50% on key 0 (hot); pad must be INCOMPRESSIBLE —
+        # shuffle blocks are lz4'd and a constant pad compresses below the
+        # skew byte threshold (measured: no split with "x"*64)
+        left = spark.range(400_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 97).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(97).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        # The aggregate must CONSUME pad (max), or Catalyst prunes it and
+        # the shuffled partitions shrink below the skew threshold
+        # (measured: groupBy().count() never triggers the split). count()
+        # executes through j's own QueryExecution, so the adaptive FINAL
+        # plan is inspectable on the same Dataset (a write wraps the plan
+        # in a fresh execution whose final plan we can't reach).
+        j = left.join(right, "k").groupBy().agg(
+            F.max("pad").alias("mp"), F.count("*").alias("n")
+        )
+        assert j.collect()[0]["n"] > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
