@@ -35,6 +35,8 @@ HEADLINE = [
     "q21_tier2_1h",
     "q23_gapfill_locf",
     "q24_gapfill_interp",
+    "q64_gapfill_locf_segmented",
+    "q61_hll_distinct_cascade",
     "q27_codec_roundtrip",
     "q28_embedding_neardup",
     "q30_dedup_exact",
