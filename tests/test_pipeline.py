@@ -154,3 +154,49 @@ def test_pipeline_late_delay_bounds_tier1(spark, tmp_path):
     assert bounded["tier1"].filter(F.col("bucket_ts") < F.lit(lo) - F.expr("interval 1 minute")).count() == 0
     m = spark.read.parquet(f"{tmp_path}/bounded/_manifest/metrics")
     assert m.filter(m.stage == "late_bound").count() == 1
+
+
+def test_rollup_at_routes_to_coarsest_tier(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from workbook_exporter_fe_spark.operators.tiers import rollup_at
+
+    seq = gen_sequences(spark, 3000, seed=42)
+    out = str(tmp_path / "out")
+    TierPipeline(spark, out).run(seq, run_fp="r1")
+
+    # '1d' answers come from the tier3 files, not tier1
+    d = rollup_at(spark, out, "1d")
+    files = d.inputFiles()
+    assert files and all("/tier3/" in f for f in files)
+
+    # non-calendar grain: '5m' re-aggregates tier1 and matches a direct
+    # re-aggregation of the same tier
+    five = rollup_at(spark, out, "5m")
+    t1 = spark.read.parquet(f"{out}/tier1")
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col("bucket_ts").cast("timestamp")) / 300) * 300
+    ).alias("bucket_ts")
+    want = (
+        t1.groupBy("source", bucket)
+        .agg(
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+    )
+    assert five.exceptAll(want).count() == 0 and want.exceptAll(five).count() == 0
+
+    # '4h' divides 3600 -> routed to tier2; total cnt matches tier1
+    four_h = rollup_at(spark, out, "4h")
+    assert all("/tier2/" in f for f in four_h.inputFiles())
+    assert (
+        four_h.agg(F.sum("cnt")).first()[0] == t1.agg(F.sum("cnt")).first()[0]
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rollup_at(spark, out, "90s")

@@ -292,3 +292,50 @@ def bucket_churn(sketches: DataFrame) -> DataFrame:
             ).alias("est_new"),
         )
     )
+
+
+# Continuous-aggregate READ path: answer a granularity-G query from the
+# coarsest stored tier whose bucket divides G (SURVEY §4.2's tier-skipping
+# rewrite — a library routine, no Catalyst rule needed: the caller asks for
+# a granularity, never a tier).
+
+_TIER_SECONDS = (("tier3", 86400), ("tier2", 3600), ("tier1", 60))
+_UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def granularity_seconds(gran: str) -> int:
+    """'5m' → 300. Units: s, m, h, d."""
+    unit = gran[-1]
+    if unit not in _UNIT_SECONDS or not gran[:-1].isdigit():
+        raise ValueError(f"bad granularity {gran!r} (want e.g. '5m', '4h', '1d')")
+    return int(gran[:-1]) * _UNIT_SECONDS[unit]
+
+
+def rollup_at(spark, out_dir: str, gran: str) -> DataFrame:
+    """(source, bucket_ts, sum_v, min_v, max_v, cnt, avg_v) at any
+    granularity that is a multiple of the finest stored tier.
+
+    Picks the coarsest tier table that divides the request — a '1d' query
+    scans ~1/1440th of the rows a tier-1 scan would — then re-aggregates
+    the decomposable columns into floor(epoch/G)*G buckets (handles
+    non-calendar grains like '5m'/'4h' that date_trunc can't express)."""
+    want = granularity_seconds(gran)
+    for tier, sec in _TIER_SECONDS:
+        if want % sec == 0:
+            df = spark.read.parquet(f"{out_dir}/{tier}")
+            if want == sec:
+                return df
+            bucket = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(F.col("bucket_ts").cast("timestamp")) / want)
+                * want
+            ).alias("bucket_ts")
+            out = df.groupBy(F.col("source"), bucket).agg(
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+                F.sum("cnt").alias("cnt"),
+            )
+            return _finalize(out)
+    raise ValueError(
+        f"{gran!r} ({want}s) is not derivable from stored tiers (finest: 60s)"
+    )
