@@ -69,3 +69,41 @@ class TableIO:
         from workbook_exporter_fe_spark.operators.merge import merge_upsert_path
 
         merge_upsert_path(self.spark, table_or_path, new, keys)
+
+    # -- bucketed tables (co-located joins) ---------------------------------
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table_name: str,
+        path: str,
+        bucket_by: list[str],
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Bucketed external table: joins/aggregations on the bucket key
+        read co-located files and skip the exchange entirely — the classic
+        pre-shuffle for repeated big-big joins (e.g. sequences ⋈ dedup
+        verdicts on doc_id at every pipeline run). On Iceberg this is
+        hidden partitioning `bucket(N, col)`; on the parquet backend it is
+        a Spark bucketed table with explicit file layout."""
+        if self.backend == "iceberg":
+            from pyspark.sql import functions as F
+
+            (
+                df.writeTo(table_name)
+                .partitionedBy(F.bucket(n_buckets, F.col(bucket_by[0])))
+                .createOrReplace()
+            )
+            return
+        w = (
+            df.write.mode(mode)
+            .bucketBy(n_buckets, *bucket_by)
+            .option("path", path)
+        )
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.format("parquet").saveAsTable(table_name)
+
+    def read_table(self, table_name: str) -> DataFrame:
+        return self.spark.table(table_name)
