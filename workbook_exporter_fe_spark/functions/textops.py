@@ -120,3 +120,50 @@ def fingerprint(text: Column, k: int = 5) -> Column:
     return F.when(F.size(sh) > 0, F.array_min(F.transform(sh, F.md5))).otherwise(
         F.md5(text)
     )
+
+
+# char-trigram language profiles: the n-gram heuristic variant of lang-ID
+# (the stopword variant is `lang_id`). Profiles are tiny fixed lists so
+# both Spark and the SQL oracle embed them literally.
+TRIGRAM_PROFILES = {
+    "en": ["the", "he ", "nd ", "ing", " th"],
+    "fr": ["le ", "es ", " de", "ent", "que"],
+    "de": ["er ", "ein", "ich", "und", "sch"],
+    "es": [" de", "la ", "os ", "as ", " el"],
+}
+
+
+def char_trigrams(col_name: str):
+    """array<string> of overlapping 3-char shingles of a text column.
+
+    Guarded for len<3: `sequence(1, 0)` DESCENDS in Spark ([1,0]), it is
+    not empty — texts shorter than a trigram yield [] explicitly."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"CASE WHEN length({col_name}) >= 3 THEN"
+        f" transform(sequence(1, length({col_name}) - 2),"
+        f" i -> substring({col_name}, i, 3))"
+        f" ELSE array() END"
+    )
+
+
+def lang_id_ngram(col_name: str):
+    """Char-trigram language-ID: argmax of profile-trigram hits (the
+    n-gram-heuristic variant; `lang_id` is the stopword variant). Ties and
+    the no-hit case resolve in the fixed order en→fr→de→es→und, mirrored
+    exactly by the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    tg = char_trigrams(col_name)
+    scores = {
+        lang: F.size(
+            F.filter(tg, lambda t: t.isin(TRIGRAM_PROFILES[lang]))  # noqa: B023
+        )
+        for lang in TRIGRAM_PROFILES
+    }
+    best = F.greatest(*scores.values())
+    out = F.when(best == 0, "und")
+    for lang in ("en", "fr", "de", "es"):
+        out = out.when(scores[lang] == best, lang)
+    return out.otherwise("und")

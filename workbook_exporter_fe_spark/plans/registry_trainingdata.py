@@ -478,3 +478,37 @@ def q55_sequence_packing(spark, sf_dir):
     return pack_greedy(
         _t(spark, sf_dir, "documents"), capacity=4096, weight_col="n_chars"
     )
+
+
+# Char-trigram language-ID (the n-gram heuristic; q36 is the stopword
+# variant). Tie/no-hit resolution order en→fr→de→es→und mirrored exactly.
+@query(
+    "q69_lang_id_ngram",
+    """
+    WITH tg AS (
+      SELECT doc_id,
+        CASE WHEN length(text) >= 3
+          THEN list_transform(range(1, length(text) - 1), i -> text[i:i+2])
+          ELSE [] END AS t
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> x IN ('the','he ','nd ','ing',' th'))) AS en,
+        len(list_filter(t, x -> x IN ('le ','es ',' de','ent','que'))) AS fr,
+        len(list_filter(t, x -> x IN ('er ','ein','ich','und','sch'))) AS de,
+        len(list_filter(t, x -> x IN (' de','la ','os ','as ',' el'))) AS es
+      FROM tg
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
+           WHEN en = greatest(en, fr, de, es) THEN 'en'
+           WHEN fr = greatest(en, fr, de, es) THEN 'fr'
+           WHEN de = greatest(en, fr, de, es) THEN 'de'
+           ELSE 'es' END AS lang_pred
+    FROM sc
+    """,
+)
+def q69_lang_id_ngram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.lang_id_ngram("text").alias("lang_pred"))
