@@ -48,3 +48,22 @@ def test_pack_greedy_stable_under_repartition(spark, sequences):
     a = pack_greedy(sequences, 512).orderBy("source", "doc_id").collect()
     b = pack_greedy(sequences.repartition(13), 512).orderBy("source", "doc_id").collect()
     assert a == b
+
+
+def test_hash_split_partitions_everything_once(spark, sequences):
+    from workbook_exporter_fe_spark.operators.sampling import hash_split
+
+    d = hash_split(sequences, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in d.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == sequences.count()
+    n = sequences.count()
+    assert 0.75 * n < counts["train"] < 0.85 * n
+    # stable under repartitioning
+    d2 = hash_split(sequences.repartition(19), {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {(r.doc_id, r.split) for r in d.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in d2.select("doc_id", "split").collect()}
+    assert a == b
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        hash_split(sequences, {"train": 0.5, "val": 0.1})

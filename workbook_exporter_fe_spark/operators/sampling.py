@@ -66,3 +66,33 @@ def pack_greedy(
         F.floor(start / capacity).cast("long").alias("pack_id"),
         (start % capacity).alias("pack_offset"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the same md5 gate as
+    ``hash_sample``: each row's 16-bit key hash falls into one of the
+    cumulative weight ranges. Assignment is a pure function of the key —
+    stable across cluster sizes, reruns, and engines — and filtering one
+    split later is the same map-side gate (no materialized split tables
+    needed, though writing partitioned-by-split is one `partitionBy` away).
+    """
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    gate = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    acc = 0.0
+    expr = None
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = gate < int(acc * 65536)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

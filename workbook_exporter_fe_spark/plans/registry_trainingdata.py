@@ -512,3 +512,32 @@ def q55_sequence_packing(spark, sf_dir):
 def q69_lang_id_ngram(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textops.lang_id_ngram("text").alias("lang_pred"))
+
+
+# Deterministic train/val/test split: same md5 gate as q54, every row
+# assigned by cumulative weight ranges — reproducible on any cluster.
+@query(
+    "q70_hash_split",
+    """
+    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982
+                    THEN 'train'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 62259
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def q70_hash_split(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.sampling import hash_split
+
+    d = hash_split(
+        _t(spark, sf_dir, "documents"),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return d.groupBy("split").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )
