@@ -94,3 +94,20 @@ def test_token_histogram_counts(events):
     th2 = merge_token_histograms(th, "1h")
     mass2 = th2.select(F.explode("tok_hist").alias("t", "n")).agg(F.sum("n")).collect()[0][0]
     assert mass2 == total_tokens
+
+
+def test_eventize_dense_is_mapside_and_stable(spark, sequences):
+    from workbook_exporter_fe_spark.operators.eventize import eventize_dense
+
+    ev = eventize_dense(sequences)
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: pure projection
+    assert ev.count() == sequences.count()
+    a = ev.orderBy("doc_id").collect()
+    b = eventize_dense(sequences.repartition(21)).orderBy("doc_id").collect()
+    assert a == b
+    # ts really is epoch0 + doc index seconds
+    import datetime
+
+    r = next(x for x in a if x.doc_id == "doc-000000000007")
+    assert r.event_ts == datetime.datetime(2026, 1, 1, 0, 0, 7)

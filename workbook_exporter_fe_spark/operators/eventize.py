@@ -54,3 +54,32 @@ def inject_gaps(events: DataFrame, seed: int = 42, mod: int = 10) -> tuple[DataF
         flagged.filter(~F.col("_gap")).drop("_gap"),
         flagged.filter(F.col("_gap")).drop("_gap"),
     )
+
+
+def eventize_dense(sequences: DataFrame, epoch0: str = EPOCH0) -> DataFrame:
+    """Map-side eventization: ts derives from the doc_id's numeric suffix.
+
+    ``eventize`` ranks within each source, which is faithful to FIXTURES F2
+    but costs a per-source sort — and the Zipf-hot source (~29% of rows) is
+    ONE sort task, the single-task bottleneck that dominates corpus
+    generation beyond ~10^8 rows (measured: a 750M-row eventize did not
+    finish its hot-source sort in 50 minutes on 32 cores). This variant
+    reads the event time straight off the data (`doc-%012d` → i seconds
+    after epoch0): zero shuffles, scan-speed at any scale, still a pure
+    function of data values (repartition-stable). Per-source streams share
+    the global doc clock, so each source's timeline has gaps where other
+    sources' docs sit — fine for rollup/gap-fill benchmarks, NOT
+    fixture-F2-equal. In production the input carries real timestamps and
+    neither variant exists.
+    """
+    idx = F.substring("doc_id", 5, 12).cast("long")
+    return sequences.select(
+        "source",
+        (
+            F.to_timestamp(F.lit(epoch0))
+            + F.make_interval(secs=idx.cast("double"))
+        ).alias("event_ts"),
+        F.col("n_tok").cast("double").alias("v"),
+        "doc_id",
+        "tokens",
+    )
