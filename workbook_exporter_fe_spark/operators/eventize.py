@@ -56,7 +56,9 @@ def inject_gaps(events: DataFrame, seed: int = 42, mod: int = 10) -> tuple[DataF
     )
 
 
-def eventize_dense(sequences: DataFrame, epoch0: str = EPOCH0) -> DataFrame:
+def eventize_dense(
+    sequences: DataFrame, epoch0: str = EPOCH0, docs_per_sec: int = 1
+) -> DataFrame:
     """Map-side eventization: ts derives from the doc_id's numeric suffix.
 
     ``eventize`` ranks within each source, which is faithful to FIXTURES F2
@@ -71,13 +73,18 @@ def eventize_dense(sequences: DataFrame, epoch0: str = EPOCH0) -> DataFrame:
     sources' docs sit — fine for rollup/gap-fill benchmarks, NOT
     fixture-F2-equal. In production the input carries real timestamps and
     neither variant exists.
-    """
+
+    ``docs_per_sec`` compresses the global clock (ts = epoch0 + idx DIV
+    docs_per_sec): at corpus scale set it ≈ the source count so per-source
+    bucket density matches the ranked variant (~60 events per source per
+    1m bucket), keeping the rollup's reduction ratio representative."""
     idx = F.substring("doc_id", 5, 12).cast("long")
+    secs = (idx / F.lit(docs_per_sec)).cast("long") if docs_per_sec != 1 else idx
     return sequences.select(
         "source",
         (
             F.to_timestamp(F.lit(epoch0))
-            + F.make_interval(secs=idx.cast("double"))
+            + F.make_interval(secs=secs.cast("double"))
         ).alias("event_ts"),
         F.col("n_tok").cast("double").alias("v"),
         "doc_id",
