@@ -32,18 +32,19 @@ HEADLINE = [
     "q03_join_dims",
     "q13_multibranch_union",
     "q20_tier1_1m",
-    "q21_tier2_1h",
-    "q23_gapfill_locf",
-    "q24_gapfill_interp",
-    "q64_gapfill_locf_segmented",
-    "q61_hll_distinct_cascade",
+    "q21_tier23_reagg",
+    "q23_gapfill",
+    "q64_gapfill_segmented",
+    "q61_sketch_cascades",
     "q27_codec_roundtrip",
     "q28_embedding_neardup",
     "q30_dedup_exact",
     "q31_minhash_lsh_pairs",
-    "q34_cosine_topk",
+    "q32_jaccard_pairs",
+    "q33_simhash",
+    "q34_ann_topk",
     "q55_sequence_packing",
-    "q40_cube",
+    "q40_cube_rollup_gsets",
     "q46_sessionize",
 ]
 

@@ -16,9 +16,12 @@ Four families, each a `queries()` entry with a DuckDB oracle:
 Scale notes: all paths are explode → groupBy/join — shuffle-heavy by
 nature, so shingle exploding projects only (doc_id, shingle); the LSH
 band-bucket join keys on (band, signature) which spreads uniformly; the
-Jaccard join's hot keys are frequent shingles — at 100 TB drop top-frequency
-shingles (stopword shingles) before the join, exactly like salting a skewed
-key. Exact dedup reduces via partial aggregation (hash, min-id).
+Jaccard join's hot keys are frequent shingles — ``jaccard_pairs`` drops
+shingles with document frequency > ``max_df`` before the self-join (the
+quadratic blow-up lives exactly in those stopword shingles) and size-ratio
+prunes pairs that cannot reach the threshold. SimHash aggregates its bit
+votes as integer ops in one groupBy (no words × bits explode). Exact dedup
+reduces via partial aggregation (hash, min-id).
 """
 
 from __future__ import annotations
@@ -156,36 +159,59 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
 
 def jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 3, threshold: float = 0.5,
+    k: int = 3, threshold: float = 0.5, max_df: int | None = 50,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
+    """Exact shingle-set Jaccard over the informative-shingle space.
 
     jac = |A∩B| / (|A| + |B| - |A∩B|); emitted when ≥ threshold.
+
+    Two guards make the shingle self-join survive corpus scale:
+
+    - **document-frequency cap** (``max_df``): shingles appearing in more
+      than ``max_df`` documents (stopword shingles) are dropped BEFORE the
+      join — one shingle shared by m docs contributes m² join rows, so an
+      uncapped join degenerates quadratically on exactly the shingles that
+      carry no signal. Similarity is then defined over the filtered shingle
+      space (sizes are recomputed after the cap so the metric stays a true
+      Jaccard on that space). The hot-shingle list is tiny (it's the df
+      distribution's tail) and broadcast as a left-anti filter.
+    - **size-ratio pruning**: jac(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any
+      pair with |A| < t·|B| (either direction) cannot reach the threshold —
+      pruned BEFORE the pair aggregation, cutting the join output, not just
+      the result. Lossless for the emitted pairs.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     ).distinct()
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
-            ),
+    a = sh.select(F.col("id").alias("id_a"), "shingle").join(F.broadcast(sa), "id_a")
+    b = sh.select(F.col("id").alias("id_b"), "shingle").join(F.broadcast(sb), "id_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_a") >= F.col("sz_b") * threshold)
+            & (F.col("sz_b") >= F.col("sz_a") * threshold)
         )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+        ),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
@@ -195,30 +221,30 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
     word hash = first 8 hex chars of md5 as a 32-bit int (engine-portable);
     bit i of the simhash is 1 iff sum over words of (2*bit_i(hash)-1) > 0.
+
+    The per-bit votes are integer column ops on the word hash — ``bits``
+    conditional sums inside ONE partially-aggregating groupBy — NOT a
+    words × bits explode (which would multiply the shuffle by ``bits``; the
+    explode formulation shuffles 32 rows per word where this shuffles one
+    partial row of 33 longs per (id, task)). vote_i > 0 ⟺ 2·Σbit_i > n,
+    so only Σbit_i and the word count are aggregated.
     """
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     )
     h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
-    per_bit = words.select(
-        "id",
-        F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit"),
-        h.alias("h"),
-    ).select(
-        "id",
-        "bit",
-        (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2).alias(
-            "b"
-        ),
+    hashed = words.select("id", h.alias("h"))
+    wide = hashed.groupBy("id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+            for i in range(bits)
+        ],
     )
-    votes = per_bit.groupBy("id", "bit").agg(
-        F.sum(F.col("b") * 2 - 1).alias("vote")
-    )
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+    total = F.lit(0).cast("long")
+    for i in range(bits):
+        total = total + F.when(
+            F.col(f"s{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0))
+    return wide.select("id", total.alias("simhash"))

@@ -59,12 +59,20 @@ def pack_greedy(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum(F.col(weight_col)).over(w) - F.col(weight_col)).cast("long")
+    # exact int64 division (`div`), NOT float `/` + floor: past 2^53 total
+    # tokens per source a double division rounds and pack boundaries drift
+    # off-by-one — at 10^12-row scale that is a real running-sum magnitude.
     return df.select(
         F.col(part_col),
         F.col(key_col),
         F.col(weight_col),
-        F.floor(start / capacity).cast("long").alias("pack_id"),
-        (start % capacity).alias("pack_offset"),
+        start.alias("_start"),
+    ).select(
+        part_col,
+        key_col,
+        weight_col,
+        F.expr(f"_start div {int(capacity)}").alias("pack_id"),
+        (F.col("_start") % capacity).alias("pack_offset"),
     )
 
 

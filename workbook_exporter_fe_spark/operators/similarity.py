@@ -123,6 +123,42 @@ def embedding_neardup_pairs(
     )
 
 
+def lsh_topk(
+    embeddings: DataFrame, plane_ids: tuple[int, ...] = (1, 2, 3, 4),
+    query_vec_id: int = 0, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: exact cosine top-k restricted to the query's bucket.
+
+    The scale companion to ``cosine_topk``: candidates are only the vectors
+    sharing the query's sign bucket (~corpus/2^planes of the data), then
+    ranked by the exact integer-scaled cosine. Recall is tunable by OR-ing
+    multiple plane sets (same seam as MinHash bands); partitioning the
+    vector table by bucket turns the candidate filter into partition
+    pruning at the source.
+    """
+    b = lsh_buckets(embeddings, plane_ids, id_col, vec_col)
+    qb = b.filter(F.col(id_col) == query_vec_id).select("bucket")
+    q = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(_ivec(F.col(vec_col)).alias("qv"))
+        .select("qv", _idot(F.col("qv"), F.col("qv")).alias("nq"))
+    )
+    cand = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), _ivec(F.col(vec_col)).alias("av"))
+        .join(b, id_col)
+        .join(F.broadcast(qb), "bucket")
+        .crossJoin(F.broadcast(q))
+    )
+    cos = _cos(_idot(F.col("av"), F.col("qv")), _idot(F.col("av"), F.col("av")), F.col("nq"))
+    return (
+        cand.select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame, centroid_ids: tuple[int, ...] = (1, 2, 3, 4, 5, 6, 7, 8),
     query_vec_id: int = 0, nprobe: int = 2, k: int = 10,

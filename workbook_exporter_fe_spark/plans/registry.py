@@ -68,9 +68,11 @@ def _isum(col, alias: str, scale: int = 2):
 # Operator parity (SURVEY §2a) over the TPC-H-ish driver tables
 # =========================================================================
 
-# O1/O7/O20 — scan, projection (column pruning), grouped aggregation.
+# O1/O7/O20 — scan, projection (column pruning), grouped aggregation —
+# plus O8 (null-coalescing default, listen-port default workbook_exporter-
+# fe.py:200, :1679-1687) as the sum_eff_tax measure.
 # Reference: full-CSV parse + in-memory filter (workbook_exporter-fe.py:1708);
-# here the filter and the 6-column projection push into the parquet scan.
+# here the filter and the 7-column projection push into the parquet scan.
 @query(
     "q01_scan_agg",
     """
@@ -79,6 +81,7 @@ def _isum(col, alias: str, scale: int = 2):
            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base,
            SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS sum_disc,
+           SUM(CAST(ROUND(COALESCE(NULLIF(l_tax, 0.0), 0.05) * 100) AS BIGINT)) / 100.0 AS sum_eff_tax,
            COUNT(*) AS cnt
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -91,6 +94,7 @@ def q01_scan_agg(spark, sf_dir):
     # bit-identical results — see _isum. The product term stays exact at
     # scale 4 (< 2^53), so the final division is correctly rounded in both
     # engines without a decimal detour.
+    eff = F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.05))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -104,17 +108,20 @@ def q01_scan_agg(spark, sf_dir):
                 )
                 / 10000.0
             ).alias("sum_disc"),
+            _isum(eff, "sum_eff_tax"),
             F.count("*").alias("cnt"),
         )
     )
 
 
 # O4/O6 — equality + boolean-ish filters (filter_rows_by_exporter,
-# workbook_exporter-fe.py:1691-1699; OR-filter :243).
+# workbook_exporter-fe.py:1691-1699; OR-filter :243) — plus O12 (concat
+# probe keys f'{ip}:{port}', :282/:294) as the probe_key column.
 @query(
     "q02_filter_or",
     """
-    SELECT event_id, user_id, event_type, value
+    SELECT event_id, user_id, event_type, value,
+           CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS probe_key
     FROM events
     WHERE event_type = 'error' OR value > 95.0 OR user_id = 7
     """,
@@ -123,7 +130,13 @@ def q02_filter_or(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.filter(
         (F.col("event_type") == "error") | (F.col("value") > 95.0) | (F.col("user_id") == 7)
-    ).select("event_id", "user_id", "event_type", "value")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.concat_ws(":", F.col("user_id"), F.col("event_id")).alias("probe_key"),
+    )
 
 
 # Dimension joins with broadcast (engine addition; reference has no 2-table
@@ -208,25 +221,6 @@ def q05_derive_case(spark, sf_dir):
     ).agg(F.count("*").alias("cnt"))
 
 
-# O8 — null-coalescing default (listen-port default,
-# workbook_exporter-fe.py:200, :1679-1687).
-@query(
-    "q06_coalesce_default",
-    """
-    SELECT l_returnflag,
-           SUM(CAST(ROUND(COALESCE(NULLIF(l_tax, 0.0), 0.05) * 100) AS BIGINT)) / 100.0 AS sum_eff_tax,
-           COUNT(*) AS cnt
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def q06_coalesce_default(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    eff = F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.05))
-    return li.groupBy("l_returnflag").agg(
-        _isum(eff, "sum_eff_tax"), F.count("*").alias("cnt")
-    )
-
-
 # JSON field access (engine addition; sink-side YAML in the reference).
 @query(
     "q07_json_extract",
@@ -241,31 +235,17 @@ def q07_json_extract(spark, sf_dir):
     return ev.groupBy("event_type").agg(F.sum(k).alias("sum_k"))
 
 
-# O13 — split + explode fan-out (jmx_ports split,
-# workbook_exporter-fe.py:658-671).
-@query(
-    "q08_explode_split",
-    """
-    SELECT frag, COUNT(*) AS cnt
-    FROM (SELECT unnest(string_split(p_type, ' ')) AS frag FROM part)
-    GROUP BY frag
-    """,
-)
-def q08_explode_split(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return (
-        p.select(F.explode(F.split("p_type", " ")).alias("frag"))
-        .groupBy("frag")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
 # O16 — dedup by key, last-write-wins (dict overwrite per hostname,
-# workbook_exporter-fe.py:196-205) as row_number over a pinned order.
+# workbook_exporter-fe.py:196-205) as row_number over a pinned order —
+# plus O17 (hidden sequential counter / default_listen_port, :1664-1667)
+# as a second row_number assigning ports over the deduped survivors.
+# (O13 split+explode fan-out is gate-covered by q17 jmx_ports and q25.)
 @query(
     "q09_dedup_lastwin",
     """
-    SELECT source, lang, doc_id, n_chars FROM (
+    SELECT source, lang, doc_id, n_chars,
+           6000 + ROW_NUMBER() OVER (PARTITION BY source ORDER BY lang, doc_id) AS listen_port
+    FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY doc_id DESC) AS rn
       FROM documents
     ) WHERE rn = 1
@@ -274,28 +254,17 @@ def q08_explode_split(spark, sf_dir):
 def q09_dedup_lastwin(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("source", "lang").orderBy(F.col("doc_id").desc())
+    wp = Window.partitionBy("source").orderBy("lang", "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("source", "lang", "doc_id", "n_chars")
-    )
-
-
-# O17 — hidden sequential counter (default_listen_port,
-# workbook_exporter-fe.py:1664-1667) as an explicit window row_number.
-@query(
-    "q10_counter_rownum",
-    """
-    SELECT c_custkey,
-           6000 + ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS listen_port
-    FROM customer
-    """,
-)
-def q10_counter_rownum(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
-    return c.select(
-        "c_custkey", (F.lit(6000) + F.row_number().over(w)).alias("listen_port")
+        .select(
+            "source",
+            "lang",
+            "doc_id",
+            "n_chars",
+            (F.lit(6000) + F.row_number().over(wp)).alias("listen_port"),
+        )
     )
 
 
@@ -413,22 +382,4 @@ def q14_cred_branch(spark, sf_dir):
         F.when(v3, F.lit("sha")).alias("auth_protocol"),
         F.when(v3, F.lit("aes")).alias("privacy_protocol"),
         F.when(~v3, F.lit("ENC")).alias("community"),
-    )
-
-
-# O12 — string concat probe keys (f'{ip}:{port}',
-# workbook_exporter-fe.py:282, :294).
-@query(
-    "q15_concat_keys",
-    """
-    SELECT CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) AS probe_key,
-           event_type
-    FROM events WHERE event_id < 1000
-    """,
-)
-def q15_concat_keys(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.filter(F.col("event_id") < 1000).select(
-        F.concat_ws(":", F.col("user_id"), F.col("event_id")).alias("probe_key"),
-        "event_type",
     )

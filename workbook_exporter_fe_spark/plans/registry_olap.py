@@ -14,49 +14,59 @@ from pyspark.sql import functions as F
 from .registry import _dsum, _isum, _t, query
 
 
+# Multi-dimensional aggregation family — CUBE (DataFrame .cube), ROLLUP
+# (.rollup), GROUPING SETS (SQL surface) — union-tagged by `mode` over one
+# shared base relation, which also pins three-valued null semantics: the
+# `et` dimension routes through nullif/coalesce and the two nonnull
+# measures count through nullif(user_id, 7) (SQL NULL-skipping COUNT).
 @query(
-    "q40_cube",
+    "q40_cube_rollup_gsets",
     """
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def q40_cube(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("cnt"), _isum(F.col("l_quantity"), "sum_qty")
+    WITH base AS (
+      SELECT coalesce(nullif(event_type, 'view'), 'other') AS et,
+             user_id % 10 AS cohort,
+             nullif(user_id, 7) AS uid_nn
+      FROM events
     )
-
-
-@query(
-    "q41_rollup",
-    """
-    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
-    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    SELECT 'cube' AS mode, et, cohort, COUNT(*) AS cnt,
+           COUNT(uid_nn) AS cnt_nonnull,
+           CAST(COUNT(DISTINCT uid_nn) AS BIGINT) AS distinct_nonnull
+    FROM base GROUP BY CUBE (et, cohort)
+    UNION ALL
+    SELECT 'rollup', et, cohort, COUNT(*), COUNT(uid_nn),
+           CAST(COUNT(DISTINCT uid_nn) AS BIGINT)
+    FROM base GROUP BY ROLLUP (et, cohort)
+    UNION ALL
+    SELECT 'gsets', et, cohort, COUNT(*), COUNT(uid_nn),
+           CAST(COUNT(DISTINCT uid_nn) AS BIGINT)
+    FROM base GROUP BY GROUPING SETS ((et), (cohort), ())
     """,
 )
-def q41_rollup(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.rollup("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("cnt"))
-
-
-@query(
-    "q42_grouping_sets",
-    """
-    SELECT event_type, user_id % 10 AS cohort, COUNT(*) AS cnt
-    FROM events GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
-    """,
-)
-def q42_grouping_sets(spark, sf_dir):
+def q40_cube_rollup_gsets(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("events_gs")
-    return spark.sql(
+    base = ev.select(
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("view")), F.lit("other")).alias("et"),
+        (F.col("user_id") % 10).alias("cohort"),
+        F.nullif(F.col("user_id"), F.lit(7)).alias("uid_nn"),
+    )
+    aggs = [
+        F.count("*").alias("cnt"),
+        F.count("uid_nn").alias("cnt_nonnull"),
+        F.countDistinct("uid_nn").alias("distinct_nonnull"),
+    ]
+    cols = ["et", "cohort", "cnt", "cnt_nonnull", "distinct_nonnull"]
+    cube = base.cube("et", "cohort").agg(*aggs).select(F.lit("cube").alias("mode"), *cols)
+    roll = base.rollup("et", "cohort").agg(*aggs).select(F.lit("rollup").alias("mode"), *cols)
+    base.createOrReplaceTempView("events_gs_base")
+    gs = spark.sql(
         """
-        SELECT event_type, user_id % 10 AS cohort, COUNT(*) AS cnt
-        FROM events_gs GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        SELECT 'gsets' AS mode, et, cohort, COUNT(*) AS cnt,
+               COUNT(uid_nn) AS cnt_nonnull,
+               COUNT(DISTINCT uid_nn) AS distinct_nonnull
+        FROM events_gs_base GROUP BY GROUPING SETS ((et), (cohort), ())
         """
     )
+    return cube.unionByName(roll).unionByName(gs)
 
 
 @query(
@@ -79,46 +89,43 @@ def q43_set_ops(spark, sf_dir):
     return urgent.intersect(low).exceptAll(big_f).distinct()
 
 
+# Pivot → unpivot round-trip: long events pivot to a wide per-cohort count
+# matrix (DataFrame .pivot), which then unpivots back to long (stack) —
+# both reshape operators in one gate query, scalar columns throughout.
 @query(
-    "q44_pivot",
+    "q44_pivot_unpivot",
     """
-    SELECT user_id % 5 AS cohort,
-           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
-           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           COUNT(*) FILTER (WHERE event_type = 'error') AS error
-    FROM events GROUP BY 1
+    WITH wide AS (
+      SELECT user_id % 5 AS cohort,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS vw,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY 1
+    )
+    SELECT cohort, f.metric, f.val
+    FROM wide, LATERAL (VALUES
+      ('click', click), ('view', vw),
+      ('purchase', purchase), ('error', error)) AS f(metric, val)
     """,
 )
-def q44_pivot(spark, sf_dir):
+def q44_pivot_unpivot(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    out = (
+    wide = (
         ev.withColumn("cohort", F.col("user_id") % 5)
         .groupBy("cohort")
         .pivot("event_type", ["click", "view", "purchase", "error"])
         .count()
     )
     # pivot yields nulls for empty cells; oracle's FILTER yields 0
-    return out.select(
+    filled = wide.select(
         "cohort",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "view", "purchase", "error"]],
     )
-
-
-@query(
-    "q45_unpivot",
-    """
-    SELECT c_custkey, f.metric, f.val
-    FROM customer, LATERAL (VALUES
-      ('acctbal', c_acctbal),
-      ('nationkey', CAST(c_nationkey AS DOUBLE))) AS f(metric, val)
-    """,
-)
-def q45_unpivot(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    return c.selectExpr(
-        "c_custkey",
-        "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)",
+    return filled.selectExpr(
+        "cohort",
+        "stack(4, 'click', click, 'view', `view`, 'purchase', purchase,"
+        " 'error', error) AS (metric, val)",
     )
 
 
@@ -226,15 +233,47 @@ def q48_percentiles(spark, sf_dir):
     )
 
 
-# Approximate sketches: engine-specific internals (HLL/KLL vs t-digest), so
-# no cross-engine oracle is possible — the EXACT counterparts are oracled in
-# q48/q03; this entry is rows-only and exists to exercise the sketch path.
-@query("q49_approx_sketches")
+# Approximate sketches through a FULL oracle via the error-envelope trick:
+# sketch estimates are engine-specific bytes (HLL/GK vs DuckDB's
+# implementations) and can never hash-match — but "the estimate lands
+# inside its published error envelope of the EXACT answer" is a boolean
+# computable Spark-side and trivially TRUE oracle-side. The exact
+# companions (n_users, p50) hash-check the aggregation arithmetic; the
+# booleans check the estimators.
+@query(
+    "q49_approx_sketches",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           TRUE AS users_ok,
+           TRUE AS p50_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q49_approx_sketches(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_p50"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+        F.percentile_approx("value", 0.5).alias("_approx_p50"),
+        F.expr("percentile(value, 0.4)").alias("_p40"),
+        F.expr("percentile(value, 0.6)").alias("_p60"),
+    )
+    users_ok = (
+        F.abs(F.col("_approx_users") - F.col("n_users"))
+        <= F.greatest(F.col("n_users") * 0.05, F.lit(5.0))
+    )
+    p50_ok = (F.col("_approx_p50") >= F.col("_p40")) & (
+        F.col("_approx_p50") <= F.col("_p60")
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "p50",
+        users_ok.alias("users_ok"),
+        p50_ok.alias("p50_ok"),
     )
 
 
@@ -300,74 +339,43 @@ def q19_window_funcs(spark, sf_dir):
 # pin cross-engine semantics for the ones the training pipeline leans on:
 # higher-order array ops, string editing, and three-valued null logic.
 
+# Higher-order array ops + string-editing family in one per-doc projection.
+# Gate-canonicalization rule: gate queries emit SCALAR columns only — the
+# external driver's pandas canonicalizer cannot sort/hash list cells, so
+# the two array-valued results are array_join'd to strings (the array
+# semantics under test are identical; only the emission is flattened).
 @query(
-    "q57_array_funcs",
+    "q57_string_array_funcs",
     """
     SELECT doc_id,
            len(ws) AS n_words,
-           list_sort(list_distinct(ws)) AS distinct_sorted,
+           array_to_string(list_sort(list_distinct(ws)), ',') AS distinct_sorted,
            len(list_filter(ws, x -> length(x) > 6)) AS n_long,
-           list_sort(ws)[1:3] AS first3
-    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+           array_to_string(list_sort(ws)[1:3], ',') AS first3,
+           upper(source) AS src_upper,
+           lpad(source, 12, '*') AS src_pad,
+           translate(source, 'aeiou', 'AEIOU') AS src_tr,
+           levenshtein(source, 'webcrawl') AS src_dist,
+           split_part(text, ' ', 2) AS second_word,
+           regexp_extract(text, '([a-z]+)$', 1) AS last_word
+    FROM (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM documents)
     """,
 )
-def q57_array_funcs(spark, sf_dir):
+def q57_string_array_funcs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     ws = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(ws).alias("n_words"),
-        F.array_sort(F.array_distinct(ws)).alias("distinct_sorted"),
+        F.array_join(F.array_sort(F.array_distinct(ws)), ",").alias("distinct_sorted"),
         F.size(F.filter(ws, lambda x: F.length(x) > 6)).alias("n_long"),
-        F.slice(F.array_sort(ws), 1, 3).alias("first3"),
-    )
-
-
-@query(
-    "q58_string_funcs",
-    """
-    SELECT p_partkey,
-           upper(p_name) AS name_upper,
-           lpad(p_brand, 12, '*') AS brand_pad,
-           translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
-           levenshtein(p_brand, 'Brand#13') AS brand_dist,
-           split_part(p_type, ' ', 2) AS type_mid,
-           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
-    FROM part
-    """,
-)
-def q58_string_funcs(spark, sf_dir):
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.lpad("p_brand", 12, "*").alias("brand_pad"),
-        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
-        F.levenshtein("p_brand", F.lit("Brand#13")).alias("brand_dist"),
-        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_mid"),
-        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
-    )
-
-
-@query(
-    "q59_null_semantics",
-    """
-    SELECT coalesce(nullif(event_type, 'view'), 'other') AS et,
-           COUNT(*) AS cnt,
-           COUNT(nullif(user_id, 7)) AS cnt_nonnull,
-           CAST(COUNT(DISTINCT nullif(user_id, 7)) AS BIGINT) AS distinct_nonnull
-    FROM events GROUP BY 1
-    """,
-)
-def q59_null_semantics(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    nn = F.expr("nullif(user_id, 7)")
-    return ev.groupBy(
-        F.coalesce(F.expr("nullif(event_type, 'view')"), F.lit("other")).alias("et")
-    ).agg(
-        F.count("*").alias("cnt"),
-        F.count(nn).alias("cnt_nonnull"),
-        F.countDistinct(nn).alias("distinct_nonnull"),
+        F.array_join(F.slice(F.array_sort(ws), 1, 3), ",").alias("first3"),
+        F.upper("source").alias("src_upper"),
+        F.lpad("source", 12, "*").alias("src_pad"),
+        F.translate("source", "aeiou", "AEIOU").alias("src_tr"),
+        F.levenshtein("source", F.lit("webcrawl")).alias("src_dist"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.regexp_extract("text", r"([a-z]+)$", 1).alias("last_word"),
     )
 
 
@@ -401,50 +409,41 @@ def q66_range_join(spark, sf_dir):
     )
 
 
-# Correlated subqueries through the SQL surface: Catalyst de-correlates
-# EXISTS into a left-semi join and a scalar subquery into a broadcast of
-# the 1-row aggregate — plan shapes distinct from the explicit joins above.
+# Correlated subqueries through the SQL surface, union-tagged: Catalyst
+# de-correlates the EXISTS into a left-semi join and the scalar subquery
+# into a broadcast of the 1-row aggregate — plan shapes distinct from the
+# explicit joins above.
 @query(
-    "q67_exists_semijoin",
+    "q67_subqueries",
     """
-    SELECT c_mktsegment, COUNT(*) AS n_customers
+    SELECT 'exists' AS variant, c_mktsegment AS grp, COUNT(*) AS cnt
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
-    """,
-)
-def q67_exists_semijoin(spark, sf_dir):
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql(
-        """
-        SELECT c_mktsegment, COUNT(*) AS n_customers
-        FROM customer_v c
-        WHERE EXISTS (SELECT 1 FROM orders_v o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderpriority = '1-URGENT')
-        GROUP BY c_mktsegment
-        """
-    )
-
-
-@query(
-    "q68_scalar_subquery",
-    """
-    SELECT p_brand, COUNT(*) AS n_above
+    UNION ALL
+    SELECT 'scalar', p_brand, COUNT(*)
     FROM part
     WHERE p_retailprice > (SELECT SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) * 1.0
                               / (100.0 * COUNT(*)) FROM part)
     GROUP BY p_brand
     """,
 )
-def q68_scalar_subquery(spark, sf_dir):
+def q67_subqueries(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
     _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
     return spark.sql(
         """
-        SELECT p_brand, COUNT(*) AS n_above
+        SELECT 'exists' AS variant, c_mktsegment AS grp, COUNT(*) AS cnt
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'scalar', p_brand, COUNT(*)
         FROM part_v
         WHERE p_retailprice > (SELECT SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) * 1.0
                               / (100.0 * COUNT(*)) FROM part_v)

@@ -60,48 +60,50 @@ def q20_tier1_1m(spark, sf_dir):
     return t1.withColumn("avg_v", F.round(F.col("sum_v") / F.col("cnt"), 6))
 
 
+# Tier-2 (1h) AND tier-3 (1d) re-aggregation in one union-tagged query —
+# both tiers re-aggregate tier-1's decomposable columns (never tier-0) and
+# re-finalize avg as sum/cnt; the `tier` tag keeps the schemas uniform.
 @query(
-    "q21_tier2_1h",
+    "q21_tier23_reagg",
     f"""
-    SELECT source, date_trunc('hour', bucket_ts) AS bucket_ts,
+    WITH t1 AS ({_T1_SQL})
+    SELECT '1h' AS tier, source, date_trunc('hour', bucket_ts) AS bucket_ts,
            CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_v,
            MIN(min_v) AS min_v, MAX(max_v) AS max_v, CAST(SUM(cnt) AS BIGINT) AS cnt,
            ROUND(CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) / SUM(cnt), 6) AS avg_v
-    FROM ({_T1_SQL}) GROUP BY 1, 2
+    FROM t1 GROUP BY 2, 3
+    UNION ALL
+    SELECT '1d', source, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP),
+           CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE),
+           MIN(min_v), MAX(max_v), CAST(SUM(cnt) AS BIGINT),
+           ROUND(CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) / SUM(cnt), 6)
+    FROM t1 GROUP BY 2, 3
     """,
 )
-def q21_tier2_1h(spark, sf_dir):
+def q21_tier23_reagg(spark, sf_dir):
     t1 = _tier1(spark, sf_dir)
-    t2 = t1.groupBy(
-        "source", F.date_trunc("hour", "bucket_ts").alias("bucket_ts")
-    ).agg(
-        F.round(F.sum(F.col("sum_v").cast("decimal(28,6)")), 6).cast("double").alias("sum_v"),
-        F.min("min_v").alias("min_v"),
-        F.max("max_v").alias("max_v"),
-        F.sum("cnt").alias("cnt"),
-    )
-    return t2.withColumn("avg_v", F.round(F.col("sum_v") / F.col("cnt"), 6))
 
+    def reagg(to: str, tag: str):
+        out = t1.groupBy(
+            "source", F.date_trunc(to, "bucket_ts").alias("bucket_ts")
+        ).agg(
+            F.round(F.sum(F.col("sum_v").cast("decimal(28,6)")), 6).cast("double").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.sum("cnt").alias("cnt"),
+        )
+        return out.select(
+            F.lit(tag).alias("tier"),
+            "source",
+            "bucket_ts",
+            "sum_v",
+            "min_v",
+            "max_v",
+            "cnt",
+            F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v"),
+        )
 
-@query(
-    "q22_tier3_1d",
-    f"""
-    SELECT source, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS bucket_ts,
-           CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_v,
-           MIN(min_v) AS min_v, MAX(max_v) AS max_v, CAST(SUM(cnt) AS BIGINT) AS cnt
-    FROM ({_T1_SQL}) GROUP BY 1, 2
-    """,
-)
-def q22_tier3_1d(spark, sf_dir):
-    t1 = _tier1(spark, sf_dir)
-    return t1.groupBy(
-        "source", F.date_trunc("day", "bucket_ts").alias("bucket_ts")
-    ).agg(
-        F.round(F.sum(F.col("sum_v").cast("decimal(28,6)")), 6).cast("double").alias("sum_v"),
-        F.min("min_v").alias("min_v"),
-        F.max("max_v").alias("max_v"),
-        F.sum("cnt").alias("cnt"),
-    )
+    return reagg("hour", "1h").unionByName(reagg("day", "1d"))
 
 
 _DENSE_SQL = f"""
@@ -118,36 +120,20 @@ _DENSE_SQL = f"""
 """
 
 
-@query(
-    "q23_gapfill_locf",
+# Gap-fill: spine densify + LOCF + linear interpolation in one result
+# (locf_v / interp_v per dense bucket). Both fills read the same dense
+# relation and the same per-source ordered windows, so Catalyst computes
+# them in a single Window pass over one sort.
+_GAPFILL_SQL = (
     _DENSE_SQL
     + """
     SELECT source, bucket_ts,
-           last_value(avg_v IGNORE NULLS) OVER (
-             PARTITION BY source ORDER BY bucket_ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v,
-           filled
-    FROM dense
-    """,
-)
-def q23_gapfill_locf(spark, sf_dir):
-    t1 = _tier1(spark, sf_dir).select(
-        "source", "bucket_ts", F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v")
-    )
-    dense = densify(t1, "1m", value_cols=["avg_v"])
-    return locf(dense, "avg_v").select("source", "bucket_ts", "avg_v", "filled")
-
-
-@query(
-    "q24_gapfill_interp",
-    _DENSE_SQL
-    + """
-    SELECT source, bucket_ts,
+           prev_v AS locf_v,
            CASE WHEN avg_v IS NOT NULL THEN avg_v
                 WHEN prev_v IS NULL THEN next_v
                 WHEN next_v IS NULL THEN prev_v
                 ELSE prev_v + (next_v - prev_v) * ((epoch(bucket_ts) - prev_t) / (next_t - prev_t))
-           END AS avg_v,
+           END AS interp_v,
            filled
     FROM (
       SELECT *,
@@ -161,14 +147,24 @@ def q23_gapfill_locf(spark, sf_dir):
              wf AS (PARTITION BY source ORDER BY bucket_ts
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
-    """,
+    """
 )
-def q24_gapfill_interp(spark, sf_dir):
+
+
+@query("q23_gapfill", _GAPFILL_SQL)
+def q23_gapfill(spark, sf_dir):
     t1 = _tier1(spark, sf_dir).select(
         "source", "bucket_ts", F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v")
     )
-    dense = densify(t1, "1m", value_cols=["avg_v"])
-    return interpolate(dense, "avg_v").select("source", "bucket_ts", "avg_v", "filled")
+    dense = densify(t1, "1m", value_cols=["avg_v"]).select(
+        "source",
+        "bucket_ts",
+        "filled",
+        F.col("avg_v").alias("locf_v"),
+        F.col("avg_v").alias("interp_v"),
+    )
+    out = interpolate(locf(dense, "locf_v"), "interp_v")
+    return out.select("source", "bucket_ts", "locf_v", "interp_v", "filled")
 
 
 # Retention: tier-specific expiry as a pure filter against the watermark
@@ -225,6 +221,32 @@ def q27_codec_roundtrip(spark, sf_dir):
 _STREAM_SEQ = iter(range(1_000_000))
 
 
+def _stage_stream_src(spark, sf_dir):
+    """Stage the single-file events table into a dir for FileStreamSource.
+
+    The staged dir is keyed on a CONTENT fingerprint (file paths + sizes +
+    mtimes), not just the path — regenerating test data at the same path
+    invalidates the key and re-stages, so the streaming queries can never
+    aggregate stale data."""
+    import glob
+    import hashlib
+    import os
+
+    src = f"{sf_dir}/events.parquet"
+    paths = sorted(glob.glob(f"{src}/**", recursive=True)) if os.path.isdir(src) else [src]
+    sig = "|".join(
+        f"{p}:{os.path.getsize(p)}:{os.path.getmtime(p)}"
+        for p in paths
+        if os.path.isfile(p)
+    )
+    fp = hashlib.md5(sig.encode()).hexdigest()[:12]
+    staged = f"/tmp/spark_graft_stream_src_{fp}"
+    static = spark.read.parquet(src)
+    if not os.path.exists(f"{staged}/_SUCCESS"):
+        static.write.mode("overwrite").parquet(staged)
+    return staged, static.schema
+
+
 @query(
     "q51_stream_tier1",
     f"""
@@ -234,17 +256,10 @@ _STREAM_SEQ = iter(range(1_000_000))
     """,
 )
 def q51_stream_tier1(spark, sf_dir):
-    import hashlib
-    import os
-
-    src = f"{sf_dir}/events.parquet"
-    static = spark.read.parquet(src)
     # FileStreamSource requires a directory; stage the single-file driver
-    # table into a cached temp dir once per sf_dir.
-    staged = "/tmp/spark_graft_stream_src_" + hashlib.md5(src.encode()).hexdigest()[:12]
-    if not os.path.exists(f"{staged}/_SUCCESS"):
-        static.write.mode("overwrite").parquet(staged)
-    stream = spark.readStream.schema(static.schema).parquet(staged)
+    # table into a content-fingerprinted temp dir (see _stage_stream_src).
+    staged, schema = _stage_stream_src(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(staged)
     ev = stream.select(
         F.col("event_type").alias("source"),
         F.col("ts").alias("event_ts"),
@@ -280,17 +295,10 @@ def q51_stream_tier1(spark, sf_dir):
 # pins exact values in tests/test_tableio_stateful.py).
 @query("q56_stateful_running_stats")
 def q56_stateful_running_stats(spark, sf_dir):
-    import hashlib
-    import os
-
     from workbook_exporter_fe_spark.streaming.stateful import running_source_stats
 
-    src = f"{sf_dir}/events.parquet"
-    static = spark.read.parquet(src)
-    staged = "/tmp/spark_graft_stream_src_" + hashlib.md5(src.encode()).hexdigest()[:12]
-    if not os.path.exists(f"{staged}/_SUCCESS"):
-        static.write.mode("overwrite").parquet(staged)
-    ev = spark.readStream.schema(static.schema).parquet(staged).select(
+    staged, schema = _stage_stream_src(spark, sf_dir)
+    ev = spark.readStream.schema(schema).parquet(staged).select(
         F.col("event_type").alias("source"),
         F.col("ts").cast("timestamp").alias("event_ts"),
         F.col("value").alias("v"),
@@ -332,54 +340,69 @@ def q60_distinct_rollup(spark, sf_dir):
     )
 
 
-@query("q61_hll_distinct_cascade")
-def q61_hll_distinct_cascade(spark, sf_dir):
+# All three mergeable-sketch cascades (HLL distinct, KLL quantiles, theta
+# set-algebra churn) through a FULL oracle via the error-envelope pattern:
+# the sketch bytes are engine-specific and can never hash-match, but (a)
+# the EXACT companions (n_users, cnt, p50x, p95x, ret_x, new_x) hash-check
+# the bucket/cascade arithmetic, and (b) "estimate within its published
+# error envelope of the exact answer" is a boolean that is TRUE on the
+# oracle side by construction. The cascade shape is the real contract:
+# HLL/KLL build tier-1 (1m) sketches and MERGE upward to 1h (never
+# rescanning tier-0); theta runs lag-window set algebra at 1h. Exact churn
+# mirrors theta's predecessor semantics (lag over present buckets, not
+# wall-clock hour-1); buckets with no predecessor emit NULL churn and
+# vacuously-TRUE envelope booleans on both sides.
+@query(
+    "q61_sketch_cascades",
+    """
+    WITH du AS (
+      SELECT DISTINCT event_type AS source, date_trunc('hour', ts) AS bucket_ts, user_id
+      FROM events
+    ),
+    bp AS (
+      SELECT source, bucket_ts,
+             LAG(bucket_ts) OVER (PARTITION BY source ORDER BY bucket_ts) AS prev_ts
+      FROM (SELECT DISTINCT source, bucket_ts FROM du)
+    ),
+    ret AS (
+      SELECT d.source, d.bucket_ts, COUNT(*) AS r
+      FROM du d
+      JOIN bp ON bp.source = d.source AND bp.bucket_ts = d.bucket_ts
+      JOIN du p ON p.source = d.source AND p.bucket_ts = bp.prev_ts
+               AND p.user_id = d.user_id
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             COUNT(*) AS cnt,
+             ROUND(quantile_cont(value, 0.5), 6) AS p50x,
+             ROUND(quantile_cont(value, 0.95), 6) AS p95x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT ex.source, ex.bucket_ts, n_users, cnt, p50x, p95x,
+           CASE WHEN bp.prev_ts IS NULL THEN NULL
+                ELSE COALESCE(ret.r, 0) END AS ret_x,
+           CASE WHEN bp.prev_ts IS NULL THEN NULL
+                ELSE n_users - COALESCE(ret.r, 0) END AS new_x,
+           TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok,
+           TRUE AS ret_ok, TRUE AS new_ok
+    FROM ex
+    JOIN bp ON bp.source = ex.source AND bp.bucket_ts = ex.bucket_ts
+    LEFT JOIN ret ON ret.source = ex.source AND ret.bucket_ts = ex.bucket_ts
+    """,
+)
+def q61_sketch_cascades(spark, sf_dir):
+    from pyspark.sql import Window
+
     from workbook_exporter_fe_spark.operators.tiers import (
+        bucket_churn,
         distinct_sketch_finalize,
         distinct_sketch_reaggregate,
         distinct_sketch_tier1,
-    )
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("event_type").alias("source"),
-        F.col("ts").alias("event_ts"),
-        F.col("user_id").cast("string").alias("doc_id"),
-    )
-    t1 = distinct_sketch_tier1(ev)
-    t2 = distinct_sketch_reaggregate(t1, "1h")
-    return distinct_sketch_finalize(t2)
-
-
-# Mergeable percentiles: tier-1 KLL sketches merged to 1h, finalized as
-# p50/p95/p99 (rows-only for the same reason as q61 — sketch estimates are
-# implementation-specific; tests/test_hll_tiers.py pins the rank-error
-# envelope vs exact percentile). q48 remains the exact oracle-checked path.
-@query("q62_kll_quantile_cascade")
-def q62_kll_quantile_cascade(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.tiers import (
         quantile_sketch_finalize,
         quantile_sketch_reaggregate,
         quantile_sketch_tier1,
-    )
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("event_type").alias("source"),
-        F.col("ts").alias("event_ts"),
-        F.col("value").alias("v"),
-    )
-    t1 = quantile_sketch_tier1(ev)
-    t2 = quantile_sketch_reaggregate(t1, "1h")
-    return quantile_sketch_finalize(t2)
-
-
-# Theta-sketch set algebra between consecutive buckets: returning vs new
-# distinct users per (source, hour). Rows-only (sketch estimates);
-# tests/test_hll_tiers.py pins them against exact set intersection/
-# difference at sf0.01.
-@query("q63_theta_churn")
-def q63_theta_churn(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.tiers import (
-        bucket_churn,
         theta_bucket_sketches,
     )
 
@@ -387,69 +410,105 @@ def q63_theta_churn(spark, sf_dir):
         F.col("event_type").alias("source"),
         F.col("ts").alias("event_ts"),
         F.col("user_id").cast("string").alias("doc_id"),
+        F.col("value").alias("v"),
     )
-    return bucket_churn(theta_bucket_sketches(ev, tier="1h"))
+    # sketch cascades: 1m tier → merge to 1h (the engine's scale path)
+    hll = distinct_sketch_finalize(
+        distinct_sketch_reaggregate(distinct_sketch_tier1(ev), "1h")
+    ).select("source", "bucket_ts", "approx_distinct")
+    kll = quantile_sketch_finalize(
+        quantile_sketch_reaggregate(quantile_sketch_tier1(ev), "1h"),
+        quantiles=(0.5, 0.95),
+    ).select("source", "bucket_ts", "p50", "p95")
+    churn = bucket_churn(theta_bucket_sketches(ev, tier="1h")).select(
+        "source", "bucket_ts", "est_returning", "est_new"
+    )
+    # exact companions (countDistinct / exact percentiles / exact churn via
+    # the same lag-predecessor semantics as bucket_churn)
+    hour = F.date_trunc("hour", "event_ts").alias("bucket_ts")
+    # KLL quantile estimates are actual data ITEMS (not interpolations), so
+    # the envelope bounds must be items too: rank-window bounds from the
+    # sorted per-bucket values with ±1 rank slack (robust at any bucket
+    # size; gate buckets are tiny so collect_list is fine here).
+    exact = ev.groupBy("source", hour).agg(
+        F.countDistinct("doc_id").alias("n_users"),
+        F.count("*").alias("cnt"),
+        F.round(F.expr("percentile(v, 0.5)"), 6).alias("p50x"),
+        F.round(F.expr("percentile(v, 0.95)"), 6).alias("p95x"),
+        F.sort_array(F.collect_list("v")).alias("_sv"),
+    )
+    n = F.col("cnt")
+    lo50 = F.element_at("_sv", F.greatest(F.lit(1), F.floor(n * 0.45)).cast("int"))
+    hi50 = F.element_at("_sv", F.least(n, F.ceil(n * 0.55) + 1).cast("int"))
+    lo95 = F.element_at("_sv", F.greatest(F.lit(1), F.floor(n * 0.90)).cast("int"))
+    vmax = F.element_at("_sv", n.cast("int"))
+    du = ev.select("source", hour, "doc_id").distinct()
+    w = Window.partitionBy("source").orderBy("bucket_ts")
+    bp = du.select("source", "bucket_ts").distinct().withColumn(
+        "prev_ts", F.lag("bucket_ts").over(w)
+    )
+    prev_du = du.select("source", F.col("bucket_ts").alias("prev_ts"), "doc_id")
+    ret = (
+        du.join(bp, ["source", "bucket_ts"])
+        .join(prev_du, ["source", "prev_ts", "doc_id"])
+        .groupBy("source", "bucket_ts")
+        .agg(F.count("*").alias("r"))
+    )
+    joined = (
+        exact.join(bp, ["source", "bucket_ts"])
+        .join(ret, ["source", "bucket_ts"], "left")
+        .join(hll, ["source", "bucket_ts"])
+        .join(kll, ["source", "bucket_ts"])
+        .join(churn, ["source", "bucket_ts"], "left")
+    )
+    has_prev = F.col("prev_ts").isNotNull()
+    ret_x = F.when(has_prev, F.coalesce(F.col("r"), F.lit(0)))
+    new_x = F.when(has_prev, F.col("n_users") - F.coalesce(F.col("r"), F.lit(0)))
+    env = lambda est, exact_c: F.abs(est - exact_c) <= F.greatest(  # noqa: E731
+        exact_c * 0.05, F.lit(2.0)
+    )
+    return joined.select(
+        "source",
+        "bucket_ts",
+        "n_users",
+        "cnt",
+        "p50x",
+        "p95x",
+        ret_x.alias("ret_x"),
+        new_x.alias("new_x"),
+        env(F.col("approx_distinct"), F.col("n_users")).alias("hll_ok"),
+        ((F.col("p50") >= lo50) & (F.col("p50") <= hi50)).alias("p50_ok"),
+        ((F.col("p95") >= lo95) & (F.col("p95") <= vmax)).alias("p95_ok"),
+        F.when(~has_prev, F.lit(True))
+        .otherwise(env(F.col("est_returning"), ret_x))
+        .alias("ret_ok"),
+        F.when(~has_prev, F.lit(True))
+        .otherwise(env(F.col("est_new"), new_x))
+        .alias("new_ok"),
+    )
 
 
 # Segmented gap-fill (the scale path: (source, segment)-parallel windows +
-# per-segment carry summaries) checked against the SAME oracles as the
-# plain operators — the segmentation must be invisible in the results.
-@query(
-    "q64_gapfill_locf_segmented",
-    _DENSE_SQL
-    + """
-    SELECT source, bucket_ts,
-           last_value(avg_v IGNORE NULLS) OVER (
-             PARTITION BY source ORDER BY bucket_ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v,
-           filled
-    FROM dense
-    """,
-)
-def q64_gapfill_locf_segmented(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.gapfill import locf_segmented
+# per-segment carry summaries) checked against the SAME oracle as the
+# plain q23 operators — the segmentation must be invisible in the results.
+@query("q64_gapfill_segmented", _GAPFILL_SQL)
+def q64_gapfill_segmented(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.gapfill import (
+        interpolate_segmented,
+        locf_segmented,
+    )
 
     t1 = _tier1(spark, sf_dir).select(
         "source", "bucket_ts", F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v")
     )
-    dense = densify(t1, "1m", value_cols=["avg_v"])
-    return locf_segmented(dense, "avg_v", segment="1h").select(
-        "source", "bucket_ts", "avg_v", "filled"
+    dense = densify(t1, "1m", value_cols=["avg_v"]).select(
+        "source",
+        "bucket_ts",
+        "filled",
+        F.col("avg_v").alias("locf_v"),
+        F.col("avg_v").alias("interp_v"),
     )
-
-
-@query(
-    "q65_gapfill_interp_segmented",
-    _DENSE_SQL
-    + """
-    SELECT source, bucket_ts,
-           CASE WHEN avg_v IS NOT NULL THEN avg_v
-                WHEN prev_v IS NULL THEN next_v
-                WHEN next_v IS NULL THEN prev_v
-                ELSE prev_v + (next_v - prev_v) * ((epoch(bucket_ts) - prev_t) / (next_t - prev_t))
-           END AS avg_v,
-           filled
-    FROM (
-      SELECT *,
-             last_value(avg_v IGNORE NULLS) OVER wb AS prev_v,
-             first_value(avg_v IGNORE NULLS) OVER wf AS next_v,
-             last_value(CASE WHEN avg_v IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS) OVER wb AS prev_t,
-             first_value(CASE WHEN avg_v IS NOT NULL THEN epoch(bucket_ts) END IGNORE NULLS) OVER wf AS next_t
-      FROM dense
-      WINDOW wb AS (PARTITION BY source ORDER BY bucket_ts
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             wf AS (PARTITION BY source ORDER BY bucket_ts
-                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    out = interpolate_segmented(
+        locf_segmented(dense, "locf_v", segment="1h"), "interp_v", segment="1h"
     )
-    """,
-)
-def q65_gapfill_interp_segmented(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.gapfill import interpolate_segmented
-
-    t1 = _tier1(spark, sf_dir).select(
-        "source", "bucket_ts", F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v")
-    )
-    dense = densify(t1, "1m", value_cols=["avg_v"])
-    return interpolate_segmented(dense, "avg_v", segment="1h").select(
-        "source", "bucket_ts", "avg_v", "filled"
-    )
+    return out.select("source", "bucket_ts", "locf_v", "interp_v", "filled")

@@ -25,7 +25,6 @@ from workbook_exporter_fe_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
-    lsh_buckets,
 )
 
 from .registry import _t, query
@@ -85,10 +84,17 @@ def q31_minhash_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(sig)
 
 
+# Jaccard over the informative-shingle space: shingles with document
+# frequency > 50 (stopword shingles — exactly the keys that make the
+# self-join quadratic) are dropped on BOTH sides before pairing; the
+# operator additionally size-ratio-prunes pairs that cannot reach the
+# threshold (lossless, so the oracle need not mirror it).
 @query(
     "q32_jaccard_pairs",
     f"""
-    WITH sh AS (SELECT DISTINCT doc_id AS id, shingle FROM ({_SHINGLE_SQL})),
+    WITH sh0 AS (SELECT DISTINCT doc_id AS id, shingle FROM ({_SHINGLE_SQL})),
+    hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 50),
+    sh AS (SELECT id, shingle FROM sh0 ANTI JOIN hot USING (shingle)),
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
@@ -104,7 +110,7 @@ def q31_minhash_lsh_pairs(spark, sf_dir):
     """,
 )
 def q32_jaccard_pairs(spark, sf_dir):
-    return jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5, max_df=50)
 
 
 @query(
@@ -135,8 +141,14 @@ def q33_simhash(spark, sf_dir):
 _IVEC = "CAST(ROUND(CAST({x} AS DOUBLE) * 10000000) AS BIGINT)"
 
 
+# ANN top-k three ways in one method-tagged query — the baseline and both
+# scale paths over the same embeddings and the same exact integer-scaled
+# cosine: 'brute' = full-scan top-20 (cosine_topk), 'lsh' = exact top-10
+# restricted to the query's hyperplane sign bucket (lsh_topk — candidates
+# shrink ~2^planes×), 'ivf' = coarse-quantizer cells + nprobe=2 probe
+# (ivf_topk — candidates shrink to the probed cells).
 @query(
-    "q34_cosine_topk",
+    "q34_ann_topk",
     f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     z AS (
@@ -148,40 +160,94 @@ _IVEC = "CAST(ROUND(CAST({x} AS DOUBLE) * 10000000) AS BIGINT)"
     nq AS (
       SELECT SUM({_IVEC.format(x='u')} * {_IVEC.format(x='u')}) AS nqv
       FROM (SELECT UNNEST(qe) AS u FROM q)
-    )
-    SELECT vec_id,
-           ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nqv AS DOUBLE))), 6) AS cos
-    FROM d, nq
-    ORDER BY cos DESC, vec_id LIMIT 20
-    """,
-)
-def q34_cosine_topk(spark, sf_dir):
-    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
-
-
-@query(
-    "q35_lsh_ann_buckets",
-    f"""
-    WITH planes AS (
+    ),
+    brute AS (
+      SELECT vec_id,
+             ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nqv AS DOUBLE))), 6) AS cos
+      FROM d, nq
+      ORDER BY cos DESC, vec_id LIMIT 20
+    ),
+    planes AS (
       SELECT vec_id AS plane_id, embedding AS pe FROM embeddings
       WHERE vec_id IN (1, 2, 3, 4)
     ),
-    z AS (
+    zb AS (
       SELECT e.vec_id, p.plane_id, UNNEST(e.embedding) AS x, UNNEST(p.pe) AS px
       FROM embeddings e, planes p
     ),
-    d AS (
+    db AS (
       SELECT vec_id, plane_id,
              SUM({_IVEC.format(x='x')} * {_IVEC.format(x='px')}) AS dot
-      FROM z GROUP BY 1, 2
+      FROM zb GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, plane_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM db GROUP BY vec_id
+    ),
+    lsh AS (
+      SELECT d.vec_id,
+             ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nqv AS DOUBLE))), 6) AS cos
+      FROM d
+      CROSS JOIN nq
+      JOIN bucketed bk ON bk.vec_id = d.vec_id
+      JOIN (SELECT bucket FROM bucketed WHERE vec_id = 0) qb ON bk.bucket = qb.bucket
+      ORDER BY cos DESC, d.vec_id LIMIT 10
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id IN (1, 2, 3, 4, 5, 6, 7, 8)
+    ),
+    za AS (
+      SELECT e.vec_id, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.ce) AS cx
+      FROM embeddings e, cents c
+    ),
+    scored AS (
+      SELECT vec_id, cid,
+             ROUND(CAST(SUM({_IVEC.format(x='x')} * {_IVEC.format(x='cx')}) AS DOUBLE)
+               / (sqrt(CAST(SUM({_IVEC.format(x='x')} * {_IVEC.format(x='x')}) AS DOUBLE))
+                  * sqrt(CAST(SUM({_IVEC.format(x='cx')} * {_IVEC.format(x='cx')}) AS DOUBLE))), 6) AS ccos
+      FROM za GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cid AS cell
+      FROM (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+            FROM scored)
+      WHERE rn = 1
+    ),
+    probed AS (
+      SELECT cid AS cell FROM scored WHERE vec_id = 0
+      ORDER BY ccos DESC, cid LIMIT 2
+    ),
+    ivf AS (
+      SELECT d.vec_id,
+             ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nqv AS DOUBLE))), 6) AS cos
+      FROM d
+      CROSS JOIN nq
+      JOIN cells c ON c.vec_id = d.vec_id
+      JOIN probed p ON p.cell = c.cell
+      ORDER BY cos DESC, d.vec_id LIMIT 10
     )
-    SELECT vec_id,
-           CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, plane_id - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-    FROM d GROUP BY vec_id
+    SELECT 'brute' AS method, vec_id, cos FROM brute
+    UNION ALL SELECT 'lsh', vec_id, cos FROM lsh
+    UNION ALL SELECT 'ivf', vec_id, cos FROM ivf
     """,
 )
-def q35_lsh_ann_buckets(spark, sf_dir):
-    return lsh_buckets(_t(spark, sf_dir, "embeddings"), plane_ids=(1, 2, 3, 4))
+def q34_ann_topk(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    brute = cosine_topk(emb, query_vec_id=0, k=20).select(
+        F.lit("brute").alias("method"), "vec_id", "cos"
+    )
+    lsh = lsh_topk(emb, plane_ids=(1, 2, 3, 4), query_vec_id=0, k=10).select(
+        F.lit("lsh").alias("method"), "vec_id", "cos"
+    )
+    ivf = ivf_topk(
+        emb, centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8), query_vec_id=0, nprobe=2, k=10
+    ).select(F.lit("ivf").alias("method"), "vec_id", "cos")
+    return brute.unionByName(lsh).unionByName(ivf)
 
 
 _BUCKET_SQL = f"""
@@ -241,68 +307,11 @@ def q28_embedding_neardup(spark, sf_dir):
     )
 
 
-# IVF-style ANN: data-derived coarse quantizer cells, nprobe=2 probe, top-k
-# within the probed cells only (the scale path next to q34's brute force).
-@query(
-    "q29_ivf_ann",
-    f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings
-      WHERE vec_id IN (1, 2, 3, 4, 5, 6, 7, 8)
-    ),
-    za AS (
-      SELECT e.vec_id, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.ce) AS cx
-      FROM embeddings e, cents c
-    ),
-    scored AS (
-      SELECT vec_id, cid,
-             ROUND(CAST(SUM({_IVEC.format(x='x')} * {_IVEC.format(x='cx')}) AS DOUBLE)
-               / (sqrt(CAST(SUM({_IVEC.format(x='x')} * {_IVEC.format(x='x')}) AS DOUBLE))
-                  * sqrt(CAST(SUM({_IVEC.format(x='cx')} * {_IVEC.format(x='cx')}) AS DOUBLE))), 6) AS ccos
-      FROM za GROUP BY 1, 2
-    ),
-    cells AS (
-      SELECT vec_id, cid AS cell
-      FROM (SELECT vec_id, cid,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-            FROM scored)
-      WHERE rn = 1
-    ),
-    probed AS (
-      SELECT cid AS cell FROM scored WHERE vec_id = 0
-      ORDER BY ccos DESC, cid LIMIT 2
-    ),
-    iv AS (
-      SELECT vec_id,
-             list_transform(embedding,
-                            x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv
-      FROM embeddings
-    ),
-    zq AS (
-      SELECT c.cell, v.vec_id, UNNEST(v.iv) AS ax, UNNEST(q.iv) AS bx
-      FROM iv v
-      JOIN cells c ON c.vec_id = v.vec_id
-      JOIN probed p ON p.cell = c.cell
-      CROSS JOIN (SELECT iv FROM iv WHERE vec_id = 0) q
-      WHERE v.vec_id <> 0
-    )
-    SELECT cell, vec_id, {_COS_SQL} AS cos
-    FROM zq GROUP BY 1, 2
-    ORDER BY cos DESC, vec_id LIMIT 10
-    """,
-)
-def q29_ivf_ann(spark, sf_dir):
-    return ivf_topk(
-        _t(spark, sf_dir, "embeddings"),
-        centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8),
-        query_vec_id=0,
-        nprobe=2,
-        k=10,
-    )
-
-
 # -- Text analysis ---------------------------------------------------------
 
+# Both language-ID heuristics side by side: marker-stopword argmax
+# (lang_stop) and char-trigram-profile argmax (lang_ngram); tie/no-hit
+# resolution order en→fr→de→es→und mirrored exactly in SQL.
 @query(
     "q36_lang_id",
     """
@@ -313,82 +322,86 @@ def q29_ivf_ann(spark, sf_dir):
         len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das','ist'))) AS de,
         len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','es','que'))) AS es
       FROM documents
+    ),
+    tg AS (
+      SELECT doc_id,
+        CASE WHEN length(text) >= 3
+          THEN list_transform(range(1, length(text) - 1), i -> text[i:i+2])
+          ELSE [] END AS t
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> x IN ('the','he ','nd ','ing',' th'))) AS en,
+        len(list_filter(t, x -> x IN ('le ','es ',' de','ent','que'))) AS fr,
+        len(list_filter(t, x -> x IN ('er ','ein','ich','und','sch'))) AS de,
+        len(list_filter(t, x -> x IN (' de','la ','os ','as ',' el'))) AS es
+      FROM tg
     )
-    SELECT doc_id,
-           CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
-                WHEN en = greatest(en, fr, de, es) THEN 'en'
-                WHEN fr = greatest(en, fr, de, es) THEN 'fr'
-                WHEN de = greatest(en, fr, de, es) THEN 'de'
-                ELSE 'es' END AS lang_pred
-    FROM h
+    SELECT h.doc_id,
+           CASE WHEN greatest(h.en, h.fr, h.de, h.es) = 0 THEN 'und'
+                WHEN h.en = greatest(h.en, h.fr, h.de, h.es) THEN 'en'
+                WHEN h.fr = greatest(h.en, h.fr, h.de, h.es) THEN 'fr'
+                WHEN h.de = greatest(h.en, h.fr, h.de, h.es) THEN 'de'
+                ELSE 'es' END AS lang_stop,
+           CASE WHEN greatest(sc.en, sc.fr, sc.de, sc.es) = 0 THEN 'und'
+                WHEN sc.en = greatest(sc.en, sc.fr, sc.de, sc.es) THEN 'en'
+                WHEN sc.fr = greatest(sc.en, sc.fr, sc.de, sc.es) THEN 'fr'
+                WHEN sc.de = greatest(sc.en, sc.fr, sc.de, sc.es) THEN 'de'
+                ELSE 'es' END AS lang_ngram
+    FROM h JOIN sc ON h.doc_id = sc.doc_id
     """,
 )
 def q36_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", textops.lang_id(F.col("text")).alias("lang_pred"))
+    return d.select(
+        "doc_id",
+        textops.lang_id(F.col("text")).alias("lang_stop"),
+        textops.lang_id_ngram("text").alias("lang_ngram"),
+    )
 
 
+# Full per-document text-metrics projection: quality signals + BPE-ish
+# token count + min-hash winnowing fingerprint — all pure Column exprs in
+# one scan-stage pass (the natural shape at corpus scale: one projection
+# computes every per-doc signal).
 @query(
-    "q37_quality_score",
+    "q37_text_metrics",
     """
     WITH f AS (
-      SELECT doc_id, length(text) AS n_chars,
+      SELECT doc_id, text, length(text) AS n_chars,
              len(string_split(text, ' ')) AS n_tokens_ws,
              ROUND(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
              ROUND(CAST(len(list_filter(string_split(text,' '),
                w -> w IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE)
                / len(string_split(text,' ')), 6) AS stopword_ratio,
              ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-               / length(text), 6) AS punct_ratio
+               / length(text), 6) AS punct_ratio,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS n_bpe,
+             string_split(text, ' ') AS ws
       FROM documents
     )
     SELECT doc_id, n_chars, n_tokens_ws, avg_token_len, stopword_ratio, punct_ratio,
            ROUND(least(CAST(n_tokens_ws AS DOUBLE) / 50.0, 1.0) * 0.4
                  + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 8.0 THEN 0.3 ELSE 0.0 END
-                 + least(stopword_ratio * 3.0, 0.3), 6) AS quality_score
-    FROM f
-    """,
-)
-def q37_quality_score(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    feats = textops.quality_features(F.col("text"))
-    return d.select(
-        "doc_id", *[c.alias(name) for name, c in feats.items()]
-    )
-
-
-@query(
-    "q38_token_count_bpe",
-    """
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS n_ws,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS n_bpe
-    FROM documents
-    """,
-)
-def q38_token_count_bpe(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        textops.token_count_ws(F.col("text")).alias("n_ws"),
-        textops.token_count_bpe(F.col("text")).alias("n_bpe"),
-    )
-
-
-@query(
-    "q39_fingerprint",
-    """
-    SELECT doc_id,
+                 + least(stopword_ratio * 3.0, 0.3), 6) AS quality_score,
+           n_bpe,
            CASE WHEN len(ws) >= 5 THEN
              (SELECT MIN(md5(s)) FROM UNNEST(list_transform(range(1, len(ws) - 3),
                 i -> array_to_string(ws[i:i+4], ' '))) AS t(s))
            ELSE md5(text) END AS fingerprint
-    FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    FROM f
     """,
 )
-def q39_fingerprint(spark, sf_dir):
+def q37_text_metrics(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", textops.fingerprint(F.col("text"), k=5).alias("fingerprint"))
+    feats = textops.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(name) for name, c in feats.items()],
+        textops.token_count_bpe(F.col("text")).alias("n_bpe"),
+        textops.fingerprint(F.col("text"), k=5).alias("fingerprint"),
+    )
 
 
 # Token-histogram analog over the documents table: the flat (source, token,
@@ -416,43 +429,76 @@ def q25_word_histogram(spark, sf_dir):
 # the driver records the weaker rows+schema check and pytest
 # (tests/test_multimodal.py) pins the deterministic feature values) -------
 
-@query("q52_multimodal_features")
-def q52_multimodal_features(spark, sf_dir):
+@query("q52_multimodal")
+def q52_multimodal(spark, sf_dir):
+    """Feature extraction (image/audio) + video frame sampling union-tagged
+    into one scalar-column result: per-media feature summary rows and
+    per-sampled-frame rows (kind='video'). Exercises both mapInPandas
+    pipelines; pytest (tests/test_multimodal.py) pins exact values."""
     from workbook_exporter_fe_spark.operators.multimodal import (
         extract_features,
-        gen_media,
-    )
-
-    return extract_features(gen_media(spark, 300, seed=7))
-
-
-@query("q53_frame_sampling")
-def q53_frame_sampling(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.multimodal import (
         gen_media,
         sample_frames,
     )
 
-    return sample_frames(gen_media(spark, 300, seed=7), every_n=30)
+    media = gen_media(spark, 300, seed=7)
+    feats = extract_features(media).select(
+        "media_id",
+        "kind",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.size("features").cast("int").alias("n_feat"),
+        F.round(F.element_at("features", 1), 6).alias("feat0"),
+    )
+    frames = sample_frames(media, every_n=30).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_payload").cast("int").alias("n_feat"),
+        F.lit(None).cast("double").alias("feat0"),
+    )
+    return feats.unionByName(frames)
 
 
 # -- Sampling + packing ----------------------------------------------------
 
-# Deterministic hash-gated downsample (reproducible across cluster sizes,
-# partition layouts, and engines — unlike RNG df.sample()).
+# Deterministic hash-gated downsample + train/val/test split in one query
+# (reproducible across cluster sizes, partition layouts, and engines —
+# unlike RNG df.sample()): per split, total rows, min key, and how many
+# survive the 25% sample gate.
 @query(
-    "q54_hash_sample",
+    "q54_sample_split",
     """
-    SELECT doc_id, source, n_chars
-    FROM documents
-    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 16384
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS h
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, h,
+             CASE WHEN h < 58982 THEN 'train'
+                  WHEN h < 62259 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM s
+    )
+    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id,
+           COUNT(*) FILTER (WHERE h < 16384) AS n_sampled
+    FROM sp GROUP BY split
     """,
 )
-def q54_hash_sample(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.sampling import hash_sample
+def q54_sample_split(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.sampling import hash_sample, hash_split
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    return hash_sample(d, rate=0.25)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sp = hash_split(d, weights={"train": 0.9, "val": 0.05, "test": 0.05})
+    totals = sp.groupBy("split").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )
+    sampled = hash_sample(sp, rate=0.25).groupBy("split").agg(
+        F.count("*").alias("n_sampled")
+    )
+    return totals.join(sampled, "split", "left").withColumn(
+        "n_sampled", F.coalesce(F.col("n_sampled"), F.lit(0))
+    )
 
 
 # GPT-style sequence packing: chunk the per-source doc concatenation into
@@ -462,7 +508,7 @@ def q54_hash_sample(spark, sf_dir):
     "q55_sequence_packing",
     """
     SELECT source, doc_id, n_chars,
-           CAST(floor((cum - n_chars) / 4096) AS BIGINT) AS pack_id,
+           CAST((cum - n_chars) // 4096 AS BIGINT) AS pack_id,
            CAST((cum - n_chars) % 4096 AS BIGINT) AS pack_offset
     FROM (
       SELECT source, doc_id, n_chars,
@@ -480,64 +526,3 @@ def q55_sequence_packing(spark, sf_dir):
     )
 
 
-# Char-trigram language-ID (the n-gram heuristic; q36 is the stopword
-# variant). Tie/no-hit resolution order en→fr→de→es→und mirrored exactly.
-@query(
-    "q69_lang_id_ngram",
-    """
-    WITH tg AS (
-      SELECT doc_id,
-        CASE WHEN length(text) >= 3
-          THEN list_transform(range(1, length(text) - 1), i -> text[i:i+2])
-          ELSE [] END AS t
-      FROM documents
-    ),
-    sc AS (
-      SELECT doc_id,
-        len(list_filter(t, x -> x IN ('the','he ','nd ','ing',' th'))) AS en,
-        len(list_filter(t, x -> x IN ('le ','es ',' de','ent','que'))) AS fr,
-        len(list_filter(t, x -> x IN ('er ','ein','ich','und','sch'))) AS de,
-        len(list_filter(t, x -> x IN (' de','la ','os ','as ',' el'))) AS es
-      FROM tg
-    )
-    SELECT doc_id,
-      CASE WHEN greatest(en, fr, de, es) = 0 THEN 'und'
-           WHEN en = greatest(en, fr, de, es) THEN 'en'
-           WHEN fr = greatest(en, fr, de, es) THEN 'fr'
-           WHEN de = greatest(en, fr, de, es) THEN 'de'
-           ELSE 'es' END AS lang_pred
-    FROM sc
-    """,
-)
-def q69_lang_id_ngram(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", textops.lang_id_ngram("text").alias("lang_pred"))
-
-
-# Deterministic train/val/test split: same md5 gate as q54, every row
-# assigned by cumulative weight ranges — reproducible on any cluster.
-@query(
-    "q70_hash_split",
-    """
-    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id
-    FROM (
-      SELECT doc_id,
-             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 58982
-                    THEN 'train'
-                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 62259
-                    THEN 'val'
-                  ELSE 'test' END AS split
-      FROM documents
-    ) GROUP BY split
-    """,
-)
-def q70_hash_split(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.sampling import hash_split
-
-    d = hash_split(
-        _t(spark, sf_dir, "documents"),
-        weights={"train": 0.9, "val": 0.05, "test": 0.05},
-    )
-    return d.groupBy("split").agg(
-        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
-    )
