@@ -200,3 +200,80 @@ def test_rollup_at_routes_to_coarsest_tier(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         rollup_at(spark, out, "90s")
+
+
+def test_partition_scoped_merge_preserves_untouched_partitions(spark, tmp_path):
+    """merge_upsert_path(partition_col=...) must rewrite ONLY the partitions
+    present in the new batch — untouched partition dirs keep their files'
+    mtimes (the replaceWhere shape a 100 TB merge needs)."""
+    from workbook_exporter_fe_spark.operators.merge import merge_upsert_path
+
+    path = str(tmp_path / "tier")
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 11.0), ("b", 1, 20.0)],
+        "source string, bucket long, v double",
+    )
+    merge_upsert_path(spark, path, base, ["source", "bucket"], partition_col="source")
+    b_dir = os.path.join(path, "source=b")
+    before = {
+        f: os.path.getmtime(os.path.join(b_dir, f)) for f in os.listdir(b_dir)
+    }
+
+    new = spark.createDataFrame(
+        [("a", 2, 99.0), ("a", 3, 12.0)], "source string, bucket long, v double"
+    )
+    merge_upsert_path(spark, path, new, ["source", "bucket"], partition_col="source")
+
+    after = {f: os.path.getmtime(os.path.join(b_dir, f)) for f in os.listdir(b_dir)}
+    assert after == before  # partition b untouched, byte-for-byte same files
+
+    got = {
+        (r["source"], r["bucket"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("a", 1): 10.0, ("a", 2): 99.0, ("a", 3): 12.0, ("b", 1): 20.0}
+
+
+def test_late_bound_watermark_monotone_across_runs(spark, tmp_path):
+    """Replaying old data must NOT lower the watermark and reopen buckets:
+    the pipeline feeds the manifest's recorded frontier back into
+    bound_late_events (max(prior_wm, batch_max))."""
+    import datetime
+
+    seq = gen_sequences(spark, 2000, seed=42)
+    out = str(tmp_path / "out")
+    pipe = TierPipeline(spark, out, late_delay="interval 30 seconds")
+    pipe.run(seq, run_fp="r1")
+    wm1 = pipe.manifest.last_watermark("late_bound")
+    assert wm1 is not None
+
+    # replay documents whose events ALL predate (wm1 - 2*delay) under a new
+    # run fingerprint — strictly late data
+    ev_all = pl.eventize(seq)
+    old_cut = wm1 - datetime.timedelta(seconds=60)
+    old_docs = (
+        ev_all.groupBy("doc_id")
+        .agg(F.max("event_ts").alias("m"))
+        .filter(F.col("m") <= F.lit(old_cut))
+        .select("doc_id")
+    )
+    old_seq = seq.join(old_docs, "doc_id", "left_semi")
+    assert 0 < old_seq.count() < seq.count()
+    pipe2 = TierPipeline(spark, out, late_delay="interval 30 seconds")
+    pipe2.run(old_seq, run_fp="r2_replay")
+    wm2 = pipe2.manifest.last_watermark("late_bound")
+    # the frontier never moves backward, even though this batch's own max
+    # is strictly older than wm1 (without prior_wm feedback, wm2 would be
+    # the replay's max and finalized buckets would reopen)
+    assert wm2 >= wm1
+    # every replayed event was behind (frontier - delay): the merged events
+    # table survives the bound with EXACTLY the same rows as run 1 — the
+    # replay contributed nothing inside the finalized window
+    def _rows_out(fp):
+        es = [
+            e for e in pipe2.manifest.entries
+            if e["stage"] == "late_bound" and e["run_fp"] == fp
+        ]
+        return es[-1]["rows_out"] if es else None
+
+    assert _rows_out("r2_replay") == _rows_out("r1")

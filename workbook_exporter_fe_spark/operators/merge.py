@@ -44,24 +44,71 @@ def merge_upsert(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFr
 
 
 def merge_upsert_path(
-    spark, path: str, new: DataFrame, keys: list[str]
+    spark, path: str, new: DataFrame, keys: list[str], partition_col: str | None = None
 ) -> None:
     """MERGE against a parquet table on disk (hive-style fallback backend).
 
-    Reads the current snapshot, merges, writes to a staging dir, then swaps.
-    With an Iceberg catalog configured this would be a single
-    ``spark.sql("MERGE INTO ...")`` — gated behind the same signature.
+    With ``partition_col`` (one of ``keys``, e.g. ``source``) the table is
+    laid out hive-partitioned and the merge is PARTITION-SCOPED: only the
+    partitions present in ``new`` are read, merged, and swapped — untouched
+    partition directories are never rewritten (their files keep their
+    mtimes), which is the `replaceWhere` shape a 100 TB merge needs instead
+    of staging the whole table. Without ``partition_col`` (or on a legacy
+    unpartitioned layout) it falls back to full read→merge→staging-swap.
+    With an Iceberg catalog configured either shape is a single
+    ``spark.sql("MERGE INTO ...")`` — gated behind the same signature
+    (sources/tableio.py).
     """
     import os
     import shutil
 
+    prefix = f"{partition_col}=" if partition_col else None
+    partitioned_layout = (
+        partition_col is not None
+        and partition_col in keys
+        and (
+            not os.path.exists(path)
+            or any(d.startswith(prefix) for d in os.listdir(path))
+        )
+    )
+    if not partitioned_layout:
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = merge_upsert(existing, new, keys)
+        else:
+            merged = new
+        staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staging, path)
+        return
+
     if os.path.exists(path):
-        existing = spark.read.parquet(path)
+        # prune to the partitions `new` touches (tiny distinct on the new
+        # side; the filter prunes the existing scan at the source)
+        vals = [r[0] for r in new.select(partition_col).distinct().collect()]
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(vals))
+            # partition-dir values read back as strings; restore the dtype
+            .withColumn(
+                partition_col,
+                F.col(partition_col).cast(new.schema[partition_col].dataType),
+            )
+            .select(*new.columns)
+        )
         merged = merge_upsert(existing, new, keys)
     else:
         merged = new
     staging = path + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    os.makedirs(path, exist_ok=True)
+    for dname in os.listdir(staging):
+        if not dname.startswith(prefix):
+            continue
+        dst = os.path.join(path, dname)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(os.path.join(staging, dname), dst)
+    shutil.rmtree(staging, ignore_errors=True)

@@ -41,7 +41,7 @@ def surviving_sequences(sequences: DataFrame, events: DataFrame, kept_events: Da
 
 
 def bound_late_events(
-    events: DataFrame, delay: str = "interval 1 hour", wm=None
+    events: DataFrame, delay: str = "interval 1 hour", wm=None, prior_wm=None
 ) -> tuple[DataFrame, "F.Column"]:
     """Batch watermark for late tier-0 data: (bounded_events, watermark).
 
@@ -50,10 +50,20 @@ def bound_late_events(
     incremental tier merge never reopens buckets that earlier runs already
     finalized — the same guarantee the streaming path gets from its
     watermark, and the reason the pipeline's keyed merge stays idempotent
-    under out-of-order arrivals. The returned watermark is what the
-    manifest records as the run's `watermark` position; the next run's
-    finalized frontier starts there."""
+    under out-of-order arrivals.
+
+    The never-reopen guarantee only holds if the frontier is MONOTONE
+    ACROSS RUNS, exactly like a streaming watermark: callers pass the last
+    recorded watermark as ``prior_wm`` (TierPipeline reads it back from the
+    manifest) and the new frontier is ``max(prior_wm, batch_max)`` — a
+    replay of old data can then never recompute an old watermark and
+    reopen buckets a previous run finalized, and a full-history run's
+    cutoff comes from the frontier, not from the batch's own max. The
+    returned watermark is what the manifest records as the run's
+    `watermark` position."""
     if wm is None:
         wm = events.agg(F.max("event_ts")).collect()[0][0]
+    if prior_wm is not None and (wm is None or prior_wm > wm):
+        wm = prior_wm
     cutoff = F.lit(wm) - F.expr(delay)
     return events.filter(F.col("event_ts") > cutoff), wm

@@ -54,6 +54,26 @@ class Manifest:
             for e in self.entries
         )
 
+    def last_watermark(self, stage: str):
+        """Most recent recorded watermark for a stage (any run), parsed back
+        to a datetime — the cross-run frontier for the late-event bound."""
+        from datetime import datetime
+
+        best = None
+        for e in self.entries:
+            if e.get("stage") != stage or e.get("status") != "done":
+                continue
+            raw = e.get("watermark")
+            if not raw or raw == "None":
+                continue
+            try:
+                ts = datetime.fromisoformat(str(raw))
+            except ValueError:
+                continue
+            if best is None or ts > best:
+                best = ts
+        return best
+
     def record(self, **entry) -> None:
         entry.setdefault("ts", time.time())
         self.entries.append(entry)
@@ -92,7 +112,12 @@ class TierPipeline:
             return self.spark.read.parquet(out_path)
         t0 = time.perf_counter()
         df = build()
-        merge_upsert_path(self.spark, out_path, df, keys)
+        # tier tables are (source, …)-keyed → partition-scoped merge: only
+        # the sources present in this batch are rewritten
+        merge_upsert_path(
+            self.spark, out_path, df, keys,
+            partition_col="source" if "source" in keys else None,
+        )
         result = self.spark.read.parquet(out_path)
         rows_out = result.count()
         wm = result.agg(F.max(keys[-1] if "bucket_ts" not in keys else "bucket_ts")).collect()[0][0]
@@ -123,12 +148,16 @@ class TierPipeline:
         if self.late_delay:
             # batch watermark: events behind (high-water - delay) never
             # reach the rollup, so finalized buckets stay finalized under
-            # out-of-order re-deliveries (operators/retention.py).
+            # out-of-order re-deliveries (operators/retention.py). The
+            # frontier is monotone ACROSS runs: the last manifest-recorded
+            # watermark is fed back in, so replaying old data can never
+            # lower the cutoff and reopen finalized buckets.
             from workbook_exporter_fe_spark.operators.retention import (
                 bound_late_events,
             )
 
-            events, wm = bound_late_events(events, self.late_delay)
+            prior_wm = self.manifest.last_watermark("late_bound")
+            events, wm = bound_late_events(events, self.late_delay, prior_wm=prior_wm)
             if not self.manifest.done(run_fp, "late_bound"):
                 self.manifest.record(
                     run_fp=run_fp,
@@ -197,7 +226,10 @@ class TierPipeline:
         if not self.manifest.done(run_fp, "compress"):
             t0c = time.perf_counter()
             chunks = compress_tier(t1, value_col=self.value_col)
-            merge_upsert_path(self.spark, chunks_path, chunks, ["source", "segment_start"])
+            merge_upsert_path(
+                self.spark, chunks_path, chunks, ["source", "segment_start"],
+                partition_col="source",
+            )
             persisted = self.spark.read.parquet(chunks_path)
             ratios = encode_ratio(persisted).collect()
             pts = sum(r["points"] for r in ratios)

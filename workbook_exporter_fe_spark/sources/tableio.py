@@ -90,11 +90,23 @@ class TableIO:
         if self.backend == "iceberg":
             from pyspark.sql import functions as F
 
-            (
-                df.writeTo(table_name)
-                .partitionedBy(F.bucket(n_buckets, F.col(bucket_by[0])))
-                .createOrReplace()
+            # honour EVERY option the parquet path honours: all bucket
+            # columns become bucket(N, col) transforms, sort_by becomes a
+            # within-partition sort (DataFrameWriterV2 has no sortedBy; the
+            # file-level order is what co-located join locality needs), and
+            # mode maps to createOrReplace/append instead of silently
+            # replacing.
+            data = df.sortWithinPartitions(*sort_by) if sort_by else df
+            w = data.writeTo(table_name).partitionedBy(
+                F.bucket(n_buckets, F.col(bucket_by[0])),
+                *[F.bucket(n_buckets, F.col(c)) for c in bucket_by[1:]],
             )
+            if mode == "overwrite":
+                w.createOrReplace()
+            elif mode == "append":
+                w.append()
+            else:
+                raise ValueError(f"unsupported mode for iceberg bucketed write: {mode!r}")
             return
         w = (
             df.write.mode(mode)
