@@ -51,7 +51,7 @@ OS_EXPORTERS = {"exporter_linux", "exporter_windows", "exporter_verint", "export
 @dataclass
 class Spec:
     name: str
-    shape: str = "flat"  # flat | per_ip | per_port | probes
+    shape: str = "flat"  # flat | per_ip | per_port | probes | first_row
     hostname_col: str = "Hostnames"
     port: str | int = "App-Listen-Port"  # column name, fixed int, or "counter"
     ssh_creds: bool = True  # username/password with root/ENC defaults
@@ -61,6 +61,11 @@ class Spec:
     include_ip: bool = True
     type_case: bool = False  # acm host-type CASE
     ssl_port_rule: bool = False
+    include_port: bool = True
+    # field → zero-arg callable returning a Column (lazy: Column construction
+    # needs an active SparkContext, and the spec catalog is import-time)
+    extra_exprs: dict = field(default_factory=dict)
+    field_order: tuple = ()  # explicit emission order (YAML sink fidelity)
 
 
 def _ensure_optional(df: DataFrame) -> DataFrame:
@@ -117,9 +122,9 @@ def _cred_fields(spec: Spec) -> list[tuple[str, F.Column]]:
 
 def _fields(spec: Spec, port: F.Column) -> list[tuple[str, F.Column]]:
     fields: list[tuple[str, F.Column]] = []
-    if spec.include_ip and spec.shape in ("flat",):
+    if spec.include_ip and spec.shape in ("flat", "first_row"):
         fields.append(("ip_address", F.col("IP Address")))
-    if spec.shape != "per_port":
+    if spec.shape != "per_port" and spec.include_port:
         fields.append(("listen_port", port))
     fields += [("location", F.col("Location")), ("country", F.col("Country"))]
     if spec.include_env:
@@ -131,9 +136,25 @@ def _fields(spec: Spec, port: F.Column) -> list[tuple[str, F.Column]]:
              F.when(h.contains("lsp"), "lsp").when(h.contains("ess"), "ess").otherwise("acm"))
         )
     fields += _cred_fields(spec)
+    for k, v in spec.extra_exprs.items():
+        fields.append((k, v() if callable(v) else v))
     for k, v in spec.extra_fields.items():
         fields.append((k, F.lit(v)))
+    if spec.field_order:  # reference insert order (e.g. genesyscloud :938-948)
+        pos = {n: i for i, n in enumerate(spec.field_order)}
+        fields.sort(key=lambda fv: pos.get(fv[0], len(pos)))
     return fields
+
+
+def spec_field_order(spec: Spec) -> list[str]:
+    """Emission order of a spec's fields — what the YAML sink uses to lay
+    out each entry exactly as the reference inserts them."""
+    if spec.shape == "probes":
+        return ["module", "location", "country"]
+    names = [name for name, _ in _fields(spec, F.lit(0))]
+    if spec.shape == "per_port":  # run_exporter prepends ip_address there
+        names = ["ip_address"] + [n for n in names if n != "ip_address"]
+    return names
 
 
 def _to_long(df: DataFrame, spec: Spec, entry_key, fields) -> DataFrame:
@@ -179,6 +200,24 @@ def run_exporter(df: DataFrame, spec: Spec, default_port_base: int = 6001) -> Da
 
     if spec.shape == "flat":
         return _to_long(sub, spec, None, fields)
+    if spec.shape == "first_row":
+        # weblm semantics (reference :1049: hostname = iloc[0]['FQDN'], then
+        # every row overwrites the SAME hostname dict → last row's values
+        # win). The reference's iteration order is CSV row order; the
+        # engine pins the deterministic analog: first/last by hostname_col
+        # (the weblm path is NameError-dead in the reference (:1053) and
+        # absent from the golden, so the order pin is this repo's
+        # adjudication — SURVEY Appendix A).
+        hc = F.col(spec.hostname_col)
+        one = sub.agg(
+            F.min(hc).alias(spec.hostname_col),
+            *[
+                F.max_by(col, hc).cast("string").alias(f"_v{i}")
+                for i, (_, col) in enumerate(fields)
+            ],
+        )
+        collapsed = [(name, F.col(f"_v{i}")) for i, (name, _) in enumerate(fields)]
+        return _to_long(one, spec, None, collapsed)
     if spec.shape == "per_ip":
         return _to_long(sub, spec, F.col("IP Address"), fields)
     if spec.shape == "per_port":
@@ -290,12 +329,52 @@ EXPORTER_SPECS: dict[str, Spec] = {
         Spec("exporter_tcti", shape="per_port", hostname_col="FQDN", ssh_creds=False),
         Spec("exporter_jmx", shape="per_port", hostname_col="FQDN", ssh_creds=False),
         Spec("exporter_kafka", ssh_creds=False, extra_fields={"kafka_port": 9092}),
-        Spec("exporter_weblm", ssh_creds=False, extra_fields={"data_path": "/licenses"}),
+        # weblm (reference :1040-1080, NameError-dead there): ONE hostname
+        # (first row's FQDN), field values from the last row, full literal
+        # field set including the tomcat data_path.
+        Spec("exporter_weblm", shape="first_row", hostname_col="FQDN",
+             ssh_creds=False, include_port=False,
+             extra_exprs={
+                 "username": lambda: F.coalesce(F.col("ssh_username"), F.lit("put your username here")),
+                 "password": lambda: F.coalesce(F.col("ssh_password"), F.lit("put your password here")),
+             },
+             extra_fields={"data_path": "/opt/Avaya/tomcat/webapps/WebLM/data/"},
+             field_order=("ip_address", "location", "country", "data_path",
+                          "username", "password")),
         Spec("exporter_aic", ssh_creds=True),
         Spec("exporter_oceanamonitor", ssh_creds=False),
-        Spec("exporter_genesyscloud", ssh_creds=False,
-             extra_fields={"application": "genesyscloud"}),
-        Spec("exporter_baas", ssh_creds=False, extra_fields={"username": "maas"}),
+        # genesyscloud (reference :926-950): full literal field set in the
+        # reference's insert order — extra_args preserved byte-exactly
+        # INCLUDING its missing-space quirks (":937 '--billing.frequency30m',
+        # '3.59999--mos.bandceilingwarning'").
+        Spec("exporter_genesyscloud", hostname_col="FQDN", ssh_creds=False,
+             extra_exprs={"community": lambda: F.coalesce(F.col("comm_string"), F.lit("public"))},
+             extra_fields={
+                 "extra_args": (
+                     " --client.managed --billing.enabled --billing.frequency30m"
+                     " --usage.enabled --usage.frequency12h --client.first-day-of-month22"
+                     " --mos.enabled --mos.bandceilingcritical2.59999"
+                     " --mos.bandceilingbad3.59999--mos.bandceilingwarning3.09999"
+                     " --mos.bandceilinggood3.99999"
+                 ),
+                 "client_id": "ENC[PKCS7...]",
+                 "client_secret": "ENC[PKCS7...]",
+                 "client_basepath": "https://api.mypurecloud.ie",
+             },
+             field_order=("listen_port", "extra_args", "client_id",
+                          "client_secret", "client_basepath", "ip_address",
+                          "location", "country", "community")),
+        # baas (reference :1495-1527): maas user + backup extra_args +
+        # ssh_password-or-ENC + the literal s3 bucket placeholder.
+        Spec("exporter_baas", hostname_col="FQDN", ssh_creds=False,
+             extra_exprs={"password": lambda: F.coalesce(F.col("ssh_password"), F.lit("ENC"))},
+             extra_fields={
+                 "username": "maas",
+                 "extra_args": " --backup.timeout=30s --backup.frequency=1m ",
+                 "bucket": "s3://<s2bucket>",
+             },
+             field_order=("ip_address", "listen_port", "location", "country",
+                          "username", "extra_args", "password", "bucket")),
         Spec("exporter_redis", ssh_creds=False,
              extra_fields={"debug": "True", "application": "Verint Mobile Gateway"}),
         # probe fan-out
