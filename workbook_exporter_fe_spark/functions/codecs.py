@@ -127,14 +127,25 @@ def gorilla_encode(values: np.ndarray) -> bytes:
     codes[0], nbits[0] = bits[0], 64
     # zero-xor: single '0' bit
     codes[slots[zero]], nbits[slots[zero]] = 0, 1
-    # non-zero: '11' + 5-bit lz + 6-bit (sig-1), then sig meaningful bits
-    header = (
+    # '10' reuse-window control: emitted when a non-zero xor's window EQUALS
+    # the previous non-zero xor's window. Sound without a sequential scan:
+    # along an equality chain the decoder's active window after entry i-1 is
+    # w_{i-1} whether i-1 wrote '11' or '10' (induction), so "equal to the
+    # consecutive predecessor" ⟺ "equal to the active window" — one
+    # vectorized compare+mask, saving 11 header bits per repeat.
+    lz_nz, sig_nz = lz[nz], sig[nz]
+    reuse = np.zeros(len(lz_nz), dtype=bool)
+    if len(lz_nz) > 1:
+        reuse[1:] = (lz_nz[1:] == lz_nz[:-1]) & (sig_nz[1:] == sig_nz[:-1])
+    # non-reuse: '11' + 5-bit lz + 6-bit (sig-1); reuse: bare '10'
+    new_header = (
         (np.uint64(0b11) << np.uint64(11))
-        | (lz[nz].astype(np.uint64) << np.uint64(6))
-        | (sig[nz] - 1).astype(np.uint64)
+        | (lz_nz.astype(np.uint64) << np.uint64(6))
+        | (sig_nz - 1).astype(np.uint64)
     )
-    codes[slots[nz]], nbits[slots[nz]] = header, 13
-    codes[slots[nz] + 1], nbits[slots[nz] + 1] = meaningful[nz], sig[nz]
+    codes[slots[nz]] = np.where(reuse, np.uint64(0b10), new_header)
+    nbits[slots[nz]] = np.where(reuse, 2, 13)
+    codes[slots[nz] + 1], nbits[slots[nz] + 1] = meaningful[nz], sig_nz
     return _pack_bits(codes, nbits)
 
 
