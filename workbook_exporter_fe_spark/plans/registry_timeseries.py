@@ -313,12 +313,11 @@ def q56_stateful_running_stats(spark, sf_dir):
     return spark.table(name)
 
 
-# Distinct-count tiers. q60 is the exact path (oracle-checked); q61 is the
-# scale path — tier-1 HLL sketches merged upward (hll_union_agg) so coarser
-# tiers never rescan tier-0 (COUNT DISTINCT is not decomposable; per-
-# register-max sketch union is). Rows-only: DuckDB's approx_count_distinct
-# is a different HLL implementation, so estimates cannot hash-match;
-# tests/test_hll_tiers.py pins the ≤2% accuracy envelope vs exact.
+# Distinct-count tiers. q60 is the exact path (oracle-checked); q61 below
+# is the scale path — tier-1 sketches merged upward so coarser tiers never
+# rescan tier-0 (COUNT DISTINCT is not decomposable; per-register-max
+# sketch union is) — fully oracled via exact companions + error-envelope
+# booleans; tests/test_hll_tiers.py additionally pins the ≤2% envelope.
 @query(
     "q60_distinct_rollup",
     """
