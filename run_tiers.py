@@ -68,7 +68,16 @@ def main() -> None:
     )
     tables = pipe.run(seq, run_fp)
     summary = {name: df.count() for name, df in tables.items()}
-    print(json.dumps({"out": args.out, "rows": summary, "resumed": args.resume}))
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "rows": summary,
+                "resumed": args.resume,
+                "master": spark.sparkContext.master,
+            }
+        )
+    )
     spark.stop()
 
 

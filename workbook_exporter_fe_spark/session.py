@@ -27,9 +27,19 @@ def get_spark(
     """
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores == "*" else max(int(cores), 4)
+    builder = SparkSession.builder
+    # Respect a cluster-manager master: under spark-submit (north rule:
+    # `spark-submit --py-files` at N and 4N executors) the master comes
+    # from the submit command — forcing .master() here would silently turn
+    # a cluster submission into local mode. spark-submit's launcher exports
+    # SPARK_ENV_LOADED; SPARK_GRAFT_MASTER overrides explicitly.
+    explicit = os.environ.get("SPARK_GRAFT_MASTER")
+    if explicit:
+        builder = builder.master(explicit)
+    elif "SPARK_ENV_LOADED" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
