@@ -43,6 +43,63 @@ def merge_upsert(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFr
     return kept.unionByName(new)
 
 
+def merge_tier_additive(existing: DataFrame, partial: DataFrame, keys: list[str]) -> DataFrame:
+    """Additive merge of DECOMPOSABLE tier aggregates (continuous-aggregate
+    refresh): when an incremental batch contributes PARTIAL rows for a
+    bucket that already has rows on disk, the decomposable columns combine
+    (sum_v +=, cnt +=, min_v = min, max_v = max) and avg_v re-finalizes as
+    sum/cnt — key-replace (`merge_upsert`) would silently drop the prior
+    partial. This is the batch analog of re-aggregating a tier upward: the
+    same combine semantics, applied across batches instead of across
+    buckets. Shuffles only on the tier keys; both sides are tier-sized
+    (one row per (source, bucket)), orders of magnitude below tier-0.
+    """
+    cols = ["sum_v", "min_v", "max_v", "cnt"]
+    both = existing.select(*keys, *cols).unionByName(partial.select(*keys, *cols))
+    out = both.groupBy(*keys).agg(
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("cnt").alias("cnt"),
+    )
+    return out.withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+
+
+def merge_tier_additive_path(
+    spark, path: str, partial: DataFrame, keys: list[str],
+    partition_col: str | None = "source",
+) -> None:
+    """Additive tier merge against a parquet tier table on disk —
+    partition-scoped like ``merge_upsert_path``: only partitions present in
+    the incremental batch are read, combined, and swapped."""
+    import os
+
+    prefix = f"{partition_col}=" if partition_col else None
+    if not os.path.exists(path):
+        merge_upsert_path(spark, path, partial, keys, partition_col=partition_col)
+        return
+    partitioned = partition_col is not None and any(
+        d.startswith(prefix) for d in os.listdir(path)
+    )
+    if partitioned:
+        vals = [r[0] for r in partial.select(partition_col).distinct().collect()]
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(vals))
+            .withColumn(
+                partition_col,
+                F.col(partition_col).cast(partial.schema[partition_col].dataType),
+            )
+            .select(*partial.columns)
+        )
+    else:
+        existing = spark.read.parquet(path)
+    merged = merge_tier_additive(existing, partial, keys)
+    # the combined rows REPLACE the affected buckets (upsert semantics on
+    # already-combined rows) — partition-scoped swap via merge_upsert_path
+    merge_upsert_path(spark, path, merged, keys, partition_col=partition_col)
+
+
 def merge_upsert_path(
     spark, path: str, new: DataFrame, keys: list[str], partition_col: str | None = None
 ) -> None:

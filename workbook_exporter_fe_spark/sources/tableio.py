@@ -119,3 +119,45 @@ class TableIO:
 
     def read_table(self, table_name: str) -> DataFrame:
         return self.spark.table(table_name)
+
+
+def compact_partitions(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000,
+    partition_col: str = "source", min_files: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction for a hive-partitioned parquet tier table.
+
+    Incremental partition-scoped merges leave each touched partition with
+    one more file per merge; at 100 TB the accumulated small files dominate
+    scan open/seek cost ("small files problem"). This rewrites ONLY
+    partitions holding ≥ ``min_files`` files down to
+    ``ceil(rows / target_rows_per_file)`` files, via the same staging-swap
+    the merges use — untouched partitions keep their files byte-for-byte.
+    On Iceberg this is `rewrite_data_files`; this is the hive-parquet
+    fallback with the same contract. Returns
+    {partition_value: (files_before, files_after)} for the log/manifest.
+    """
+    import math
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    report: dict[str, tuple[int, int]] = {}
+    for dname in sorted(os.listdir(path)):
+        if not dname.startswith(prefix):
+            continue
+        pdir = os.path.join(path, dname)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        if len(files) < min_files:
+            continue
+        part = spark.read.parquet(pdir)
+        n = part.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
+        if n_files >= len(files):
+            continue
+        staging = pdir + ".compact"
+        part.repartition(n_files).write.mode("overwrite").parquet(staging)
+        shutil.rmtree(pdir)
+        os.rename(staging, pdir)
+        report[dname[len(prefix):]] = (len(files), n_files)
+    return report
