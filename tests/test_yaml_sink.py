@@ -219,3 +219,36 @@ def test_weblm_first_row_semantics(spark, fidelity_wb):
     assert e["data_path"] == "/opt/Avaya/tomcat/webapps/WebLM/data/"
     assert e["username"] == "put your username here"  # last row has no creds
     assert e["password"] == "put your password here"
+
+
+def test_run_workbook_cli_merge_roundtrip(tmp_path):
+    """The reference's end-user workflow via the CLI: csv → selected
+    exporters → YAML; a second run MERGES new sections into the document
+    and keeps the existing ones (write_yaml semantics)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "out.yaml")
+
+    def run(*args):
+        p = subprocess.run(
+            [sys.executable, os.path.join(repo, "run_workbook.py"),
+             "--input", CSV, "--out", out, *args],
+            capture_output=True, text=True, timeout=300,
+            env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        raise AssertionError(p.stderr[-2000:])
+
+    s1 = run("--exporters", "exporter_cms,exporter_gateway", "--add-snmp-args")
+    assert s1["hosts_processed"]["exporter_cms"] == 2
+    s2 = run("--exporters", "exporter_linux")
+    assert s2["hosts_processed"]["exporter_linux"] == 84
+    doc = yaml.safe_load(open(out))
+    assert doc["trap_extra_args"].startswith(" --snmp.version 3")
+    assert {"exporter_cms", "exporter_gateway", "exporter_linux"} <= set(doc)

@@ -132,22 +132,29 @@ def dump_yaml(doc: dict, snmp_args: bool = False) -> str:
 
 def write_yaml_document(
     long_rows: DataFrame, path: str, merge_existing: bool = True,
-    snmp_args: bool = False,
+    snmp_args: bool | None = None,
 ) -> str:
     """End-to-end sink: long rows → (merged) document → file. Returns the
     rendered text. Re-running with the same rows is idempotent (hostname-
-    level upsert, same render)."""
+    level upsert, same render).
+
+    ``snmp_args``: True prepends the O22 header, False drops any existing
+    one, None (default) PRESERVES a header already present in the merged
+    document — re-running exporters must not silently strip a previously
+    added trap_extra_args line."""
     doc = to_yaml_document(long_rows)
+    had_header = False
     if merge_existing and os.path.exists(path):
         with open(path, encoding="utf8") as f:
             raw = f.read()
-        # an existing O22 header is not part of the document; keep it out of
-        # the parse and re-prepend via snmp_args if asked
+        # an existing O22 header is not part of the document body
         if raw.startswith("trap_extra_args:"):
+            had_header = True
             raw = raw.split("\n", 1)[1] if "\n" in raw else ""
         existing = yaml.safe_load(raw) or {}
         doc = merge_documents(existing, doc)
-    text = dump_yaml(doc, snmp_args=snmp_args)
+    with_header = had_header if snmp_args is None else snmp_args
+    text = dump_yaml(doc, snmp_args=with_header)
     with open(path, "w", encoding="utf8") as f:
         f.write(text)
     return text
