@@ -46,6 +46,39 @@ def stream_tier1(
     )
 
 
+def stream_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour",
+    key: str = "source",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native ``session_window``:
+    dynamic-length merging windows per key, closed ``gap`` after the last
+    event, finalized by the watermark (state for a session is dropped once
+    the watermark passes its close — bounded state for unbounded keys,
+    which the fixed tumbling window of ``stream_tier1`` cannot express).
+
+    Same schema in batch: calling this on a static DataFrame (no watermark
+    needed) computes identical sessions — pinned by
+    tests/test_streaming.py against the window-scan batch formulation
+    the gate's q46 uses."""
+    grouped = events
+    if events.isStreaming:
+        grouped = events.withWatermark("event_ts", watermark)
+    return (
+        grouped.groupBy(F.col(key), F.session_window("event_ts", gap).alias("sess"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").alias("sum_v"),
+        )
+        .select(
+            key,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "sum_v",
+        )
+    )
+
+
 def stream_to_tier_table(
     events: DataFrame, table_path: str, checkpoint_dir: str,
     watermark: str = "10 minutes", bucket: str = "1 minute",
