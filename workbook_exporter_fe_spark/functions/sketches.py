@@ -88,6 +88,120 @@ def sketch_token_histogram(
     return toks.groupBy("source", "bucket_ts").applyInPandas(build, SKETCH_SCHEMA)
 
 
+HH_SCHEMA = (
+    "source string, bucket_ts timestamp, depth int, width int, sketch binary, "
+    "cand array<long>, cand_n array<long>"
+)
+
+
+def heavy_hitters_tier(
+    events: DataFrame, tier: str = "1m", k: int = 20, slack: int = 4,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """Mergeable approximate top-k tokens per (source, bucket): count-min
+    sketch + a candidate list of the bucket's exact top ``k·slack`` tokens.
+
+    The classic distributed heavy-hitters pattern: exact per-bucket top
+    lists can't re-aggregate (a tier-2 top-k is NOT the union of tier-1
+    top-ks), but CMS counts are mergeable and a global heavy hitter is a
+    local heavy hitter in at least some child buckets — so each row carries
+    (sketch, candidates) and a merge sums sketches, unions candidates, and
+    re-ranks against the merged sketch. ``slack`` is the recall knob (CMS
+    only over-estimates, so false negatives need a token absent from EVERY
+    child's padded top list)."""
+    from workbook_exporter_fe_spark.operators.tiers import TIER_TRUNC
+
+    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("event_ts")).alias("bucket_ts")
+    toks = events.select("source", bucket, "tokens")
+    cap = k * slack
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        all_tokens = (
+            np.concatenate([np.asarray(t) for t in pdf["tokens"]])
+            if len(pdf)
+            else np.array([], dtype=np.int64)
+        )
+        sk = cms_build(all_tokens, depth, width)
+        vals, counts = np.unique(all_tokens, return_counts=True)
+        top = np.argsort(-counts, kind="stable")[:cap]
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "bucket_ts": [pdf["bucket_ts"].iloc[0]],
+                "depth": [depth],
+                "width": [width],
+                "sketch": [sk.tobytes()],
+                "cand": [vals[top].astype(np.int64).tolist()],
+                "cand_n": [counts[top].astype(np.int64).tolist()],
+            }
+        )
+
+    return toks.groupBy("source", "bucket_ts").applyInPandas(build, HH_SCHEMA)
+
+
+def _cms_estimate_many(sk: np.ndarray, tokens: np.ndarray) -> np.ndarray:
+    depth, width = sk.shape
+    idx = _rows_cols(tokens, depth, width)
+    ests = np.stack([sk[r, idx[r]] for r in range(depth)])
+    return ests.min(axis=0)
+
+
+def merge_heavy_hitters(
+    hh: DataFrame, to: str, k: int = 20, slack: int = 4
+) -> DataFrame:
+    """Re-aggregate heavy-hitter rows to a coarser tier: sum the sketches,
+    union the candidates, re-estimate every candidate against the MERGED
+    sketch, keep the top ``k·slack``."""
+    from workbook_exporter_fe_spark.operators.tiers import TIER_TRUNC
+
+    bucket = F.date_trunc(TIER_TRUNC[to], F.col("bucket_ts")).alias("bucket_ts")
+    cap = k * slack
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        depth, width = int(pdf["depth"].iloc[0]), int(pdf["width"].iloc[0])
+        acc = np.zeros((depth, width), dtype=np.int64)
+        for blob in pdf["sketch"]:
+            acc += np.frombuffer(bytes(blob), dtype=np.int64).reshape(depth, width)
+        cand = np.unique(np.concatenate([np.asarray(c, dtype=np.int64) for c in pdf["cand"]]))
+        est = _cms_estimate_many(acc, cand) if len(cand) else np.array([], dtype=np.int64)
+        top = np.argsort(-est, kind="stable")[:cap]
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "bucket_ts": [pdf["bucket_ts"].iloc[0]],
+                "depth": [depth],
+                "width": [width],
+                "sketch": [acc.tobytes()],
+                "cand": [cand[top].tolist()],
+                "cand_n": [est[top].astype(np.int64).tolist()],
+            }
+        )
+
+    return (
+        hh.select("source", bucket, "depth", "width", "sketch", "cand", "cand_n")
+        .groupBy("source", "bucket_ts")
+        .applyInPandas(merge, HH_SCHEMA)
+    )
+
+
+def heavy_hitters_topk(hh: DataFrame, k: int = 20) -> DataFrame:
+    """(source, bucket_ts, token, est_n, rank): the top-k rows per bucket
+    from a heavy-hitter tier (candidates are stored pre-ranked)."""
+    pairs = F.arrays_zip(
+        F.slice("cand", 1, k).alias("cand"), F.slice("cand_n", 1, k).alias("cand_n")
+    )
+    exploded = hh.select(
+        "source", "bucket_ts", F.posexplode(pairs).alias("pos", "pair")
+    )
+    return exploded.select(
+        "source",
+        "bucket_ts",
+        F.col("pair.cand").alias("token"),
+        F.col("pair.cand_n").alias("est_n"),
+        (F.col("pos") + 1).alias("rank"),
+    )
+
+
 def merge_sketches(sketches: DataFrame, to: str) -> DataFrame:
     """Re-aggregate sketches to a coarser tier by elementwise addition."""
     from workbook_exporter_fe_spark.operators.tiers import TIER_TRUNC

@@ -119,8 +119,9 @@ class TierPipeline:
             partition_col="source" if "source" in keys else None,
         )
         result = self.spark.read.parquet(out_path)
-        rows_out = result.count()
-        wm = result.agg(F.max(keys[-1] if "bucket_ts" not in keys else "bucket_ts")).collect()[0][0]
+        # one job for both stage metrics (count + watermark), not two scans
+        wm_col = keys[-1] if "bucket_ts" not in keys else "bucket_ts"
+        rows_out, wm = result.agg(F.count("*"), F.max(wm_col)).collect()[0]
         self.manifest.record(
             run_fp=run_fp,
             stage=stage,
