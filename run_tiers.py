@@ -26,6 +26,12 @@ def main() -> None:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="sequences parquet path")
     src.add_argument("--generate", type=int, help="generate N synthetic sequences")
+    src.add_argument(
+        "--events",
+        help="tier-0 EVENTS parquet (source, event_ts, v, doc_id): run an "
+        "INCREMENTAL additive refresh of the tiers in --out (partial "
+        "buckets combine; only touched chunk segments re-encode)",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
@@ -49,14 +55,23 @@ def main() -> None:
     from workbook_exporter_fe_spark.sources.datagen import gen_sequences
 
     spark = get_spark(app_name="run_tiers", cores=args.cores)
-    if args.input:
+    if args.events:
+        batch = spark.read.parquet(args.events)
+        run_fp = f"events:{args.events}"
+    elif args.input:
         seq = spark.read.parquet(args.input)
         run_fp = f"input:{args.input}"
     else:
         seq = gen_sequences(spark, args.generate, seed=args.seed)
         run_fp = f"gen:{args.generate}:{args.seed}"
 
-    if not args.resume and os.path.exists(f"{args.out}/_manifest/manifest.jsonl"):
+    # an incremental refresh always keeps the manifest (its whole point is
+    # continuing an existing table set); full runs reset unless --resume
+    if (
+        not args.resume
+        and not args.events
+        and os.path.exists(f"{args.out}/_manifest/manifest.jsonl")
+    ):
         os.remove(f"{args.out}/_manifest/manifest.jsonl")
 
     pipe = TierPipeline(
@@ -66,7 +81,7 @@ def main() -> None:
         with_sketches=args.sketches,
         late_delay=args.late_delay,
     )
-    tables = pipe.run(seq, run_fp)
+    tables = pipe.run_incremental(batch, run_fp) if args.events else pipe.run(seq, run_fp)
     summary = {name: df.count() for name, df in tables.items()}
     print(
         json.dumps(

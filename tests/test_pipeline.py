@@ -277,3 +277,44 @@ def test_late_bound_watermark_monotone_across_runs(spark, tmp_path):
         return es[-1]["rows_out"] if es else None
 
     assert _rows_out("r2_replay") == _rows_out("r1")
+
+
+def test_incremental_refresh_equals_full_cascade(spark, tmp_path):
+    """Two incremental event batches (splitting buckets' data in half) must
+    produce tiers AND re-encoded chunks bit-identical to one full run —
+    the continuous-aggregate refresh contract across the whole cascade."""
+    from workbook_exporter_fe_spark.functions.spark_codecs import decompress_chunks
+
+    seq = gen_sequences(spark, 3000, seed=42)
+    full = TierPipeline(spark, str(tmp_path / "full")).run(seq, run_fp="rf")
+
+    ev = pl.eventize(seq).select("source", "event_ts", "v", "doc_id")
+    gate = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+    out_dir = str(tmp_path / "inc")
+    TierPipeline(spark, out_dir).run_incremental(ev.filter(gate), run_fp="b1")
+    # second batch through a FRESH pipeline instance (manifest reload path)
+    inc = TierPipeline(spark, out_dir).run_incremental(ev.filter(~gate), run_fp="b2")
+
+    # both batches genuinely contributed partials to shared buckets
+    from workbook_exporter_fe_spark.operators.tiers import rollup_tier1 as _r1
+
+    shared = (
+        _r1(ev.filter(gate)).select("source", "bucket_ts")
+        .intersect(_r1(ev.filter(~gate)).select("source", "bucket_ts"))
+        .count()
+    )
+    assert shared > 0
+
+    for tier in ("tier1", "tier2", "tier3"):
+        a = _tiers_sorted(full[tier].select("source", "bucket_ts", "sum_v", "min_v", "max_v", "cnt"))
+        b = _tiers_sorted(inc[tier].select("source", "bucket_ts", "sum_v", "min_v", "max_v", "cnt"))
+        assert a == b, f"{tier} diverged"
+
+    # chunks: decoded points identical (only affected segments re-encoded)
+    pf = decompress_chunks(full["chunks"]).orderBy("source", "bucket_ts").collect()
+    pi = decompress_chunks(inc["chunks"]).orderBy("source", "bucket_ts").collect()
+    assert pf == pi
+
+    # idempotent resume: same fingerprints are no-ops
+    again = TierPipeline(spark, out_dir).run_incremental(ev.filter(~gate), run_fp="b2")
+    assert _tiers_sorted(again["tier1"]) == _tiers_sorted(inc["tier1"])

@@ -248,6 +248,108 @@ class TierPipeline:
         self._write_metrics_table()
         return out
 
+    def run_incremental(self, events: DataFrame, run_fp: str) -> dict[str, DataFrame]:
+        """Incremental refresh from a tier-0 EVENT batch (production shape:
+        events carry real timestamps; the eventize stage of `run` is the
+        synthetic-corpus stand-in).
+
+        Every tier combines ADDITIVELY (merge_tier_additive_path): a batch
+        carrying partial data for an existing bucket adds into it instead
+        of replacing it, so N incremental batches produce bit-identical
+        tiers to one full run (pinned by tests/test_pipeline.py). Only the
+        work proportional to the BATCH happens:
+
+        - events upsert by (source, doc_id) — partition-scoped;
+        - tier1/2/3: the batch's partial rollups additively merged
+          (re-aggregation of partials is itself decomposable, so the
+          cascade never reads the merged tier below);
+        - chunks: only the (source, day) segments the batch touched are
+          re-encoded from the merged tier-1 and upserted.
+        """
+        import time as _time
+
+        from workbook_exporter_fe_spark.operators.merge import (
+            merge_tier_additive_path,
+        )
+
+        out: dict[str, DataFrame] = {}
+        if self.late_delay:
+            from workbook_exporter_fe_spark.operators.retention import (
+                bound_late_events,
+            )
+
+            prior_wm = self.manifest.last_watermark("late_bound")
+            events, wm = bound_late_events(events, self.late_delay, prior_wm=prior_wm)
+            if not self.manifest.done(run_fp, "late_bound"):
+                self.manifest.record(
+                    run_fp=run_fp, stage="late_bound", status="done",
+                    rows_out=events.count(), watermark=str(wm), wall_sec=0.0,
+                )
+
+        def _stage_inc(stage: str, path: str, keys: list[str], apply):
+            if self.manifest.done(run_fp, stage):
+                return self.spark.read.parquet(path)
+            t0 = _time.perf_counter()
+            apply(path, keys)
+            result = self.spark.read.parquet(path)
+            wm_col = "bucket_ts" if "bucket_ts" in keys else keys[-1]
+            rows_out, wm = result.agg(F.count("*"), F.max(wm_col)).collect()[0]
+            self.manifest.record(
+                run_fp=run_fp, stage=stage, status="done", rows_out=rows_out,
+                watermark=str(wm),
+                wall_sec=round(_time.perf_counter() - t0, 3),
+            )
+            return result
+
+        out["events"] = _stage_inc(
+            "t0_events_inc", f"{self.out}/events", ["source", "doc_id"],
+            lambda p, k: merge_upsert_path(
+                self.spark, p, events, k, partition_col="source"
+            ),
+        )
+
+        partial1 = rollup_tier1(events, salt_buckets=self.salt_buckets)
+        out["tier1"] = _stage_inc(
+            "tier1_inc", f"{self.out}/tier1", ["source", "bucket_ts"],
+            lambda p, k: merge_tier_additive_path(self.spark, p, partial1, k),
+        )
+        partial2 = reaggregate(partial1, "1h")
+        out["tier2"] = _stage_inc(
+            "tier2_inc", f"{self.out}/tier2", ["source", "bucket_ts"],
+            lambda p, k: merge_tier_additive_path(self.spark, p, partial2, k),
+        )
+        partial3 = reaggregate(partial2, "1d")
+        out["tier3"] = _stage_inc(
+            "tier3_inc", f"{self.out}/tier3", ["source", "bucket_ts"],
+            lambda p, k: merge_tier_additive_path(self.spark, p, partial3, k),
+        )
+
+        # re-encode ONLY the (source, day) segments this batch touched,
+        # reading exact merged values from tier-1
+        chunks_path = f"{self.out}/chunks"
+        if not self.manifest.done(run_fp, "compress_inc"):
+            t0c = _time.perf_counter()
+            affected = partial1.select(
+                "source", F.date_trunc("day", "bucket_ts").alias("_seg")
+            ).distinct()
+            t1 = out["tier1"].withColumn(
+                "_seg", F.date_trunc("day", "bucket_ts")
+            )
+            sliced = t1.join(F.broadcast(affected), ["source", "_seg"]).drop("_seg")
+            chunks = compress_tier(sliced, value_col=self.value_col)
+            merge_upsert_path(
+                self.spark, chunks_path, chunks, ["source", "segment_start"],
+                partition_col="source",
+            )
+            self.manifest.record(
+                run_fp=run_fp, stage="compress_inc", status="done",
+                rows_out=self.spark.read.parquet(chunks_path).count(),
+                wall_sec=round(_time.perf_counter() - t0c, 3),
+            )
+        out["chunks"] = self.spark.read.parquet(chunks_path)
+        self._write_metrics_table()
+        return out
+
     def _write_metrics_table(self) -> None:
         """Mirror the JSONL manifest as a queryable parquet metrics table —
         the hive-fallback analog of the north rule's Iceberg metadata
