@@ -1,0 +1,237 @@
+"""Counter rate/increase, sliding rollups, rolling z-score, EWMA.
+
+Exact oracles: DuckDB window SQL for the counter family and the sliding
+rollup (same relation, independent formulation), numpy/pure-python
+recurrences for EWMA, and an in-Spark equivalence check pinning
+`sliding_rollup_from_tier1` to the native `F.window(slide)` fan-out over
+raw events (the formulation it replaces at scale).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.operators.rates import (
+    anomaly_zscore,
+    counter_deltas,
+    ewma,
+    ewma_expr,
+    increase_tier1,
+    rate,
+    rolling_stats,
+    sliding_rollup_from_tier1,
+)
+from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
+
+
+def _counter_values(s: str) -> list[float]:
+    """Deterministic cumulative counter with a reset every 37th sample on s1."""
+    out = []
+    acc = 0.0
+    for i in range(400):
+        step = ((i * 2654435761 + ord(s[1]) * 40503) % 97) / 7.0
+        if s == "s1" and i % 37 == 0 and i > 0:
+            acc = step  # counter reset
+        else:
+            acc += step
+        out.append(round(acc, 3))
+    return out
+
+
+@pytest.fixture(scope="module")
+def counter_series(spark):
+    rows = [
+        (s, i, v)
+        for s in ("s0", "s1", "s2")
+        for i, v in enumerate(_counter_values(s))
+    ]
+    return spark.createDataFrame(rows, "source string, idx int, v double").select(
+        "source",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("idx") * 15).alias("event_ts"),
+        "v",
+    )
+
+
+def _duck_con(pdf):
+    con = duckdb.connect()
+    con.register("series", pdf)
+    return con
+
+
+def test_counter_deltas_vs_duckdb(spark, counter_series):
+    got = counter_deltas(counter_series).orderBy("source", "event_ts").collect()
+    con = _duck_con(counter_series.toPandas())
+    want = con.execute(
+        """
+        SELECT source, event_ts, v,
+               CASE WHEN lag(v) OVER w IS NULL THEN NULL
+                    WHEN v >= lag(v) OVER w THEN v - lag(v) OVER w
+                    ELSE v END AS delta
+        FROM series
+        WINDOW w AS (PARTITION BY source ORDER BY event_ts)
+        ORDER BY source, event_ts
+        """
+    ).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["source"] == w[0]
+        assert (g["delta"] is None) == (w[3] is None)
+        if g["delta"] is not None:
+            assert math.isclose(g["delta"], w[3], rel_tol=1e-12)
+
+
+def test_rate_and_increase_vs_duckdb(spark, counter_series):
+    r = rate(counter_series).filter(F.col("rate_ps").isNotNull())
+    # 15s cadence: rate == delta / 15 everywhere
+    bad = r.filter(F.abs(F.col("rate_ps") - F.col("delta") / 15.0) > 1e-12).count()
+    assert bad == 0
+
+    inc = increase_tier1(counter_series).orderBy("source", "bucket_ts").collect()
+    con = _duck_con(counter_series.toPandas())
+    want = con.execute(
+        """
+        WITH d AS (
+          SELECT source, event_ts,
+                 CASE WHEN lag(v) OVER w IS NULL THEN NULL
+                      WHEN v >= lag(v) OVER w THEN v - lag(v) OVER w
+                      ELSE v END AS delta
+          FROM series
+          WINDOW w AS (PARTITION BY source ORDER BY event_ts)
+        )
+        SELECT source, date_trunc('minute', event_ts) AS bucket_ts,
+               SUM(delta) AS increase, COUNT(*) AS n_samples
+        FROM d WHERE delta IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert len(inc) == len(want)
+    for g, w in zip(inc, want):
+        assert (g["source"], g["bucket_ts"]) == (w[0], w[1])
+        assert math.isclose(g["increase"], w[2], rel_tol=1e-9)
+        assert g["n_samples"] == w[3]
+
+
+def test_increase_survives_resets_exactly(spark, counter_series):
+    """Total increase per source == sum of all per-sample steps (the ground
+    truth the cumulative counter was built from), reset-adjusted."""
+    total = (
+        counter_deltas(counter_series)
+        .groupBy("source")
+        .agg(F.sum("delta").alias("inc"))
+        .collect()
+    )
+    truth = {}
+    for s in ("s0", "s1", "s2"):
+        vals = _counter_values(s)
+        truth[s] = sum(
+            v - p if v >= p else v for p, v in zip(vals, vals[1:])
+        )
+    for row in total:
+        assert math.isclose(row["inc"], truth[row["source"]], rel_tol=1e-9)
+
+
+def test_sliding_rollup_equals_native_window(spark, events):
+    """Tier-1-derived hopping windows == native F.window(5m slide 1m) over
+    raw events — same aggregates, k× less shuffle fan-out at tier-0."""
+    ev = events.select("source", "event_ts", F.col("v").cast("double").alias("v"))
+    t1 = rollup_tier1(ev)
+    got = sliding_rollup_from_tier1(t1, 5, 1).select(
+        "source", "win_start", "sum_v", "min_v", "max_v", "cnt"
+    )
+    native = (
+        ev.groupBy("source", F.window("event_ts", "5 minutes", "1 minute").alias("w"))
+        .agg(
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "source", F.col("w.start").alias("win_start"),
+            "sum_v", "min_v", "max_v", "cnt",
+        )
+    )
+    j = got.alias("g").join(native.alias("n"), ["source", "win_start"], "full")
+    assert j.filter(F.col("g.cnt").isNull() | F.col("n.cnt").isNull()).count() == 0
+    bad = j.filter(
+        (F.col("g.cnt") != F.col("n.cnt"))
+        | (F.abs(F.col("g.sum_v") - F.col("n.sum_v")) > 1e-6)
+        | (F.col("g.min_v") != F.col("n.min_v"))
+        | (F.col("g.max_v") != F.col("n.max_v"))
+    ).count()
+    assert bad == 0
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    rows = [("a", i, 10.0 + (i % 3) * 0.1) for i in range(120)]
+    rows[80] = ("a", 80, 300.0)  # planted spike
+    df = spark.createDataFrame(rows, "source string, idx int, avg_v double").select(
+        "source",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("idx") * 60).alias("bucket_ts"),
+        "avg_v",
+    )
+    out = anomaly_zscore(df, n=30, threshold=4.0).filter("is_anomaly").collect()
+    assert len(out) == 1 and out[0]["avg_v"] == 300.0
+    # cold start: first min_points rows never flag even if std is tiny
+    s = rolling_stats(df, n=30).orderBy("bucket_ts").limit(3).collect()
+    assert s[0]["roll_n"] == 0
+
+
+def test_rolling_stats_vs_duckdb(spark, counter_series):
+    got = (
+        rolling_stats(counter_series, value_col="v", ts_col="event_ts", n=20)
+        .orderBy("source", "event_ts")
+        .collect()
+    )
+    con = _duck_con(counter_series.toPandas())
+    want = con.execute(
+        """
+        SELECT source, event_ts,
+               avg(v) OVER w AS m, stddev_samp(v) OVER w AS sd, count(v) OVER w AS n
+        FROM series
+        WINDOW w AS (PARTITION BY source ORDER BY event_ts
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        ORDER BY source, event_ts
+        """
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert g["roll_n"] == w[4]
+        if w[2] is not None:
+            assert math.isclose(g["roll_mean"], w[2], rel_tol=1e-9)
+        if w[3] is not None:
+            assert math.isclose(g["roll_std"], w[3], rel_tol=1e-6, abs_tol=1e-9)
+
+
+def test_ewma_matches_recurrence_and_expr(spark):
+    alpha = 0.3
+    vals = [((i * 37) % 11) / 3.0 for i in range(200)]
+    rows = [("a", i, v) for i, v in enumerate(vals)] + [
+        ("b", i, v * 2) for i, v in enumerate(vals[:50])
+    ]
+    df = spark.createDataFrame(rows, "source string, idx int, avg_v double").select(
+        "source",
+        "idx",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("idx") * 60).alias("bucket_ts"),
+        "avg_v",
+    )
+
+    def ref(seq, a):
+        out = []
+        s = None
+        for v in seq:
+            s = v if s is None else a * v + (1 - a) * s
+            out.append(s)
+        return out
+
+    for op in (ewma, ewma_expr):
+        got = {
+            (r["source"], r["idx"]): r["ewma"] for r in op(df, alpha).collect()
+        }
+        for src, seq in (("a", vals), ("b", [v * 2 for v in vals[:50]])):
+            for i, e in enumerate(ref(seq, alpha)):
+                assert math.isclose(
+                    got[(src, i)], e, rel_tol=1e-9, abs_tol=1e-12
+                ), (op.__name__, src, i)

