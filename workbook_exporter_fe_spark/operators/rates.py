@@ -77,7 +77,10 @@ def rate(
     treats duplicate samples.
     """
     w = Window.partitionBy(key).orderBy(ts_col, *(tiebreak or []))
-    dt = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    # NTZ timestamps can't cast straight to double; hop through TIMESTAMP
+    # (no-op for LTZ inputs, UTC-pinned sessions make it exact for NTZ).
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    dt = sec - F.lag(sec).over(w)
     out = counter_deltas(series, value_col, key, ts_col, tiebreak)
     return out.withColumn(
         "rate_ps",

@@ -487,6 +487,83 @@ def q61_sketch_cascades(spark, sf_dir):
     )
 
 
+# Counter-semantics rates (operators/rates.py): reset-adjusted deltas +
+# per-sample rate + rolling z-score anomaly flags, all per-event grain.
+# Cross-engine exactness: deltas/rates are single IEEE ops on identical
+# inputs (bit-exact); the rolling anomaly test is DIVISION-FREE integer
+# arithmetic on int64-scaled values — |x-mean| > 3·std is evaluated as
+# (n·x−S1)²·(n−1) > 9·n·(n·S2−S1²) over exact trailing-frame sums, so no
+# float accumulation order can differ between engines. Ordering ties are
+# broken by event_id on both sides.
+@query(
+    "q71_counter_rate",
+    """
+    WITH s AS (
+      SELECT event_type AS source, event_id, ts AS event_ts, value AS v,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ), d AS (
+      SELECT source, event_id, v, x,
+             lag(v) OVER w AS pv,
+             epoch(event_ts) - epoch(lag(event_ts) OVER w) AS dt,
+             SUM(x) OVER wf AS s1,
+             SUM(x * x) OVER wf AS s2,
+             COUNT(x) OVER wf AS rn
+      FROM s
+      WINDOW w AS (PARTITION BY source ORDER BY event_ts, event_id),
+             wf AS (PARTITION BY source ORDER BY event_ts, event_id
+                    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT source, event_id,
+           CASE WHEN pv IS NULL THEN NULL
+                WHEN v >= pv THEN v - pv ELSE v END AS delta,
+           CASE WHEN pv IS NULL OR dt <= 0 THEN NULL
+                ELSE (CASE WHEN v >= pv THEN v - pv ELSE v END) / dt END AS rate_ps,
+           CAST(rn AS BIGINT) AS roll_n,
+           COALESCE(rn >= 5 AND (rn * s2 - s1 * s1) > 0 AND
+                    (rn * x - s1) * (rn * x - s1) * (rn - 1)
+                      > 9 * rn * (rn * s2 - s1 * s1), FALSE) AS is_anomaly
+    FROM d
+    """,
+)
+def q71_counter_rate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from workbook_exporter_fe_spark.operators.rates import rate
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        "event_id",
+        F.col("ts").alias("event_ts"),
+        F.col("value").alias("v"),
+    )
+    r = rate(ev, tiebreak=["event_id"])
+    x = F.round(F.col("v") * 100).cast("long")
+    wf = (
+        Window.partitionBy("source")
+        .orderBy("event_ts", "event_id")
+        .rowsBetween(-30, -1)
+    )
+    d = (
+        r.withColumn("_x", x)
+        .withColumn("_s1", F.sum("_x").over(wf))
+        .withColumn("_s2", F.sum(F.col("_x") * F.col("_x")).over(wf))
+        .withColumn("roll_n", F.count("_x").over(wf))
+    )
+    n, s1, s2 = F.col("roll_n"), F.col("_s1"), F.col("_s2")
+    dev = n * F.col("_x") - s1
+    var_num = n * s2 - s1 * s1
+    flag = (n >= 5) & (var_num > 0) & (dev * dev * (n - 1) > 9 * n * var_num)
+    return d.select(
+        "source",
+        "event_id",
+        "delta",
+        "rate_ps",
+        "roll_n",
+        F.coalesce(flag, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 # Segmented gap-fill (the scale path: (source, segment)-parallel windows +
 # per-segment carry summaries) checked against the SAME oracle as the
 # plain q23 operators — the segmentation must be invisible in the results.
