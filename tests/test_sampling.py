@@ -67,3 +67,94 @@ def test_hash_split_partitions_everything_once(spark, sequences):
 
     with _p.raises(ValueError):
         hash_split(sequences, {"train": 0.5, "val": 0.1})
+
+
+# ---------------------------------------------------------------------------
+# Weighted / stratified sampling (Efraimidis–Spirakis + per-stratum gates)
+# ---------------------------------------------------------------------------
+
+
+def _es_ref(rows, k, weighted, strata=True):
+    """Pure-python Efraimidis–Spirakis reference over (source, doc_id, n_tok)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for src, doc, w in rows:
+        h = int(hashlib.md5(doc.encode()).hexdigest()[:13], 16)
+        u = (h + 1) / float(1 << 52)
+        es = -math.log(u) / (w if weighted else 1.0)
+        per[src if strata else None].append((es, doc))
+    out = set()
+    for _, lst in per.items():
+        lst.sort()
+        out |= {doc for _, doc in lst[:k]}
+    return out
+
+
+def test_sample_topk_matches_reference(spark, sequences):
+    from workbook_exporter_fe_spark.operators.sampling import sample_topk
+
+    rows = [
+        (r.source, r.doc_id, r.n_tok)
+        for r in sequences.select("source", "doc_id", "n_tok").collect()
+    ]
+    for weighted in (False, True):
+        got = {
+            r.doc_id
+            for r in sample_topk(
+                sequences, 25, "source", "n_tok" if weighted else None
+            ).collect()
+        }
+        assert got == _es_ref(rows, 25, weighted)
+
+
+def test_sample_topk_prefiltered_equals_exact(spark, sequences):
+    from workbook_exporter_fe_spark.operators.sampling import (
+        sample_topk,
+        sample_topk_prefiltered,
+    )
+
+    for weighted in (False, True):
+        wcol = "n_tok" if weighted else None
+        exact = {r.doc_id for r in sample_topk(sequences, 40, "source", wcol).collect()}
+        fast = {
+            r.doc_id
+            for r in sample_topk_prefiltered(sequences, 40, "source", wcol).collect()
+        }
+        assert fast == exact
+    # fallback path: factor so small every stratum undersurvives
+    tiny = sample_topk_prefiltered(sequences, 40, "source", None, factor=0.001)
+    exact = sample_topk(sequences, 40, "source", None)
+    assert {r.doc_id for r in tiny.collect()} == {r.doc_id for r in exact.collect()}
+
+
+def test_weighted_sampling_prefers_heavy_rows(spark, sequences):
+    from workbook_exporter_fe_spark.operators.sampling import sample_topk
+
+    n = 400
+    uni = sample_topk(sequences, n, None, None)
+    wtd = sample_topk(sequences, n, None, "n_tok")
+    mu_u = uni.agg(F.avg("n_tok")).first()[0]
+    mu_w = wtd.agg(F.avg("n_tok")).first()[0]
+    assert mu_w > mu_u  # weight-proportional inclusion shifts the mean up
+
+
+def test_stratified_sample_rates_and_determinism(spark, sequences):
+    from workbook_exporter_fe_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    fr = {"src-00": 0.5, "src-01": 0.05}
+    s = stratified_sample(sequences, fr, default_rate=0.2)
+    # per-stratum behavior identical to hash_sample at that stratum's rate
+    for src, rate in [("src-00", 0.5), ("src-01", 0.05), ("src-03", 0.2)]:
+        sub = sequences.filter(F.col("source") == src)
+        want = {r.doc_id for r in hash_sample(sub, rate).collect()}
+        got = {r.doc_id for r in s.filter(F.col("source") == src).collect()}
+        assert got == want
+    # stable under repartitioning
+    s2 = stratified_sample(sequences.repartition(17), fr, default_rate=0.2)
+    assert {r.doc_id for r in s.collect()} == {r.doc_id for r in s2.collect()}

@@ -76,6 +76,136 @@ def pack_greedy(
     )
 
 
+def _es_key(weight_col: str | None, key_col: str):
+    """Efraimidis–Spirakis sampling key: exp(1)/w from a deterministic
+    md5-derived uniform. u = (first-52-bits(md5(key)) + 1) / 2^52 ∈ (0, 1];
+    es = -ln(u) / w. The k SMALLEST es keys are a weighted sample without
+    replacement (w=1 → uniform). Pure function of (key, weight): stable
+    under repartitioning and reproducible across engines."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 52))
+    es = -F.log(u)
+    if weight_col is not None:
+        es = es / F.col(weight_col)
+    return es
+
+
+def sample_topk(
+    df: DataFrame,
+    k: int,
+    strata_col: str | None = None,
+    weight_col: str | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-size deterministic sample: k rows per stratum (or globally),
+    weighted by ``weight_col`` when given (Efraimidis–Spirakis scheme —
+    inclusion probability proportional to weight, without replacement).
+
+    This is the exact path: a per-stratum window sort over all rows. For
+    corpus scale use ``sample_topk_prefiltered`` (same answer, shuffles
+    only ~factor·k rows per stratum)."""
+    es = _es_key(weight_col, key_col).alias("_es")
+    part = [strata_col] if strata_col else []
+    w = Window.partitionBy(*part).orderBy("_es", key_col)
+    return (
+        df.withColumn("_es", es)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_es", "_rn")
+    )
+
+
+def sample_topk_prefiltered(
+    df: DataFrame,
+    k: int,
+    strata_col: str,
+    weight_col: str | None = None,
+    key_col: str = "doc_id",
+    factor: float = 4.0,
+) -> DataFrame:
+    """``sample_topk`` with a map-side candidate prefilter — the scale path.
+
+    The window sort in ``sample_topk`` shuffles EVERY row of a stratum to
+    rank it; at 10^12 rows that is the whole corpus through one sort. But
+    the k winners are the k smallest es keys, and P(es < t) ≈ t·w for
+    small t, so with W = Σw per stratum the threshold t = factor·k / W
+    keeps ~factor·k expected candidates. Survivors are a SUPERSET of the
+    true top-k whenever ≥ k survive (everything below the threshold is
+    kept — no false negatives, so the result is EXACT, not approximate);
+    strata where fewer than k survived (probability e^-Θ(factor·k)) fall
+    back to the full path for that stratum only. Costs one tiny
+    decomposable per-stratum aggregate (W) + a broadcast join; the sort
+    then sees ~factor·k rows per stratum instead of all of them."""
+    es = _es_key(weight_col, key_col).alias("_es")
+    wsum = (
+        F.sum(F.col(weight_col)) if weight_col is not None else F.count("*")
+    ).alias("_w")
+    totals = df.groupBy(strata_col).agg(wsum)
+    flagged = df.withColumn("_es", es).join(
+        F.broadcast(totals), strata_col
+    )
+    cand = flagged.filter(F.col("_es") < F.lit(float(factor * k)) / F.col("_w"))
+    # strata with < k survivors (vanishingly rare at factor≥4) re-run full
+    short = {
+        r[strata_col]
+        for r in cand.groupBy(strata_col)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") < k)
+        .collect()
+    }
+    missing = {r[strata_col] for r in totals.collect()} - {
+        r[strata_col] for r in cand.select(strata_col).distinct().collect()
+    }
+    short |= missing
+    w = Window.partitionBy(strata_col).orderBy("_es", key_col)
+    out = (
+        cand.filter(~F.col(strata_col).isin(list(short)) if short else F.lit(True))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_es", "_rn", "_w")
+    )
+    if short:
+        fallback = sample_topk(
+            df.filter(F.col(strata_col).isin(list(short))),
+            k,
+            strata_col,
+            weight_col,
+            key_col,
+        )
+        out = out.unionByName(fallback)
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling: stratum s keeps rows whose
+    16-bit md5 gate falls below fractions[s]·2^16 (``default_rate`` for
+    unlisted strata). Same map-side zero-shuffle gate as ``hash_sample``,
+    with per-stratum rates — the standard source-rebalancing move for
+    training mixes (e.g. downweight a crawl, upweight curated text)."""
+    gate = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    expr = None
+    for s, rate in fractions.items():
+        cond = F.col(strata_col) == s
+        thresh = F.lit(int(rate * 65536))
+        expr = F.when(cond, thresh) if expr is None else expr.when(cond, thresh)
+    expr = (
+        F.lit(int(default_rate * 65536))
+        if expr is None
+        else expr.otherwise(int(default_rate * 65536))
+    )
+    return df.filter(gate < expr)
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],
