@@ -46,6 +46,7 @@ HEADLINE = [
     "q55_sequence_packing",
     "q40_cube_rollup_gsets",
     "q46_sessionize",
+    "q71_counter_rate",
 ]
 
 

@@ -89,6 +89,38 @@ spark.stop()
 """
 
 
+BIGRAM_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from workbook_exporter_fe_spark.session import get_spark
+from workbook_exporter_fe_spark.operators.vocab import token_bigram_counts
+from workbook_exporter_fe_spark.sources.datagen import gen_sequences, write_sequences
+
+cores = {cores}
+spark = get_spark(app_name=f"scale_bigram{{cores}}", cores=cores,
+                  shuffle_partitions=cores,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "32m"}})
+path = {corpus!r}
+if not os.path.exists(path + "/_SUCCESS"):
+    write_sequences(gen_sequences(spark, {n_docs}, seed=42), path)
+seq = spark.read.parquet(path)
+
+def job():
+    token_bigram_counts(seq).write.format("noop").mode("overwrite").save()
+
+job()  # warmup, discarded
+times = []
+for i in range({repeats}):
+    t0 = time.perf_counter()
+    job()
+    times.append(time.perf_counter() - t0)
+n_bigrams = seq.selectExpr("sum(greatest(n_tok - 1, 0)) AS s").first().s
+print("RESULT " + json.dumps({{"cores": cores, "times": times,
+      "best": min(times), "bigrams": int(n_bigrams), "docs": seq.count()}}))
+spark.stop()
+"""
+
+
 def run_at(cores: int, events: str, repeats: int) -> dict:
     code = RUNNER.format(repo=REPO, cores=cores, events=events, repeats=repeats)
     out = subprocess.run(
@@ -162,17 +194,77 @@ oracle-checkable path at test scale.
                       "t4": round(t4, 2), "t16": round(t16, 2)}))
 
 
+BIGRAM_MARKER = "## Third operator class: token bigram vocabulary scaling"
+
+
+def bigram_main(corpus: str, n_docs: int, repeats: int) -> None:
+    """Scaling evidence for the vocabulary family: packed-int64 bigram
+    counts (operators/vocab.py) — a pure explode → map-side-combine →
+    one-exchange plan over the token payload. Appends to BENCH/BASELINE.md."""
+    results = {c: run_generic_at(BIGRAM_RUNNER, c, corpus, n_docs, repeats)
+               for c in (4, 16)}
+    t4, t16 = results[4]["best"], results[16]["best"]
+    eff = (t4 / t16) / 4
+    bg = results[4]["bigrams"]
+    section = f"""{BIGRAM_MARKER}
+
+Same protocol (fresh JVM per level, warmup discarded, best of {repeats}):
+`token_bigram_counts` over {results[4]['docs']:,} generated sequences
+({bg:,} adjacent-token bigrams). The shuffle key is ONE packed int64 per
+bigram ((a<<32)|b) — the explode fans out to {bg:,} rows, the partial
+HashAggregate combines them map-side, and a single Exchange carries
+(source, int64, partial_count) rows; gram ids are unpacked only on the
+vocabulary-sized output.
+
+| quantity | local[4] (N) | local[16] (4N) |
+|---|---|---|
+| wall-clock (s) | {round(t4, 2)} | {round(t16, 2)} |
+| bigrams/s | {round(bg / t4):,} | {round(bg / t16):,} |
+
+- **scaling efficiency (T_N/T_4N)/4 = {round(eff, 3)}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- repeat timings (s): local[4] {[round(x, 2) for x in results[4]['times']]}, local[16] {[round(x, 2) for x in results[16]['times']]}
+"""
+    path = f"{REPO}/BENCH/BASELINE.md"
+    with open(path) as f:
+        doc = f.read()
+    if BIGRAM_MARKER in doc:
+        doc = doc[: doc.index(BIGRAM_MARKER)].rstrip() + "\n\n" + section
+    else:
+        doc = doc.rstrip() + "\n\n" + section
+    with open(path, "w") as f:
+        f.write(doc)
+    print(json.dumps({"job": "bigram", "efficiency": round(eff, 3),
+                      "t4": round(t4, 2), "t16": round(t16, 2)}))
+
+
+def run_generic_at(template: str, cores: int, corpus: str, n_docs: int,
+                   repeats: int) -> dict:
+    code = template.format(
+        repo=REPO, cores=cores, corpus=corpus, n_docs=n_docs, repeats=repeats
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from cores={cores}: {out.stderr[-2000:]}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", default="/tmp/spark_graft_bench/events_750m")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--job", choices=("tier1", "dedup"), default="tier1")
+    ap.add_argument("--job", choices=("tier1", "dedup", "bigram"), default="tier1")
     ap.add_argument("--dedup-corpus", default="/tmp/spark_graft_bench/seq_dedup_1m")
     ap.add_argument("--dedup-docs", type=int, default=1_000_000)
     args = ap.parse_args()
 
     if args.job == "dedup":
         dedup_main(args.dedup_corpus, args.dedup_docs, args.repeats)
+        return
+    if args.job == "bigram":
+        bigram_main(args.dedup_corpus, args.dedup_docs, args.repeats)
         return
 
     results = {c: run_at(c, args.events, args.repeats) for c in (4, 16, 8, 32)}

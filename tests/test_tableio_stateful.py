@@ -96,3 +96,39 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_write_shards_bounds_and_roundtrip(spark, sequences, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_spark.sources.tableio import write_shards
+
+    out = str(tmp_path / "shards")
+    df = sequences.select("source", "doc_id", "n_tok")
+    write_shards(df, out, max_records_per_file=400, target_files=4,
+                 sort_within=["source", "doc_id"])
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 12  # 5000 rows / 400 cap, rolled within 4 tasks
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= 400
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0
+
+    # hive-partitioned by deterministic split → train/val/test dirs
+    from workbook_exporter_fe_spark.operators.sampling import hash_split
+
+    out2 = str(tmp_path / "shards_split")
+    write_shards(
+        hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}),
+        out2,
+        max_records_per_file=1000,
+        partition_by=["split"],
+    )
+    import os
+
+    assert {d for d in os.listdir(out2) if d.startswith("split=")} == {
+        "split=train", "split=val", "split=test",
+    }

@@ -161,3 +161,35 @@ def compact_partitions(
         os.rename(staging, pdir)
         report[dname[len(prefix):]] = (len(files), n_files)
     return report
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    target_files: int | None = None,
+) -> None:
+    """Training-data shard export: bounded-size parquet shards.
+
+    Dataloaders want many same-sized shards, not one file per Spark task
+    of whatever size the shuffle produced. `maxRecordsPerFile` caps rows
+    per file JVM-side (the writer rolls files mid-task, no extra shuffle);
+    ``target_files`` optionally repartitions first so shard count doesn't
+    inherit upstream task count; ``sort_within`` orders rows inside each
+    shard (e.g. by (source, doc_id) for deterministic replay) without a
+    global sort. Composes with hive partitioning via ``partition_by``
+    (e.g. the hash_split 'split' column → train/val/test directories).
+    """
+    out = df
+    if target_files:
+        out = out.repartition(target_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    w = out.write.mode("overwrite").option(
+        "maxRecordsPerFile", int(max_records_per_file)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
