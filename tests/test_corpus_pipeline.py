@@ -1,0 +1,86 @@
+"""End-to-end corpus curation chain: dedup → filter → sample → split →
+shards, with stage metrics, determinism, and manual-oracle checks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.plans.corpus_pipeline import (
+    annotate_documents,
+    curate_corpus,
+    dedup_exact_keep_first,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # re-append 100 docs under new ids → exact duplicates with higher ids
+    dups = (
+        docs.orderBy("doc_id")
+        .limit(100)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    return docs.unionByName(dups)
+
+
+def test_dedup_keeps_min_id_per_content(spark, docs_with_dups):
+    ann = annotate_documents(docs_with_dups)
+    kept = dedup_exact_keep_first(ann)
+    # one row per distinct text, and it is the min-id row
+    n_distinct = docs_with_dups.select("text").distinct().count()
+    assert kept.count() == n_distinct
+    manual = {
+        r["m"]
+        for r in docs_with_dups.groupBy("text").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == manual
+
+
+def test_curate_corpus_metrics_and_shards(spark, docs_with_dups, tmp_path):
+    out = str(tmp_path / "curated")
+    final, m = curate_corpus(
+        docs_with_dups,
+        out,
+        quality_min=0.3,
+        sample_rate=0.8,
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        max_records_per_file=50,
+    )
+    assert m["input_rows"] == docs_with_dups.count()
+    assert m["dup_rows_removed"] == 100
+    assert m["after_filter"] <= m["after_dedup"]
+    assert m["after_sample"] <= m["after_filter"]
+    assert sum(m["split_rows"].values()) == m["after_sample"]
+
+    # manual oracle for the filter stage
+    ann = annotate_documents(docs_with_dups)
+    dd = dedup_exact_keep_first(ann)
+    assert m["after_filter"] == dd.filter(F.col("quality_score") >= 0.3).count()
+
+    # shards on disk: split dirs + row-count bound + lossless round-trip
+    import glob
+
+    import pyarrow.parquet as pq
+
+    split_dirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert split_dirs == {f"split={s}" for s in m["split_rows"]}
+    for f in glob.glob(f"{out}/*/*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 50
+    back = spark.read.parquet(out)
+    assert back.count() == m["after_sample"]
+
+
+def test_curation_is_repartition_stable(spark, docs_with_dups):
+    a, _ = curate_corpus(docs_with_dups, None, quality_min=0.3, sample_rate=0.5)
+    b, _ = curate_corpus(
+        docs_with_dups.repartition(23), None, quality_min=0.3, sample_rate=0.5
+    )
+    ka = {(r["doc_id"], r["split"]) for r in a.select("doc_id", "split").collect()}
+    kb = {(r["doc_id"], r["split"]) for r in b.select("doc_id", "split").collect()}
+    assert ka == kb
