@@ -42,6 +42,11 @@ def main() -> None:
         help="also build mergeable HLL/KLL sketch tiers (distinct + quantiles)",
     )
     ap.add_argument(
+        "--anomaly",
+        action="store_true",
+        help="also build the rolling z-score anomaly tier beside tier-1",
+    )
+    ap.add_argument(
         "--late-delay",
         default=None,
         help="batch watermark, e.g. 'interval 1 hour': drop tier-0 events "
@@ -80,6 +85,7 @@ def main() -> None:
         salt_buckets=args.salt,
         with_sketches=args.sketches,
         late_delay=args.late_delay,
+        with_anomaly=args.anomaly,
     )
     tables = pipe.run_incremental(batch, run_fp) if args.events else pipe.run(seq, run_fp)
     summary = {name: df.count() for name, df in tables.items()}

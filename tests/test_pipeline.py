@@ -318,3 +318,26 @@ def test_incremental_refresh_equals_full_cascade(spark, tmp_path):
     # idempotent resume: same fingerprints are no-ops
     again = TierPipeline(spark, out_dir).run_incremental(ev.filter(~gate), run_fp="b2")
     assert _tiers_sorted(again["tier1"]) == _tiers_sorted(inc["tier1"])
+
+
+def test_anomaly_tier_in_pipeline(spark, tmp_path):
+    from workbook_exporter_fe_spark.operators.rates import anomaly_zscore
+
+    seq = gen_sequences(spark, 2000, seed=42)
+    pipe = TierPipeline(spark, str(tmp_path / "out"), with_anomaly=True)
+    t = pipe.run(seq, run_fp="r1")
+    assert "anomaly1" in t
+    got = t["anomaly1"]
+    assert {"zscore", "is_anomaly", "roll_mean", "roll_std"} <= set(got.columns)
+    # table equals the operator applied to the stored tier-1
+    want = anomaly_zscore(
+        t["tier1"].select("source", "bucket_ts", "avg_v"), n=30, threshold=3.0
+    )
+    assert got.count() == want.count()
+    cols = ["source", "bucket_ts", "is_anomaly", "roll_n"]
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    # manifest recorded the stage; resume skips it
+    assert any(e["stage"] == "anomaly_1m" for e in pipe.manifest.entries)
+    pipe2 = TierPipeline(spark, str(tmp_path / "out"), with_anomaly=True)
+    t2 = pipe2.run(seq, run_fp="r1")
+    assert t2["anomaly1"].count() == got.count()

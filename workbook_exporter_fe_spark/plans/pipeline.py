@@ -97,6 +97,7 @@ class TierPipeline:
         value_col: str = "avg_v",
         with_sketches: bool = False,
         late_delay: str | None = None,
+        with_anomaly: bool = False,
     ):
         self.spark = spark
         self.out = out_dir
@@ -104,6 +105,7 @@ class TierPipeline:
         self.value_col = value_col
         self.with_sketches = with_sketches
         self.late_delay = late_delay
+        self.with_anomaly = with_anomaly
         self.manifest = Manifest(os.path.join(out_dir, "_manifest", "manifest.jsonl"))
 
     def _stage(self, run_fp: str, stage: str, build, out_path: str, keys: list[str]):
@@ -220,6 +222,22 @@ class TierPipeline:
                 "sketch3_1d",
                 lambda: sketch_reaggregate(s2, "1d"),
                 f"{self.out}/sketch3",
+                ["source", "bucket_ts"],
+            )
+
+        if self.with_anomaly:
+            # Rolling z-score outlier tier beside tier-1 (operators/rates):
+            # per-(source, bucket) flag from a bounded trailing frame over
+            # the tier table — tier-sized input, one window pass.
+            from workbook_exporter_fe_spark.operators.rates import anomaly_zscore
+
+            out["anomaly1"] = self._stage(
+                run_fp,
+                "anomaly_1m",
+                lambda: anomaly_zscore(
+                    t1.select("source", "bucket_ts", "avg_v"), n=30, threshold=3.0
+                ),
+                f"{self.out}/anomaly1",
                 ["source", "bucket_ts"],
             )
 
