@@ -169,3 +169,26 @@ def test_aqe_skew_join_split_triggers(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_tier_tables(spark, tmp_path):
+    """A selective dim-filtered join against a source-partitioned tier
+    table must prune partitions at RUNTIME (dynamicpruning subquery in the
+    scan) — at 100 TB this is the difference between scanning one source
+    directory and scanning the table."""
+    from workbook_exporter_fe_spark.operators.eventize import eventize
+    from workbook_exporter_fe_spark.operators.tiers import rollup_tier1
+    from workbook_exporter_fe_spark.sources.datagen import gen_sequences
+
+    path = str(tmp_path / "t1_parted")
+    t1 = rollup_tier1(eventize(gen_sequences(spark, 3000, seed=42)))
+    t1.write.partitionBy("source").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("src-00", "keep")], "source string, tag string"
+    )
+    joined = fact.join(dim.filter("tag = 'keep'"), "source")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(source" in plan
+    # and the result only touches the pruned source
+    assert joined.select("source").distinct().collect()[0]["source"] == "src-00"
