@@ -1,0 +1,108 @@
+"""Connected components over candidate-pair graphs (dedup clustering).
+
+LSH/Jaccard/SimHash emit duplicate PAIRS (operators/dedup.py); an actual
+dedup pass needs duplicate CLUSTERS — the transitive closure of the pair
+graph — so exactly one canonical document survives per cluster even when
+A~B and B~C but A!~C never co-occurred in a bucket. That closure is
+connected components, the standard final stage of a corpus dedup
+pipeline.
+
+Algorithm: iterated label propagation to the minimum ("hash-to-min"
+style). Every vertex starts labeled with itself; each round every vertex
+takes the min label in its closed neighborhood; converged when no label
+changes. Rounds needed ≤ graph diameter (near-dup clusters are shallow —
+star-ish around popular docs — so a handful of rounds suffices; the cap
+is a safety rail, convergence is checked exactly).
+
+Scale design per round: one groupBy over the (undirected) edge relation
+joined to current labels — shuffle keyed by vertex id, partial-aggregated
+map-side. Labels and edges are (long/string, long/string) pairs; no
+driver-side graph, no RDDs. The convergence check is a one-row aggregate
+(sum of changed flags). localCheckpoint() truncates the lineage each
+round so the plan doesn't grow exponentially with iterations — the
+standard Spark idiom for iterative algorithms (GraphFrames does the
+same).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iter: int = 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(id, component): component = min vertex id reachable from id.
+
+    ``pairs`` is an edge list (direction irrelevant, self-loops/dups
+    fine). Vertices only ever appearing alone are absent — union the full
+    id universe downstream if singletons matter (`dedup_canonical` does).
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col(right_col).alias("src"), F.col(left_col).alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    if checkpoint:
+        edges = edges.localCheckpoint()
+        labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        # min label over the closed neighborhood of each vertex
+        neighbor_labels = (
+            edges.join(
+                labels.withColumnRenamed("id", "dst"), "dst"
+            )
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .filter(F.col("o.component") != F.col("n.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Rows of ``docs`` that survive near-dup clustering: one per
+    component (the min id), plus every doc not in any pair (singletons).
+
+    The components relation is cluster-membership-sized (docs that
+    appeared in ≥1 candidate pair), usually a small fraction of the
+    corpus — broadcast into the left-side join when small."""
+    comp = connected_components(pairs, left_col, right_col)
+    keep_clustered = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    in_graph = comp.select(F.col("id").alias(id_col))
+    singletons = docs.select(id_col).join(in_graph, id_col, "left_anti")
+    keep = keep_clustered.unionByName(singletons)
+    return docs.join(keep, id_col, "leftsemi")
