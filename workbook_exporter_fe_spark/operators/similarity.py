@@ -222,3 +222,140 @@ def ivf_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """DataFrame-native Lloyd k-means; returns ((cid, cv), inertia history).
+
+    The IVF docstring's promised refinement: a trained coarse quantizer
+    that drops into the same centroid seam. Deterministic throughout —
+    init picks the k rows with smallest md5(id) (hash-spread, no RNG),
+    assignment ties break to the lower cid — so refits are reproducible
+    on any cluster size.
+
+    Scale per iteration: assignment is a broadcast nested loop over k
+    centroids with a map-side argmin (no shuffle; same shape as ivf_topk
+    assignment); the update is ONE groupBy(cid) computing per-dimension
+    means (partial-aggregated map-side, k×dim output). The per-row
+    distance uses zip_with/aggregate HOFs — interpreted, but per ROW×k
+    with small k, not per candidate pair (CLAUDE.md HOF rule). Lineage is
+    localCheckpoint-truncated per iteration. Empty cells keep their
+    previous centroid.
+    """
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    v = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("x")
+    ).localCheckpoint()
+
+    wh = Window.orderBy("_h")
+    cents = (
+        v.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .withColumn("_rn", F.row_number().over(wh))
+        .filter(F.col("_rn") <= k)
+        .select((F.col("_rn") - 1).alias("cid"), F.col("x").alias("cv"))
+        .localCheckpoint()
+    )
+
+    def dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    wa = Window.partitionBy("id").orderBy(F.asc("_d"), F.asc("cid"))
+    history: list[float] = []
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "id", "x", "cid", dist2(F.col("x"), F.col("cv")).alias("_d")
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(wa))
+            .filter(F.col("_rn") == 1)
+            .select("id", "x", "cid", "_d")
+        )
+        inertia, = assigned.agg(F.sum("_d")).first()
+        history.append(float(inertia))
+        new_cents = assigned.groupBy("cid").agg(
+            F.array(*[F.avg(F.col("x")[i]) for i in range(dim)]).alias("cv")
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.select("cid", F.col("cv").alias("_old"))
+            .join(new_cents, "cid", "left")
+            .select("cid", F.coalesce("cv", "_old").alias("cv"))
+            .localCheckpoint()
+        )
+    return cents, history
+
+
+def ivf_topk_kmeans(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    query_vec_id: int = 0,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` with trained (kmeans_fit) centroids instead of data
+    rows: assign every vector to its nearest centroid (L2, broadcast
+    argmin), probe the query's nprobe nearest cells, exact-cosine rank
+    the candidates. Not oracle-checked (the trainer is iterative);
+    recall vs brute force is pinned in tests."""
+    from pyspark.sql import Window
+
+    def dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    v = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("x")
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        id_col, "x", "cid", dist2(F.col("x"), F.col("cv")).alias("_d")
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
+    cells = (
+        scored.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cell"))
+    )
+    probed = (
+        scored.filter(F.col(id_col) == query_vec_id)
+        .orderBy(F.asc("_d"), F.asc("cid"))
+        .limit(nprobe)
+        .select(F.col("cid").alias("cell"))
+    )
+    q = v.filter(F.col(id_col) == query_vec_id).select(F.col("x").alias("qx"))
+    dot = F.aggregate(
+        F.zip_with(F.col("x"), F.col("qx"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, e: acc + e * e)
+    )
+    cand = (
+        v.filter(F.col(id_col) != query_vec_id)
+        .join(cells, id_col)
+        .join(F.broadcast(probed), "cell")
+        .crossJoin(F.broadcast(q))
+    )
+    cos = F.round(dot / (norm(F.col("x")) * norm(F.col("qx"))), 6)
+    return (
+        cand.select("cell", F.col(id_col), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
