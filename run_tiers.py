@@ -53,6 +53,13 @@ def main() -> None:
         "behind (high-water - delay) so finalized buckets never reopen",
     )
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--verify",
+        action="store_true",
+        help="after the run, audit cross-tier invariants (tier2==reagg(t1), "
+        "tier3==reagg(t2), chunk round-trip, key uniqueness) and record a "
+        "verify row in the manifest; non-zero exit on failure",
+    )
     args = ap.parse_args()
 
     from workbook_exporter_fe_spark.plans.pipeline import TierPipeline
@@ -89,17 +96,18 @@ def main() -> None:
     )
     tables = pipe.run_incremental(batch, run_fp) if args.events else pipe.run(seq, run_fp)
     summary = {name: df.count() for name, df in tables.items()}
-    print(
-        json.dumps(
-            {
-                "out": args.out,
-                "rows": summary,
-                "resumed": args.resume,
-                "master": spark.sparkContext.master,
-            }
-        )
-    )
+    result = {
+        "out": args.out,
+        "rows": summary,
+        "resumed": args.resume,
+        "master": spark.sparkContext.master,
+    }
+    if args.verify:
+        result["verify"] = pipe.verify()
+    print(json.dumps(result))
     spark.stop()
+    if args.verify and not result["verify"]["ok"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

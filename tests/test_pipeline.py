@@ -341,3 +341,23 @@ def test_anomaly_tier_in_pipeline(spark, tmp_path):
     pipe2 = TierPipeline(spark, str(tmp_path / "out"), with_anomaly=True)
     t2 = pipe2.run(seq, run_fp="r1")
     assert t2["anomaly1"].count() == got.count()
+
+
+def test_pipeline_verify_invariants(spark, tmp_path):
+    seq = gen_sequences(spark, 2000, seed=42)
+    pipe = TierPipeline(spark, str(tmp_path / "out"))
+    pipe.run(seq, run_fp="r1")
+    checks = pipe.verify()
+    assert checks["ok"], checks
+    assert checks["tier2_equals_reagg_tier1"]
+    assert checks["chunks_roundtrip_tier1"]
+    assert any(e["stage"] == "verify" for e in pipe.manifest.entries)
+
+    # corrupt tier2 (drop a row) -> verify must fail the reagg check
+    t2p = str(tmp_path / "out" / "tier2")
+    t2 = spark.read.parquet(t2p).cache()
+    t2.count()
+    t2.limit(max(t2.count() - 1, 0)).write.mode("overwrite").parquet(t2p)
+    bad = pipe.verify()
+    assert not bad["ok"]
+    assert not bad["tier2_equals_reagg_tier1"]

@@ -266,6 +266,69 @@ class TierPipeline:
         self._write_metrics_table()
         return out
 
+    def verify(self) -> dict:
+        """Cross-tier invariant audit over the STORED tables; records a
+        `verify` row in the manifest and returns the check dict.
+
+        The data-quality checks a continuous-aggregate pipeline must keep
+        true at all times (north rule: every emitted point matches across
+        tiers; resumable tables must stay internally consistent):
+
+        - tier2 == reaggregate(tier1, '1h') and tier3 == reaggregate(tier2,
+          '1d'), bit-for-bit (decomposability is not assumed — it is
+          re-checked against what is on disk);
+        - chunks decode back to tier-1's finalized values exactly (codec
+          round-trip on the stored bytes, not in-memory ones);
+        - no duplicate (source, bucket_ts) keys in any tier (merge
+          idempotency held).
+        Each check is one exceptAll/groupBy job over tier-sized tables.
+        """
+        from workbook_exporter_fe_spark.functions.spark_codecs import (
+            decompress_chunks,
+        )
+
+        r = self.spark.read
+        t1 = r.parquet(f"{self.out}/tier1")
+        t2 = r.parquet(f"{self.out}/tier2")
+        t3 = r.parquet(f"{self.out}/tier3")
+        checks: dict = {}
+
+        def _equal(a: DataFrame, b: DataFrame) -> bool:
+            cols = sorted(a.columns)
+            a, b = a.select(*cols), b.select(*cols)
+            return (
+                a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+            )
+
+        checks["tier2_equals_reagg_tier1"] = _equal(t2, reaggregate(t1, "1h"))
+        checks["tier3_equals_reagg_tier2"] = _equal(t3, reaggregate(t2, "1d"))
+
+        chunks = r.parquet(f"{self.out}/chunks")
+        decoded = decompress_chunks(chunks, value_col=self.value_col).select(
+            "source",
+            F.col("bucket_ts").cast(dict(t1.dtypes)["bucket_ts"]).alias("bucket_ts"),
+            self.value_col,
+        )
+        stored = t1.select("source", "bucket_ts", self.value_col)
+        checks["chunks_roundtrip_tier1"] = _equal(decoded, stored)
+
+        for name, tier in (("tier1", t1), ("tier2", t2), ("tier3", t3)):
+            dups = (
+                tier.groupBy("source", "bucket_ts")
+                .count()
+                .filter(F.col("count") > 1)
+                .isEmpty()
+            )
+            checks[f"{name}_keys_unique"] = dups
+        checks["ok"] = all(checks.values())
+        self.manifest.record(
+            run_fp="verify", stage="verify",
+            status="done" if checks["ok"] else "FAILED", **{
+                k: v for k, v in checks.items() if k != "ok"
+            },
+        )
+        return checks
+
     def run_incremental(self, events: DataFrame, run_fp: str) -> dict[str, DataFrame]:
         """Incremental refresh from a tier-0 EVENT batch (production shape:
         events carry real timestamps; the eventize stage of `run` is the
