@@ -76,3 +76,42 @@ def test_bound_late_events_drops_behind_watermark(spark, sf_dir):
     # watermark drops nothing further
     again, _ = bound_late_events(bounded, delay="interval 3 days", wm=wm)
     assert again.count() == kept
+
+
+def test_expire_tiers_downsample_then_expire(spark, tmp_path):
+    from workbook_exporter_fe_spark.operators.retention import expire_tiers
+    from workbook_exporter_fe_spark.plans.pipeline import TierPipeline
+    from workbook_exporter_fe_spark.sources.datagen import gen_sequences
+
+    out = str(tmp_path / "out")
+    pipe = TierPipeline(spark, out)
+    pipe.run(gen_sequences(spark, 3000, seed=42), run_fp="r1")
+    t1_before = spark.read.parquet(f"{out}/tier1").count()
+    t3_before = spark.read.parquet(f"{out}/tier3").count()
+
+    stats = expire_tiers(
+        spark,
+        out,
+        {"tier1": "interval 10 minutes", "tier2": "interval 1 hour",
+         "tier3": "interval 3650 days"},
+    )
+    assert stats["tier1"]["rows_before"] == t1_before
+    assert stats["tier1"]["dropped"] > 0
+    t1 = spark.read.parquet(f"{out}/tier1")
+    assert t1.count() == stats["tier1"]["rows_after"]
+    # frontier shared: tier1 keeps exactly the 10-minute window behind wm
+    from pyspark.sql import functions as F
+
+    span = t1.agg(
+        (F.max("bucket_ts").cast("double") - F.min("bucket_ts").cast("double"))
+    ).first()[0]
+    assert span <= 600
+    # coarse tier untouched -> every expired fine bucket still covered
+    assert spark.read.parquet(f"{out}/tier3").count() == t3_before
+
+    # inverted policies (fine keeps longer than coarse) must be refused
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        expire_tiers(spark, out, {"tier1": "interval 30 days",
+                                  "tier2": "interval 1 hour"})

@@ -67,3 +67,72 @@ def bound_late_events(
         wm = prior_wm
     cutoff = F.lit(wm) - F.expr(delay)
     return events.filter(F.col("event_ts") > cutoff), wm
+
+
+def expire_tiers(
+    spark,
+    out_dir: str,
+    policies: dict[str, str] | None = None,
+    wm=None,
+) -> dict:
+    """Table-level downsample-then-expire across the tier cascade.
+
+    ``policies`` maps tier dir name → TTL interval (defaults mirror
+    DEFAULT_TTL: fine tiers keep short windows, coarse tiers keep long
+    ones). All tiers share ONE frontier (tier-1's max bucket, or ``wm``)
+    so the horizons nest; TTLs must be non-decreasing with coarseness —
+    the downsample-before-expire contract: a bucket only ever leaves a
+    FINE tier while a coarser tier still covers its time range, so no
+    time range silently vanishes from the store. Enforced, not assumed.
+
+    Each expiry is a staged-swap overwrite of the filtered table (never a
+    row mutation — the per-row invariant that surviving rows are
+    byte-identical holds by construction). At 100 TB, partition tier
+    tables by a day column and this filter becomes partition DELETEs; on
+    the hive-parquet backend here it is a table rewrite of the small tier
+    relations.
+
+    Returns per-tier {rows_before, rows_after, dropped, cutoff}.
+    """
+    policies = policies or {
+        "tier1": DEFAULT_TTL["1m"],
+        "tier2": DEFAULT_TTL["1h"],
+        "tier3": DEFAULT_TTL["1d"],
+    }
+    order = [t for t in ("tier1", "tier2", "tier3") if t in policies]
+
+    def _secs(iv: str) -> float:
+        df = spark.range(1).select(
+            (F.lit("2000-01-01").cast("timestamp") + F.expr(iv)).cast("double")
+            - F.lit("2000-01-01").cast("timestamp").cast("double")
+        )
+        return df.collect()[0][0]
+
+    ttls = [_secs(policies[t]) for t in order]
+    if any(a > b for a, b in zip(ttls, ttls[1:])):
+        raise ValueError(
+            f"retention must be non-decreasing with tier coarseness: {policies}"
+        )
+
+    if wm is None:
+        wm = watermark(spark.read.parquet(f"{out_dir}/{order[0]}"))
+    stats: dict = {}
+    for tier in order:
+        path = f"{out_dir}/{tier}"
+        t = spark.read.parquet(path)
+        kept = apply_retention(t, policies[tier], wm=wm)
+        before, after = t.count(), kept.count()
+        if after < before:
+            staged = f"{path}__staged"
+            kept.write.mode("overwrite").parquet(staged)
+            import shutil
+
+            shutil.rmtree(path)
+            shutil.move(staged, path)
+        stats[tier] = {
+            "rows_before": before,
+            "rows_after": after,
+            "dropped": before - after,
+            "cutoff": str(wm) + " - " + policies[tier],
+        }
+    return stats
