@@ -235,3 +235,70 @@ def test_ewma_matches_recurrence_and_expr(spark):
                 assert math.isclose(
                     got[(src, i)], e, rel_tol=1e-9, abs_tol=1e-12
                 ), (op.__name__, src, i)
+
+
+def test_linear_fit_and_predict_vs_duckdb(spark, counter_series):
+    from workbook_exporter_fe_spark.operators.rates import predict_linear
+
+    got = (
+        predict_linear(
+            counter_series, 3600.0, value_col="v", ts_col="event_ts", n=20
+        )
+        .orderBy("source", "event_ts")
+        .collect()
+    )
+    con = _duck_con(counter_series.toPandas())
+    want = con.execute(
+        """
+        SELECT source, event_ts,
+               CASE WHEN k >= 2 AND (k*stt - st*st) > 0
+                    THEN (k*sty - st*sy) / (k*stt - st*st) END AS slope
+        FROM (
+          SELECT source, event_ts,
+                 CAST(count(v) OVER w AS DOUBLE) AS k,
+                 sum(tc) OVER w AS st,
+                 sum(v) OVER w AS sy,
+                 sum(tc * v) OVER w AS sty,
+                 sum(tc * tc) OVER w AS stt
+          FROM (
+            SELECT *, epoch(event_ts)
+                      - min(epoch(event_ts)) OVER (PARTITION BY source) AS tc
+            FROM series
+          )
+          WINDOW w AS (PARTITION BY source ORDER BY event_ts
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        ORDER BY source, event_ts
+        """
+    ).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        if w[2] is None:
+            assert g["slope_per_sec"] is None
+        else:
+            assert math.isclose(g["slope_per_sec"], w[2], rel_tol=1e-6, abs_tol=1e-9)
+        if g["slope_per_sec"] is not None:
+            # horizon extrapolation is fit_at_now + slope*h exactly
+            assert math.isclose(
+                g["predicted"],
+                g["fit_at_now"] + g["slope_per_sec"] * 3600.0,
+                rel_tol=1e-12,
+            )
+
+
+def test_predict_linear_exact_on_linear_series(spark):
+    """On an exactly-linear series the fit reproduces the line and the
+    prediction is exact."""
+    from workbook_exporter_fe_spark.operators.rates import predict_linear
+
+    rows = [("a", i, 5.0 + 2.0 * i) for i in range(50)]  # y = 5 + 2*idx
+    df = spark.createDataFrame(rows, "source string, idx int, avg_v double").select(
+        "source",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("idx") * 60).alias("bucket_ts"),
+        "avg_v",
+    )
+    out = predict_linear(df, horizon_seconds=600.0, n=10).orderBy("bucket_ts").collect()
+    last = out[-1]
+    # slope = 2 per idx = 2/60 per second; +600s -> +20
+    assert math.isclose(last["slope_per_sec"], 2.0 / 60.0, rel_tol=1e-9)
+    assert math.isclose(last["predicted"], last["avg_v"] + 20.0, rel_tol=1e-9)

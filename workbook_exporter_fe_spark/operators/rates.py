@@ -260,3 +260,61 @@ def ewma_expr(
         F.lit(alpha) * (wsum - first) + first
     )
     return t1.withColumn("ewma", s)
+
+
+def linear_fit(
+    t1: DataFrame,
+    value_col: str = "avg_v",
+    key: str = "source",
+    ts_col: str = "bucket_ts",
+    n: int = 30,
+) -> DataFrame:
+    """Per-row least-squares slope/intercept over the trailing n buckets
+    (inclusive) — the PromQL deriv() building block.
+
+    slope = (k·Σty − Σt·Σy) / (k·Σt² − (Σt)²) over the frame's k points;
+    intercept at the current bucket's timestamp. All five frame sums ride
+    ONE bounded ROW frame (Spark evaluates them in a single Window pass),
+    whole-stage codegen, no UDFs. Degenerate frames (k < 2 or zero time
+    variance) yield NULL slope.
+
+    Numerical note: raw epoch seconds (~1.7e9) make k·Σt² − (Σt)² a
+    difference of ~1e21-magnitude operands whose true value is only
+    ~k²·var(t) (~1e7 for minute buckets) — complete double cancellation.
+    Time is therefore centered per key (t − min(t) over the partition,
+    one extra O(n) window) before the sums; the slope and the evaluated
+    fit are shift-invariant."""
+    w = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    wkey = Window.partitionBy(key)
+    raw_t = F.col(ts_col).cast("timestamp").cast("double")
+    t = raw_t - F.min(raw_t).over(wkey)
+    y = F.col(value_col)
+    k = F.count(y).over(w).cast("double")
+    st = F.sum(t).over(w)
+    sy = F.sum(y).over(w)
+    sty = F.sum(t * y).over(w)
+    stt = F.sum(t * t).over(w)
+    denom = k * stt - st * st
+    slope = F.when((k >= 2) & (denom > 0), (k * sty - st * sy) / denom)
+    intercept = (sy - slope * st) / k
+    return t1.withColumn("slope_per_sec", slope).withColumn(
+        "fit_at_now", intercept + slope * t
+    )
+
+
+def predict_linear(
+    t1: DataFrame,
+    horizon_seconds: float,
+    value_col: str = "avg_v",
+    key: str = "source",
+    ts_col: str = "bucket_ts",
+    n: int = 30,
+) -> DataFrame:
+    """PromQL predict_linear(): extrapolate each series ``horizon_seconds``
+    ahead from the trailing-window least-squares fit. The canonical
+    capacity-planning query ("disk full in 4h?") over tier tables."""
+    fit = linear_fit(t1, value_col, key, ts_col, n)
+    return fit.withColumn(
+        "predicted",
+        F.col("fit_at_now") + F.col("slope_per_sec") * F.lit(float(horizon_seconds)),
+    )
