@@ -361,3 +361,31 @@ def test_pipeline_verify_invariants(spark, tmp_path):
     bad = pipe.verify()
     assert not bad["ok"]
     assert not bad["tier2_equals_reagg_tier1"]
+
+
+def test_incremental_anomaly_recomputes_touched_sources(spark, tmp_path):
+    from workbook_exporter_fe_spark.operators.eventize import eventize
+    from workbook_exporter_fe_spark.operators.rates import anomaly_zscore
+
+    out = str(tmp_path / "out")
+    seq = gen_sequences(spark, 3000, seed=42)
+    ev = eventize(seq).select("source", "event_ts", "v", "doc_id").cache()
+    sources = sorted(r["source"] for r in ev.select("source").distinct().collect())
+    half = set(sources[: len(sources) // 2])
+    b1 = ev.filter(F.col("source").isin(list(half)))
+    b2 = ev.filter(~F.col("source").isin(list(half)))
+
+    pipe = TierPipeline(spark, out, with_anomaly=True)
+    pipe.run_incremental(b1, run_fp="b1")
+    pipe2 = TierPipeline(spark, out, with_anomaly=True)
+    t = pipe2.run_incremental(b2, run_fp="b2")
+
+    # after both batches: anomaly table equals the operator over full tier-1
+    want = anomaly_zscore(
+        spark.read.parquet(f"{out}/tier1").select("source", "bucket_ts", "avg_v"),
+        n=30, threshold=3.0,
+    )
+    got = t["anomaly1"]
+    assert got.count() == want.count()
+    cols = ["source", "bucket_ts", "is_anomaly", "roll_n"]
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0

@@ -427,6 +427,34 @@ class TierPipeline:
                 rows_out=self.spark.read.parquet(chunks_path).count(),
                 wall_sec=round(_time.perf_counter() - t0c, 3),
             )
+        # rolling-anomaly tier: windows are NOT additive (trailing 30-row
+        # frames), so recompute — but only the SOURCES this batch touched,
+        # reading the merged tier-1 (partition-scoped upsert keeps every
+        # untouched source's files in place).
+        if self.with_anomaly and not self.manifest.done(run_fp, "anomaly_inc"):
+            from workbook_exporter_fe_spark.operators.rates import anomaly_zscore
+
+            t0a = _time.perf_counter()
+            touched = partial1.select("source").distinct()
+            recomputed = anomaly_zscore(
+                out["tier1"]
+                .join(F.broadcast(touched), "source")
+                .select("source", "bucket_ts", "avg_v"),
+                n=30,
+                threshold=3.0,
+            )
+            merge_upsert_path(
+                self.spark, f"{self.out}/anomaly1", recomputed,
+                ["source", "bucket_ts"], partition_col="source",
+            )
+            self.manifest.record(
+                run_fp=run_fp, stage="anomaly_inc", status="done",
+                rows_out=self.spark.read.parquet(f"{self.out}/anomaly1").count(),
+                wall_sec=round(_time.perf_counter() - t0a, 3),
+            )
+        if self.with_anomaly:
+            out["anomaly1"] = self.spark.read.parquet(f"{self.out}/anomaly1")
+
         out["chunks"] = self.spark.read.parquet(chunks_path)
         self._write_metrics_table()
         return out
