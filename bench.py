@@ -99,14 +99,27 @@ def main() -> None:
     def _best_of(df_fn, runs: int = 2) -> float:
         """Discard one warmup (plan compilation, codegen JIT, page cache),
         then report the best of `runs` — the recorded per-round numbers
-        otherwise carry ~30% single-shot noise."""
+        otherwise carry ~30% single-shot noise.
+
+        Two stabilizers against one long-lived JVM timing 20 queries
+        back-to-back (measured: single queries spiking 5-10× on isolated
+        runs with no external load): a System.gc() before each query's
+        timing loop so a concurrent old-gen collection from the PREVIOUS
+        query's garbage doesn't land inside this query's window, and an
+        adaptive extra run when the timed samples disagree by >2× (a
+        sustained stall poisoning both samples gets a third chance)."""
+        spark.sparkContext._jvm.System.gc()
         _materialize(df_fn())
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             _materialize(df_fn())
-            best = min(best, time.perf_counter() - t0)
-        return best
+            samples.append(time.perf_counter() - t0)
+        if max(samples) > 2 * min(samples):
+            t0 = time.perf_counter()
+            _materialize(df_fn())
+            samples.append(time.perf_counter() - t0)
+        return min(samples)
 
     t1 = rollup_tier1(ev)
     flagship_sec = _best_of(lambda: t1)
