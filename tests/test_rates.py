@@ -302,3 +302,32 @@ def test_predict_linear_exact_on_linear_series(spark):
     # slope = 2 per idx = 2/60 per second; +600s -> +20
     assert math.isclose(last["slope_per_sec"], 2.0 / 60.0, rel_tol=1e-9)
     assert math.isclose(last["predicted"], last["avg_v"] + 20.0, rel_tol=1e-9)
+
+
+def test_holt_winters_matches_recurrence(spark):
+    from workbook_exporter_fe_spark.operators.rates import holt_winters
+
+    a, b = 0.4, 0.2
+    vals = [10.0 + 0.5 * i + ((i * 13) % 7) / 5.0 for i in range(120)]  # trend+noise
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, idx int, avg_v double").select(
+        "source", "idx",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("idx") * 60).alias("bucket_ts"),
+        "avg_v",
+    )
+    got = {
+        r["idx"]: (r["hw_level"], r["hw_trend"])
+        for r in holt_winters(df, a, b).collect()
+    }
+    # pure-python recurrence
+    lvl, tr = [vals[0]], [0.0]
+    tr.append(vals[1] - vals[0])
+    lvl.append(a * vals[1] + (1 - a) * (lvl[0] + tr[1]))
+    for i in range(2, len(vals)):
+        lvl.append(a * vals[i] + (1 - a) * (lvl[i - 1] + tr[i - 1]))
+        tr.append(b * (lvl[i] - lvl[i - 1]) + (1 - b) * tr[i - 1])
+    for i in range(len(vals)):
+        assert math.isclose(got[i][0], lvl[i], rel_tol=1e-12), i
+        assert math.isclose(got[i][1], tr[i], rel_tol=1e-12), i
+    # smoothing tracks the underlying trend: late-trend estimate near 0.5/step
+    assert abs(got[119][1] - 0.5) < 0.2

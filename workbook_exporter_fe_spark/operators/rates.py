@@ -318,3 +318,53 @@ def predict_linear(
         "predicted",
         F.col("fit_at_now") + F.col("slope_per_sec") * F.lit(float(horizon_seconds)),
     )
+
+
+def holt_winters(
+    t1: DataFrame,
+    alpha: float,
+    beta: float,
+    value_col: str = "avg_v",
+    key: str = "source",
+    ts_col: str = "bucket_ts",
+) -> DataFrame:
+    """PromQL-style holt_winters(): double exponential smoothing with a
+    trend term per series (no seasonality, matching PromQL):
+
+        l_0 = v_0;                 b_0 = v_1 - v_0 (set at t=1)
+        l_t = a·v_t + (1-a)·(l_{t-1} + b_{t-1})
+        b_t = b·(l_t - l_{t-1}) + (1-b)·b_{t-1}
+
+    Sequential per key like `ewma`; runs as one applyInPandas per source
+    with the recurrence in a numpy loop over the already-sorted values
+    (tier tables are small per source — same stance as gapfill). Adds
+    `hw_level` and `hw_trend` columns; rows 0/1 seed the state
+    (hw_level = v, hw_trend = 0 then the first difference)."""
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        t1.withColumn("hw_level", F.lit(0.0).cast("double"))
+        .withColumn("hw_trend", F.lit(0.0).cast("double"))
+        .schema
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        v = pdf[value_col].to_numpy(dtype=float)
+        n = len(v)
+        level = np.empty(n)
+        trend = np.empty(n)
+        if n:
+            level[0], trend[0] = v[0], 0.0
+        if n > 1:
+            trend[1] = v[1] - v[0]
+            level[1] = alpha * v[1] + (1 - alpha) * (level[0] + trend[1])
+            for i in range(2, n):
+                level[i] = alpha * v[i] + (1 - alpha) * (level[i - 1] + trend[i - 1])
+                trend[i] = beta * (level[i] - level[i - 1]) + (1 - beta) * trend[i - 1]
+        pdf["hw_level"] = level
+        pdf["hw_trend"] = trend
+        return pdf
+
+    return t1.groupBy(key).applyInPandas(smooth, schema=schema)
