@@ -141,3 +141,39 @@ def test_segmented_equals_plain_on_tier_data(spark, events):
         a = plain(dense, "avg_v").orderBy("source", "bucket_ts").collect()
         b = seg(dense, "avg_v", segment="1h").orderBy("source", "bucket_ts").collect()
         assert a == b, plain.__name__
+
+
+def test_align_series_for_binary_ops(spark):
+    from datetime import datetime
+
+    from workbook_exporter_fe_spark.operators.gapfill import align_series
+
+    def series(rows):
+        return spark.createDataFrame(
+            [("s", datetime(2026, 1, 1, 0, m), v) for m, v in rows],
+            "source string, bucket_ts timestamp, avg_v double",
+        )
+
+    # a: minutes 0,2,5 ; b: minutes 1,2,6 — spine must span 0..6
+    a = series([(0, 10.0), (2, 20.0), (5, 50.0)])
+    b = series([(1, 1.0), (2, 2.0), (6, 6.0)])
+    out = {
+        r["bucket_ts"].minute: (r["v_a"], r["v_b"])
+        for r in align_series(a, b, "1m").collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4, 5, 6]
+    assert out[0] == (10.0, None)          # b doesn't exist yet -> NULL
+    assert out[1] == (10.0, 1.0)           # a carried forward
+    assert out[2] == (20.0, 2.0)
+    assert out[3] == (20.0, 2.0) and out[4] == (20.0, 2.0)
+    assert out[5] == (50.0, 2.0)
+    assert out[6] == (50.0, 6.0)           # a carried to the union's end
+    # ratio (the point of aligning) is now well-defined wherever both exist
+    from pyspark.sql import functions as F
+
+    ratio = (
+        align_series(a, b, "1m")
+        .withColumn("r", F.col("v_a") / F.col("v_b"))
+        .filter(F.col("r").isNotNull())
+    )
+    assert ratio.count() == 6

@@ -223,3 +223,42 @@ def interpolate_segmented(
         "_seg", "_lpv", "_lpt", "_lnv", "_lnt",
         "carry_prev_v", "carry_prev_t", "carry_next_v", "carry_next_t",
     )
+
+
+def align_series(
+    a: DataFrame,
+    b: DataFrame,
+    step: str = "1m",
+    value_col: str = "avg_v",
+    key: str = "source",
+    how: str = "locf",
+) -> DataFrame:
+    """Align two tier series onto one dense bucket spine per key —
+    the prerequisite for binary operations between metrics (PromQL's
+    `a / b`, error-rate = errors/requests, etc.), which are only
+    well-defined once both operands exist at every evaluated bucket.
+
+    The spine spans the UNION of both series' ranges per key; each side
+    is gap-filled independently (``how``: 'locf' or 'interp') and emitted
+    as (key, bucket_ts, v_a, v_b). Buckets before a series' first
+    observation keep NULL under 'locf' (nothing to carry), mirroring how
+    a metrics engine treats a series that does not exist yet.
+
+    Scale: one union + the same spine/left-join/window shapes as
+    densify/locf — no new plan primitives; both fills share the spine's
+    partitioning so Catalyst computes them over one sort per side.
+    """
+    if how not in ("locf", "interp"):
+        raise ValueError(how)
+    ua = a.select(F.col(key), "bucket_ts", F.col(value_col).alias("_va"))
+    ub = b.select(F.col(key), "bucket_ts", F.col(value_col).alias("_vb"))
+    both = ua.select(key, "bucket_ts").unionByName(ub.select(key, "bucket_ts"))
+    spine = bucket_spine(both, step, key)
+    dense = spine.join(ua, [key, "bucket_ts"], "left").join(
+        ub, [key, "bucket_ts"], "left"
+    )
+    fill = locf if how == "locf" else interpolate
+    out = fill(fill(dense, "_va", key), "_vb", key)
+    return out.select(
+        key, "bucket_ts", F.col("_va").alias("v_a"), F.col("_vb").alias("v_b")
+    )
