@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from workbook_exporter_fe_spark.operators.components import (
+    NotConvergedError,
     connected_components,
     dedup_canonical,
 )
@@ -82,14 +83,20 @@ def test_dedup_canonical_on_minhash_pairs(spark, sf_dir):
     assert kept2.count() <= kept.count()
 
 
-def test_components_converges_under_low_max_iter_guard(spark):
+def test_components_nonconvergence_is_signalled(spark):
     # a 6-chain needs ~3 doubling rounds; max_iter=1 must NOT be converged
+    # — and must not return silently-split labels: default raises.
     edges = [(i, i + 1) for i in range(6)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    partial = {
-        r["id"]: r["component"]
-        for r in connected_components(df, max_iter=1).collect()
-    }
+    with pytest.raises(NotConvergedError):
+        connected_components(df, max_iter=1).collect()
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                df, max_iter=1, on_nonconverged="warn"
+            ).collect()
+        }
     full = {
         r["id"]: r["component"] for r in connected_components(df).collect()
     }

@@ -76,6 +76,33 @@ def test_curate_corpus_metrics_and_shards(spark, docs_with_dups, tmp_path):
     assert back.count() == m["after_sample"]
 
 
+def test_curate_corpus_metrics_ride_the_single_write(
+    spark, docs_with_dups, tmp_path, monkeypatch
+):
+    # metrics must ride the ONE shard-write action: any .count()/.collect()
+    # inside curate_corpus is a lineage re-execution (the round-2 defect:
+    # ~5 full scans + 3 dedup shuffles where one write should do)
+    from pyspark.sql import DataFrame
+
+    def _boom(name):
+        def f(self, *a, **k):
+            raise AssertionError(f"curate_corpus ran an extra {name}() action")
+
+        return f
+
+    monkeypatch.setattr(DataFrame, "count", _boom("count"))
+    monkeypatch.setattr(DataFrame, "collect", _boom("collect"))
+    out = str(tmp_path / "one_action")
+    final, m = curate_corpus(
+        docs_with_dups, out, quality_min=0.3, sample_rate=0.8
+    )
+    monkeypatch.undo()
+    assert m["dup_rows_removed"] == 100
+    assert m["input_rows"] - m["after_dedup"] == 100
+    assert m["after_sample"] == sum(m["split_rows"].values())
+    assert spark.read.parquet(out).count() == m["after_sample"]
+
+
 def test_curation_is_repartition_stable(spark, docs_with_dups):
     a, _ = curate_corpus(docs_with_dups, None, quality_min=0.3, sample_rate=0.5)
     b, _ = curate_corpus(

@@ -143,6 +143,43 @@ def test_segmented_equals_plain_on_tier_data(spark, events):
         assert a == b, plain.__name__
 
 
+def test_fill_segmented_shared_pass_equals_separate(spark):
+    """One shared carry pass must be bit-identical to running the two
+    segmented fills independently (the q64 single-pass restructure)."""
+    from workbook_exporter_fe_spark.operators.gapfill import (
+        fill_segmented,
+        interpolate_segmented,
+        locf_segmented,
+    )
+
+    dense = _multi_day_gaps(spark)
+    both = (
+        fill_segmented(
+            dense, {"locf_v": "locf", "interp_v": "interp"},
+            value_col="avg_v", segment="1d",
+        )
+        .orderBy("source", "bucket_ts")
+        .collect()
+    )
+    lo = (
+        locf_segmented(dense, "avg_v", segment="1d")
+        .orderBy("source", "bucket_ts")
+        .collect()
+    )
+    it = (
+        interpolate_segmented(dense, "avg_v", segment="1d")
+        .orderBy("source", "bucket_ts")
+        .collect()
+    )
+    assert [r["locf_v"] for r in both] == [r["avg_v"] for r in lo]
+    assert [r["interp_v"] for r in both] == [r["avg_v"] for r in it]
+    # the original value column rides through unchanged
+    assert [r["avg_v"] for r in both] == [
+        r["avg_v"]
+        for r in dense.orderBy("source", "bucket_ts").collect()
+    ]
+
+
 def test_align_series_for_binary_ops(spark):
     from datetime import datetime
 

@@ -62,6 +62,15 @@ def test_kmeans_beats_single_centroid_baseline(spark, emb):
     assert hist[-1] < base * 0.95  # strictly better quantization than k=1
 
 
+def test_kmeans_rejects_empty_and_tiny_input(spark, emb):
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, k=3)
+    tiny = emb.limit(2)
+    with pytest.raises(ValueError, match="at least k=5"):
+        kmeans_fit(tiny, k=5)
+
+
 def test_ivf_kmeans_recall_vs_brute(spark, emb):
     cents, _ = kmeans_fit(emb, k=8, iters=4)
     brute = {r["vec_id"] for r in cosine_topk(emb, query_vec_id=0, k=10).collect()}

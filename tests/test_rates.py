@@ -237,6 +237,29 @@ def test_ewma_matches_recurrence_and_expr(spark):
                 ), (op.__name__, src, i)
 
 
+def test_ewma_expr_guards_depth_overflow(spark):
+    # (1-a)^-t leaves double range on deep series; the closed form must
+    # FAIL LOUDLY instead of silently emitting inf/NaN (ADVICE r2)
+    import pytest
+
+    alpha = 0.3
+    n = 3000  # past the alpha=0.3 safe depth (~1822)
+    rows = [("a", i, float((i * 37) % 11)) for i in range(n)]
+    df = spark.createDataFrame(rows, "source string, idx int, avg_v double").select(
+        "source",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("idx") * 60).alias("bucket_ts"),
+        "avg_v",
+    )
+    with pytest.raises(Exception, match="ewma_expr"):
+        ewma_expr(df, alpha).collect()
+    # the exact recurrence handles the same depth fine
+    deep = ewma(df, alpha).orderBy("bucket_ts").collect()
+    assert len(deep) == n and all(math.isfinite(r["ewma"]) for r in deep)
+    # alpha=1 short-circuits (s_t = v_t), no guard needed
+    ident = ewma_expr(df, 1.0).orderBy("bucket_ts").collect()
+    assert all(r["ewma"] == r["avg_v"] for r in ident)
+
+
 def test_linear_fit_and_predict_vs_duckdb(spark, counter_series):
     from workbook_exporter_fe_spark.operators.rates import predict_linear
 

@@ -115,3 +115,54 @@ def test_expire_tiers_downsample_then_expire(spark, tmp_path):
     with _p.raises(ValueError):
         expire_tiers(spark, out, {"tier1": "interval 30 days",
                                   "tier2": "interval 1 hour"})
+
+
+def test_verify_passes_after_expiry_and_still_catches_corruption(spark, tmp_path):
+    """ADVICE r2: expire_tiers + verify() must not contradict — a healthy
+    store verifies green after expiry (checks scoped to co-retained
+    ranges via the recorded cutoffs), while corruption inside a RETAINED
+    range still fails the audit."""
+    import os
+
+    from workbook_exporter_fe_spark.operators.retention import (
+        expire_tiers,
+        read_cutoffs,
+    )
+    from workbook_exporter_fe_spark.plans.pipeline import TierPipeline
+    from workbook_exporter_fe_spark.sources.datagen import gen_sequences
+
+    out = str(tmp_path / "out")
+    pipe = TierPipeline(spark, out)
+    pipe.run(gen_sequences(spark, 3000, seed=42), run_fp="r1")
+    assert pipe.verify()["ok"]  # pre-expiry: full-range audit, no cutoffs
+    assert read_cutoffs(out) == {}
+
+    stats = expire_tiers(
+        spark,
+        out,
+        {"tier1": "interval 10 minutes", "tier2": "interval 1 hour",
+         "tier3": "interval 3650 days"},
+    )
+    assert stats["tier1"]["dropped"] > 0
+    cuts = read_cutoffs(out)
+    assert set(cuts) == {"tier1", "tier2", "tier3"}
+    # no staging/aside debris from the recoverable swap
+    assert not [d for d in os.listdir(out) if "__" in d]
+
+    checks = pipe.verify()
+    assert checks["ok"], checks  # healthy store post-expiry PASSES
+
+    # corrupt a retained tier-1 value → the scoped chunk round-trip must
+    # still catch it (verify is not a no-op after expiry)
+    t1 = spark.read.parquet(f"{out}/tier1").localCheckpoint()
+    wm = t1.agg(F.max("bucket_ts")).first()[0]
+    bad = t1.withColumn(
+        "avg_v",
+        F.when(
+            F.col("bucket_ts") == F.lit(wm), F.col("avg_v") + 1.0
+        ).otherwise(F.col("avg_v")),
+    )
+    bad.write.mode("overwrite").parquet(f"{out}/tier1")
+    checks2 = pipe.verify()
+    assert not checks2["chunks_roundtrip_tier1"]
+    assert not checks2["ok"]

@@ -10,10 +10,11 @@ O(n) Python iterations.
 
 Encoding variant notes (documented deviations, both within the Gorilla
 format family and bit-exactly round-trippable):
-- float XOR: a non-zero XOR always writes a new (leading-zeros, sig-bits)
-  window (control '11'); the '10' reuse-previous-window optimization is
-  not emitted (decode would support it trivially). Costs a few % of ratio,
-  buys a fully vectorized encoder.
+- float XOR: a non-zero XOR emits either the '10' reuse-previous-window
+  control (when the previous (leading-zeros, sig-bits) window still covers
+  the XOR — worth ~2% of ratio, measured in BENCH/BASELINE.md) or '11'
+  with a fresh window, matching the paper's two-control scheme; the
+  reuse decision is vectorized like every other field computation.
 - delta-of-delta buckets: '0' (dod=0), '10'+7b, '110'+9b, '1110'+12b,
   '1111'+64b (the paper's 32-bit top bucket widened to 64 so arbitrary
   int64 timestamps round-trip).

@@ -26,7 +26,13 @@ same).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
+
+
+class NotConvergedError(RuntimeError):
+    """Label propagation exhausted max_iter with labels still changing."""
 
 
 def connected_components(
@@ -35,13 +41,24 @@ def connected_components(
     right_col: str = "id_b",
     max_iter: int = 20,
     checkpoint: bool = True,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """(id, component): component = min vertex id reachable from id.
 
     ``pairs`` is an edge list (direction irrelevant, self-loops/dups
     fine). Vertices only ever appearing alone are absent — union the full
     id universe downstream if singletons matter (`dedup_canonical` does).
+
+    Propagation advances one hop per round, so a chain deeper than
+    ``max_iter`` would otherwise return silently-split components (and a
+    downstream dedup would keep several docs per true cluster). If the
+    loop exits via ``max_iter`` with labels still changing, the result is
+    TRUNCATED, not converged — ``on_nonconverged`` controls the reaction:
+    'raise' (default, NotConvergedError), 'warn' (RuntimeWarning, return
+    the partial labels), or 'ignore'.
     """
+    if on_nonconverged not in ("raise", "warn", "ignore"):
+        raise ValueError(on_nonconverged)
     edges = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .unionByName(
@@ -58,6 +75,7 @@ def connected_components(
         edges = edges.localCheckpoint()
         labels = labels.localCheckpoint()
 
+    changed = 0
     for _ in range(max_iter):
         # min label over the closed neighborhood of each vertex
         neighbor_labels = (
@@ -82,6 +100,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — labels are a "
+            "truncated, possibly split, clustering"
+        )
+        if on_nonconverged == "raise":
+            raise NotConvergedError(msg)
+        if on_nonconverged == "warn":
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

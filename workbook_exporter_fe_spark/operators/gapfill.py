@@ -225,6 +225,71 @@ def interpolate_segmented(
     )
 
 
+def fill_segmented(
+    dense: DataFrame,
+    fills: dict[str, str],
+    value_col: str = "avg_v",
+    key: str = "source",
+    segment: str = "1d",
+) -> DataFrame:
+    """Several segmented fills of ``value_col`` in ONE carry pass.
+
+    ``fills`` maps output column → method ('locf' | 'interp'). Equivalent
+    to running ``locf_segmented`` and ``interpolate_segmented`` separately
+    (bit-identical, pinned by tests) but computes the per-segment window
+    lookups and the cross-segment carry summary ONCE and derives every
+    requested fill as a projection over them — the q64 gate query formerly
+    built the carry lineage + join twice (2.4× the cost of one pass).
+    """
+    for how in fills.values():
+        if how not in ("locf", "interp"):
+            raise ValueError(how)
+    ws = _with_segment(dense, segment)
+    v = F.col(value_col)
+    wb = (
+        Window.partitionBy(key, "_seg")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(key, "_seg")
+        .orderBy(F.col("bucket_ts").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ts_obs = F.when(v.isNotNull(), F.col("bucket_ts"))
+    step = (
+        ws.withColumn("_lpv", F.last(v, ignorenulls=True).over(wb))
+        .withColumn("_lpt", F.last(ts_obs, ignorenulls=True).over(wb))
+        .withColumn("_lnv", F.last(v, ignorenulls=True).over(wf))
+        .withColumn("_lnt", F.last(ts_obs, ignorenulls=True).over(wf))
+    )
+    joined = step.join(_segment_carries(ws, value_col, key), [key, "_seg"])
+    prev_v = F.coalesce(F.col("_lpv"), F.col("carry_prev_v"))
+    prev_t = F.coalesce(F.col("_lpt"), F.col("carry_prev_t")).cast("double")
+    next_v = F.coalesce(F.col("_lnv"), F.col("carry_next_v"))
+    next_t = F.coalesce(F.col("_lnt"), F.col("carry_next_t")).cast("double")
+    t = F.col("bucket_ts").cast("double")
+    frac = (t - prev_t) / (next_t - prev_t)
+    out = joined
+    for out_col, how in fills.items():
+        if how == "locf":
+            # _lpv's running frame includes the current row, so this IS
+            # locf_segmented's coalesce(local, carry_prev_v)
+            expr = prev_v
+        else:
+            expr = (
+                F.when(v.isNotNull(), v)
+                .when(prev_v.isNull(), next_v)
+                .when(next_v.isNull(), prev_v)
+                .otherwise(prev_v + (next_v - prev_v) * frac)
+            )
+        out = out.withColumn(out_col, expr)
+    return out.drop(
+        "_seg", "_lpv", "_lpt", "_lnv", "_lnt",
+        "carry_prev_v", "carry_prev_t", "carry_next_v", "carry_next_t",
+    )
+
+
 def align_series(
     a: DataFrame,
     b: DataFrame,

@@ -1,18 +1,32 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side plumbing is real — schemas, Arrow batch shapes, grouped
-partitioning, batched `mapInPandas` UDFs — while the actual media decode is
-stubbed behind ``DECODERS`` (the image/audio libraries are not in this
-container). Swapping a real decoder in changes one dict entry, nothing in
-the plan.
+The Spark-side plumbing — schemas, Arrow batch shapes, batched
+`mapInPandas` UDFs, plan-side kind pruning — carries REAL decoders for the
+three uncompressed formats a no-media-libs container can still parse in
+pure numpy:
+
+- image: binary PPM (P6) — ASCII header + raw RGB bytes;
+- audio: WAV (RIFF, PCM16 mono) — 44-byte canonical header + LE samples;
+- video: a raw-frames container (``RVID`` + u16le w/h/n_frames + grayscale
+  frame planes) standing in for an uncompressed y4m-style stream.
+
+Compressed formats (JPEG/MP3/H.264) still need external libraries; the
+seam is one ``DECODERS`` dict entry per kind — swapping `PIL.Image.open`
+in changes nothing in the plan.
+
+``gen_media`` emits payloads whose decoded content is a closed-form
+function of the media id ((id + j) mod 256 pixel ramps, (id + k) mod 2001
+− 1000 samples), which is what lets the q52 gate query hash-check decoded
+dimensions and content checksums against a DuckDB oracle that never
+decodes a byte — the oracle derives the same numbers arithmetically.
 
 Schema convention:
     media(media_id string, kind string, payload binary,
           meta struct<width:int, height:int, sample_rate:int, n_frames:int>)
 
 Scale design: payloads are the wide column — every operator here projects
-(media_id, kind, payload) only and processes Arrow batches, so executor
-memory is bounded by (#rows/batch × payload size); tune
+(media_id, kind, payload[, meta]) only and processes Arrow batches, so
+executor memory is bounded by (#rows/batch × payload size); tune
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` for large media. Feature
 vectors come back as fixed-width arrays (columnar, splittable); frame
 sampling fans out via explode-style multi-row yield inside the same batch.
@@ -20,6 +34,7 @@ sampling fans out via explode-style multi-row yield inside the same batch.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -35,113 +50,274 @@ MEDIA_SCHEMA = (
 
 FEATURE_DIM = 16
 
+AUDIO_SR = 8000
+AUDIO_MOD = 2001  # samples are ((id + k) % 2001) - 1000
 
-def _stub_decode_image(payload: bytes, meta) -> np.ndarray:
-    """STUB: deterministic fake pixel stats derived from payload bytes.
 
-    A real implementation would be `PIL.Image.open(io.BytesIO(payload))`;
-    not installed here, so features are byte-level statistics — the UDF
-    signature, batching, and output schema are exactly what the real
-    decoder would use."""
-    a = np.frombuffer(payload, dtype=np.uint8)
-    if len(a) == 0:
-        return np.zeros(FEATURE_DIM)
-    chunks = np.array_split(a.astype(np.float64), FEATURE_DIM)
+# --------------------------------------------------------------------------
+# Real pure-numpy decoders
+# --------------------------------------------------------------------------
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PPM (P6): returns (width, height, flat RGB uint8)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval as whitespace-separated ASCII
+    parts: list[bytes] = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(p) for p in parts)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    if len(payload) - i < 3 * w * h:
+        raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=i)
+    return w, h, px
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a PCM16-mono RIFF/WAVE: returns (sample_rate, int16 samples)."""
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    # walk chunks: fmt_ then data (canonical 44-byte layout, but parse
+    # properly so any well-formed PCM16 mono file decodes)
+    pos, sr, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, n_ch, sr = struct.unpack("<HHI", body[0:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_tag != 1 or n_ch != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)
+    if sr is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, samples
+
+
+def decode_rvid(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse the RVID raw-frame container: (width, height, frames[nf, h*w])."""
+    if payload[0:4] != b"RVID":
+        raise ValueError("not an RVID payload")
+    w, h, nf = struct.unpack("<HHH", payload[4:10])
+    if len(payload) - 10 < nf * w * h:
+        raise ValueError("truncated RVID frame data")
+    body = np.frombuffer(payload, dtype=np.uint8, count=nf * w * h, offset=10)
+    return w, h, body.reshape(nf, h * w)
+
+
+def _features_image(payload: bytes, meta) -> np.ndarray:
+    _, _, px = decode_ppm(payload)
+    chunks = np.array_split(px.astype(np.float64), FEATURE_DIM)
     return np.array([c.mean() if len(c) else 0.0 for c in chunks])
 
 
-def _stub_decode_audio(payload: bytes, meta) -> np.ndarray:
-    a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-    if len(a) == 0:
-        return np.zeros(FEATURE_DIM)
-    # fake "waveform energy bands": strided RMS
-    chunks = np.array_split(a, FEATURE_DIM)
-    return np.array([float(np.sqrt((c**2).mean())) if len(c) else 0.0 for c in chunks])
+def _features_audio(payload: bytes, meta) -> np.ndarray:
+    _, s = decode_wav(payload)
+    bands = np.array_split(s.astype(np.float64), FEATURE_DIM)
+    return np.array(
+        [float(np.sqrt((b**2).mean())) if len(b) else 0.0 for b in bands]
+    )
 
 
-def _unsupported(payload: bytes, meta) -> np.ndarray:
-    raise NotImplementedError("no decoder for this media kind in this build")
+def _features_video(payload: bytes, meta) -> np.ndarray:
+    _, _, frames = decode_rvid(payload)
+    means = frames.astype(np.float64).mean(axis=1)[:FEATURE_DIM]
+    out = np.zeros(FEATURE_DIM)
+    out[: len(means)] = means
+    return out
 
 
 DECODERS: dict[str, Callable[[bytes, object], np.ndarray]] = {
-    "image": _stub_decode_image,
-    "audio": _stub_decode_audio,
-    "video": _unsupported,
+    "image": _features_image,
+    "audio": _features_audio,
+    "video": _features_video,
+}
+
+# decoded content checksum per kind: (n_values, int sum of decoded values)
+_STATS: dict[str, Callable[[bytes], tuple[int, int]]] = {
+    "image": lambda p: (lambda w, h, px: (len(px), int(px.sum())))(*decode_ppm(p)),
+    "audio": lambda p: (lambda sr, s: (len(s), int(s.astype(np.int64).sum())))(
+        *decode_wav(p)
+    ),
+    "video": lambda p: (
+        lambda w, h, fr: (fr.size, int(fr.astype(np.int64).sum()))
+    )(*decode_rvid(p)),
 }
 
 
+# --------------------------------------------------------------------------
+# Deterministic generator (real formats, closed-form content)
+# --------------------------------------------------------------------------
+
+
+def _img_dims(i: int) -> tuple[int, int]:
+    return i % 5 + 2, i % 4 + 2
+
+
+def _vid_dims(i: int) -> tuple[int, int, int]:
+    return i % 6 + 2, i % 5 + 2, i % 90 + 1
+
+
+def _audio_n(i: int) -> int:
+    return i % 50 + 10
+
+
+def _make_payload(
+    i: int, seed: int
+) -> tuple[str, bytes, tuple[int, int, int, int]]:
+    kind = ("image", "audio", "video")[i % 3]
+    base = i + seed
+    if kind == "image":
+        w, h = _img_dims(i)
+        px = ((base + np.arange(3 * w * h)) % 256).astype(np.uint8)
+        payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+        meta = (w, h, 0, 0)
+    elif kind == "audio":
+        n = _audio_n(i)
+        s = (((base + np.arange(n)) % AUDIO_MOD) - 1000).astype("<i2")
+        data = s.tobytes()
+        payload = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, AUDIO_SR, AUDIO_SR * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        meta = (0, 0, AUDIO_SR, 0)
+    else:
+        w, h, nf = _vid_dims(i)
+        frames = np.concatenate(
+            [((base + f * 13 + np.arange(w * h)) % 256) for f in range(nf)]
+        ).astype(np.uint8)
+        payload = b"RVID" + struct.pack("<HHH", w, h, nf) + frames.tobytes()
+        meta = (w, h, 0, nf)
+    return kind, payload, meta
+
+
 def gen_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
-    df = spark.range(0, n)
-    kind = F.when(F.col("id") % 3 == 0, "image").when(F.col("id") % 3 == 1, "audio").otherwise("video")
-    payload = F.sha2(F.concat(F.lit(seed), F.col("id")), 512).cast("binary")
-    meta = F.struct(
-        (F.col("id") % 640 + 1).cast("int").alias("width"),
-        (F.col("id") % 480 + 1).cast("int").alias("height"),
-        F.lit(16000).cast("int").alias("sample_rate"),
-        (F.col("id") % 120 + 1).cast("int").alias("n_frames"),
-    )
-    return df.select(
-        F.format_string("media-%09d", F.col("id")).alias("media_id"),
-        kind.alias("kind"),
-        payload.alias("payload"),
-        meta.alias("meta"),
-    )
+    """Deterministic synthetic media table in REAL formats (PPM / WAV /
+    RVID). Dimensions derive from the id alone; ``seed`` shifts every
+    content ramp (pixel/sample/frame values start at id + seed) so
+    distinct corpora differ while staying closed-form — the q52 oracle
+    pins seed=7 and reproduces every checksum arithmetically."""
 
-
-def extract_features(media: DataFrame, kinds: tuple[str, ...] = ("image", "audio")) -> DataFrame:
-    """(media_id, kind, features array<double>) via batched mapInPandas.
-
-    Rows whose kind has no decoder are filtered out plan-side (predicate
-    pushdown) rather than raising inside the UDF."""
-    out_schema = "media_id string, kind string, features array<double>"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                DECODERS[k](bytes(p), m)
-                for k, p, m in zip(pdf["kind"], pdf["payload"], pdf["meta"])
-            ]
+            rows = [_make_payload(int(i), seed) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "features": [f.tolist() for f in feats],
+                    "media_id": [f"media-{int(i):09d}" for i in pdf["id"]],
+                    "kind": [r[0] for r in rows],
+                    "payload": [r[1] for r in rows],
+                    "meta": [
+                        {
+                            "width": r[2][0],
+                            "height": r[2][1],
+                            "sample_rate": r[2][2],
+                            "n_frames": r[2][3],
+                        }
+                        for r in rows
+                    ],
                 }
             )
 
+    return spark.range(0, n).mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Operators
+# --------------------------------------------------------------------------
+
+
+def extract_features(
+    media: DataFrame,
+    kinds: tuple[str, ...] = ("image", "audio"),
+    with_stats: bool = False,
+) -> DataFrame:
+    """(media_id, kind, features array<double>[, n_vals, val_sum]) via
+    batched mapInPandas over REAL decodes.
+
+    Rows whose kind has no decoder are filtered out plan-side (predicate
+    pushdown) rather than raising inside the UDF. ``with_stats`` adds the
+    decode-verification columns: number of decoded values and their exact
+    int64 sum — the checksum pair the q52 gate hash-checks."""
+    out_schema = "media_id string, kind string, features array<double>"
+    if with_stats:
+        out_schema += ", n_vals int, val_sum bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, stats = [], []
+            for k, p in zip(pdf["kind"], pdf["payload"]):
+                raw = bytes(p)
+                feats.append(DECODERS[k](raw, None))
+                if with_stats:
+                    stats.append(_STATS[k](raw))
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "features": [f.tolist() for f in feats],
+            }
+            if with_stats:
+                out["n_vals"] = [s[0] for s in stats]
+                out["val_sum"] = [s[1] for s in stats]
+            yield pd.DataFrame(out)
+
     pruned = media.filter(F.col("kind").isin(list(kinds))).select(
-        "media_id", "kind", "payload", "meta"
+        "media_id", "kind", "payload"
     )
     return pruned.mapInPandas(run, schema=out_schema)
 
 
-def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame index.
-
-    Frame *extraction* is stubbed (payload passthrough slice); the fan-out,
-    schema, and per-batch multi-row yield are the real shape."""
+def sample_frames(
+    media: DataFrame, every_n: int = 30, with_stats: bool = False
+) -> DataFrame:
+    """One output row per sampled frame: REAL frame extraction from the
+    RVID container (frame_payload = that frame's decoded plane bytes).
+    ``with_stats`` adds (n_vals, val_sum) decode checksums per frame."""
     out_schema = "media_id string, frame_idx int, frame_payload binary"
+    if with_stats:
+        out_schema += ", n_vals int, val_sum bigint"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, payloads = [], [], []
-            for mid, p, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                n_frames = int(meta["n_frames"]) if meta is not None else 0
-                raw = bytes(p)
-                for fi in range(0, n_frames, every_n):
-                    ids.append(mid)
-                    idxs.append(fi)
-                    # STUB: real impl decodes frame fi; fake = rolling slice
-                    off = fi % max(len(raw) - 8, 1)
-                    payloads.append(raw[off : off + 8])
-            yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
-            )
+            rows: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_payload": [],
+            }
+            if with_stats:
+                rows["n_vals"], rows["val_sum"] = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, _, frames = decode_rvid(bytes(p))
+                for fi in range(0, frames.shape[0], every_n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(fi)
+                    rows["frame_payload"].append(frames[fi].tobytes())
+                    if with_stats:
+                        rows["n_vals"].append(frames.shape[1])
+                        rows["val_sum"].append(
+                            int(frames[fi].astype(np.int64).sum())
+                        )
+            yield pd.DataFrame(rows)
 
     return (
         media.filter(F.col("kind") == "video")
-        .select("media_id", "payload", "meta")
+        .select("media_id", "payload")
         .mapInPandas(run, schema=out_schema)
     )
 
@@ -149,29 +325,24 @@ def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
 def resize_images(
     media: DataFrame, width: int = 64, height: int = 64
 ) -> DataFrame:
-    """(media_id, width, height, payload binary): image resize plumbing.
+    """(media_id, width, height, payload binary): REAL 2-D nearest-neighbour
+    resize of the decoded PPM pixel grid to width×height RGB.
 
-    STUB decode/encode (no image libs in this container): the "resize"
-    maps the payload bytes onto a deterministic width×height grid by
-    nearest-neighbour index sampling — exactly the array-shape contract a
-    real `PIL.Image.resize` implementation would fill in (swap the body,
-    keep the schema/batching). Only rows with kind='image' are read
-    (plan-side pruning), and output payload size is bounded at
-    width×height bytes regardless of input size — the property that makes
-    the shuffle/write after a resize predictable at 100 TB."""
+    Only rows with kind='image' are read (plan-side pruning), and output
+    payload size is bounded at 3·width·height bytes regardless of input
+    size — the property that makes the shuffle/write after a resize
+    predictable at 100 TB."""
     out_schema = "media_id string, width int, height int, payload binary"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = width * height
         for pdf in batches:
             payloads = []
             for p in pdf["payload"]:
-                a = np.frombuffer(bytes(p), dtype=np.uint8)
-                if len(a) == 0:
-                    payloads.append(b"\x00" * target)
-                    continue
-                idx = (np.arange(target) * len(a)) // target
-                payloads.append(a[idx].tobytes())
+                sw, sh, px = decode_ppm(bytes(p))
+                img = px.reshape(sh, sw, 3)
+                yi = (np.arange(height) * sh) // height
+                xi = (np.arange(width) * sw) // width
+                payloads.append(img[yi][:, xi].tobytes())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -242,24 +242,44 @@ def ewma_expr(
 
     Computed as a * running_sum(v_i / (1-a)^i) * (1-a)^t (+ the v_0 term).
     (1-a)^-i grows without bound, so the closed form is numerically valid
-    only while (1-a)^-t stays inside double range; the operator RESTARTS
-    the recurrence every `segment` rows (exact restart via the segment's
-    carry-in handled by `ewma`'s applyInPandas in the general case) — use
-    this variant when series are short (≤ ~700 rows for alpha=0.3);
-    prefer `ewma` otherwise. Kept as the codegen-only alternative and
-    cross-checked against `ewma` in tests.
+    only while (1-a)^-t stays inside double range — this variant is for
+    SHORT series and GUARDS the boundary: any series longer than the
+    alpha-dependent safe depth raises at execution time (conditional
+    ``raise_error``, still whole-stage codegen on the happy path) instead
+    of silently emitting inf/NaN. For long series use ``ewma``
+    (applyInPandas recurrence, depth-unbounded). Cross-checked against
+    ``ewma`` in tests, including the guard path.
     """
+    import math
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     w = Window.partitionBy(key).orderBy(ts_col)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     t = F.row_number().over(w) - 1  # 0-based position
     beta = 1.0 - alpha
+    if beta == 0.0:
+        return t1.withColumn("ewma", F.col(value_col).cast("double"))
+    # beta^-t must stay well inside double range (e^708); 650 leaves
+    # headroom for |v| up to ~1e25 inside the running sum
+    safe_t = int(650.0 / -math.log(beta))
     # weighted running sum of v_i * beta^{-i}, then scale by beta^t
     wsum = F.sum(F.col(value_col) * F.pow(F.lit(beta), -t)).over(run)
     first = F.first(value_col).over(run)
     s = F.pow(F.lit(beta), t) * (
         F.lit(alpha) * (wsum - first) + first
     )
-    return t1.withColumn("ewma", s)
+    guarded = F.when(
+        t >= safe_t,
+        F.raise_error(
+            F.lit(
+                f"ewma_expr: series deeper than {safe_t} rows exceeds the "
+                f"closed form's double range at alpha={alpha}; use ewma() "
+                "(applyInPandas) for long series"
+            )
+        ).cast("double"),
+    ).otherwise(s)
+    return t1.withColumn("ewma", guarded)
 
 
 def linear_fit(
@@ -268,6 +288,8 @@ def linear_fit(
     key: str = "source",
     ts_col: str = "bucket_ts",
     n: int = 30,
+    scale: int | None = None,
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-row least-squares slope/intercept over the trailing n buckets
     (inclusive) — the PromQL deriv() building block.
@@ -276,30 +298,61 @@ def linear_fit(
     intercept at the current bucket's timestamp. All five frame sums ride
     ONE bounded ROW frame (Spark evaluates them in a single Window pass),
     whole-stage codegen, no UDFs. Degenerate frames (k < 2 or zero time
-    variance) yield NULL slope.
+    variance) yield NULL slope. ``tiebreak`` columns pin the frame order
+    when timestamps tie (mandatory for event-grain inputs).
 
     Numerical note: raw epoch seconds (~1.7e9) make k·Σt² − (Σt)² a
     difference of ~1e21-magnitude operands whose true value is only
     ~k²·var(t) (~1e7 for minute buckets) — complete double cancellation.
     Time is therefore centered per key (t − min(t) over the partition,
     one extra O(n) window) before the sums; the slope and the evaluated
-    fit are shift-invariant."""
-    w = Window.partitionBy(key).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    fit are shift-invariant.
+
+    ``scale`` switches to the ENGINE-PORTABLE EXACT mode for values with a
+    known decimal scale (the `_isum` rule, CLAUDE.md): y is int64-scaled
+    by ``scale``, time floors to whole epoch seconds, all five frame sums
+    and both cross products are exact int64, and the only float ops are
+    the final divisions/affine evaluation — a fixed IEEE op sequence any
+    engine reproduces bit-for-bit, which is what lets deriv/predict be
+    value-hash-checked against a DuckDB oracle in the driver gate."""
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(-(n - 1), 0)
     wkey = Window.partitionBy(key)
-    raw_t = F.col(ts_col).cast("timestamp").cast("double")
+    if scale is None:
+        raw_t = F.col(ts_col).cast("timestamp").cast("double")
+        t = raw_t - F.min(raw_t).over(wkey)
+        y = F.col(value_col)
+        k = F.count(y).over(w).cast("double")
+        st = F.sum(t).over(w)
+        sy = F.sum(y).over(w)
+        sty = F.sum(t * y).over(w)
+        stt = F.sum(t * t).over(w)
+        denom = k * stt - st * st
+        slope = F.when((k >= 2) & (denom > 0), (k * sty - st * sy) / denom)
+        intercept = (sy - slope * st) / k
+        return t1.withColumn("slope_per_sec", slope).withColumn(
+            "fit_at_now", intercept + slope * t
+        )
+    raw_t = F.col(ts_col).cast("timestamp").cast("long")  # floor to seconds
     t = raw_t - F.min(raw_t).over(wkey)
-    y = F.col(value_col)
-    k = F.count(y).over(w).cast("double")
+    x = F.round(F.col(value_col) * scale).cast("long")
+    k = F.count(x).over(w)  # long
     st = F.sum(t).over(w)
-    sy = F.sum(y).over(w)
-    sty = F.sum(t * y).over(w)
+    sx = F.sum(x).over(w)
+    stx = F.sum(t * x).over(w)
     stt = F.sum(t * t).over(w)
-    denom = k * stt - st * st
-    slope = F.when((k >= 2) & (denom > 0), (k * sty - st * sy) / denom)
-    intercept = (sy - slope * st) / k
-    return t1.withColumn("slope_per_sec", slope).withColumn(
-        "fit_at_now", intercept + slope * t
+    den = k * stt - st * st  # exact int64 for day..month spans
+    num = k * stx - st * sx
+    slope_x = F.when(
+        (k >= 2) & (den > 0), num.cast("double") / den.cast("double")
     )
+    fit_x = (
+        (sx.cast("double") - slope_x * st.cast("double")) / k.cast("double")
+        + slope_x * t.cast("double")
+    )
+    return t1.withColumn(
+        "slope_per_sec", slope_x / F.lit(float(scale))
+    ).withColumn("fit_at_now", fit_x / F.lit(float(scale)))
 
 
 def predict_linear(
@@ -309,11 +362,13 @@ def predict_linear(
     key: str = "source",
     ts_col: str = "bucket_ts",
     n: int = 30,
+    scale: int | None = None,
+    tiebreak: tuple[str, ...] = (),
 ) -> DataFrame:
     """PromQL predict_linear(): extrapolate each series ``horizon_seconds``
     ahead from the trailing-window least-squares fit. The canonical
     capacity-planning query ("disk full in 4h?") over tier tables."""
-    fit = linear_fit(t1, value_col, key, ts_col, n)
+    fit = linear_fit(t1, value_col, key, ts_col, n, scale=scale, tiebreak=tiebreak)
     return fit.withColumn(
         "predicted",
         F.col("fit_at_now") + F.col("slope_per_sec") * F.lit(float(horizon_seconds)),

@@ -89,8 +89,16 @@ def expire_tiers(
     row mutation — the per-row invariant that surviving rows are
     byte-identical holds by construction). At 100 TB, partition tier
     tables by a day column and this filter becomes partition DELETEs; on
-    the hive-parquet backend here it is a table rewrite of the small tier
-    relations.
+    the hive-parquet backend here it is a local-filesystem table rewrite
+    of the small tier relations (object stores need the table-format
+    DELETE path instead).
+
+    Every expiry also records its per-tier cutoff in
+    ``{out_dir}/_manifest/retention.json`` (max-merged across runs) so
+    ``TierPipeline.verify()`` can scope its cross-tier equality and chunk
+    round-trip checks to the range where BOTH tiers are still retained —
+    without this, a verify after any expiry would flag a perfectly
+    healthy store.
 
     Returns per-tier {rows_before, rows_after, dropped, cutoff}.
     """
@@ -117,22 +125,71 @@ def expire_tiers(
     if wm is None:
         wm = watermark(spark.read.parquet(f"{out_dir}/{order[0]}"))
     stats: dict = {}
-    for tier in order:
+    cutoffs: dict[str, str] = {}
+    for tier, ttl_secs in zip(order, ttls):
         path = f"{out_dir}/{tier}"
         t = spark.read.parquet(path)
         kept = apply_retention(t, policies[tier], wm=wm)
         before, after = t.count(), kept.count()
         if after < before:
+            # Recoverable swap (local-FS assumption, see module docstring):
+            # write staged → rename live aside → promote staged → drop the
+            # aside copy. A crash at any point leaves either the old table
+            # at its canonical path or BOTH copies on disk (path__old
+            # recoverable by hand) — never a missing tier. On an object
+            # store / real table format this whole branch is a partition
+            # DELETE / replaceWhere instead.
             staged = f"{path}__staged"
+            old = f"{path}__old"
             kept.write.mode("overwrite").parquet(staged)
             import shutil
 
-            shutil.rmtree(path)
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.move(path, old)
             shutil.move(staged, path)
+            shutil.rmtree(old)
+        from datetime import timedelta
+
+        cutoff_ts = wm - timedelta(seconds=ttl_secs)
+        cutoffs[tier] = cutoff_ts.isoformat()
         stats[tier] = {
             "rows_before": before,
             "rows_after": after,
             "dropped": before - after,
-            "cutoff": str(wm) + " - " + policies[tier],
+            "cutoff": cutoffs[tier],
         }
+    _record_cutoffs(out_dir, cutoffs)
     return stats
+
+
+def _record_cutoffs(out_dir: str, cutoffs: dict[str, str]) -> None:
+    """Max-merge per-tier retention cutoffs into the manifest sidecar."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, "_manifest", "retention.json")
+    prior: dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+    # max() on ISO strings is chronological (fixed-width format)
+    merged = dict(prior)
+    for t, c in cutoffs.items():
+        merged[t] = max(merged.get(t, c), c)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(merged, f)
+
+
+def read_cutoffs(out_dir: str) -> dict:
+    """Per-tier retention cutoffs recorded by expire_tiers (datetime
+    values), or {} if the store has never been expired."""
+    import json
+    import os
+    from datetime import datetime
+
+    path = os.path.join(out_dir, "_manifest", "retention.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return {t: datetime.fromisoformat(c) for t, c in json.load(f).items()}

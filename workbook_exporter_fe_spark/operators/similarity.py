@@ -247,22 +247,40 @@ def kmeans_fit(
     with small k, not per candidate pair (CLAUDE.md HOF rule). Lineage is
     localCheckpoint-truncated per iteration. Empty cells keep their
     previous centroid.
+
+    Init is a global TakeOrdered (``orderBy(_h).limit(k)``): every
+    partition contributes only its local top-k, so no single task ever
+    holds the corpus — unlike an unpartitioned row_number window, which
+    funnels the whole table through one partition.
     """
     from pyspark.sql import Window
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty embeddings input")
+    dim = len(first[0])
     v = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("x")
     ).localCheckpoint()
 
-    wh = Window.orderBy("_h")
-    cents = (
+    # k smallest-md5 rows via TakeOrdered (parallel partial top-k per
+    # partition + driver merge of k-row heads) — same deterministic k rows
+    # as the former global-window formulation, minus its one-task funnel.
+    seed_rows = (
         v.withColumn("_h", F.md5(F.col("id").cast("string")))
-        .withColumn("_rn", F.row_number().over(wh))
-        .filter(F.col("_rn") <= k)
-        .select((F.col("_rn") - 1).alias("cid"), F.col("x").alias("cv"))
-        .localCheckpoint()
+        .orderBy("_h")
+        .limit(k)
+        .collect()
     )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_fit: need at least k={k} rows, got {len(seed_rows)}"
+        )
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(cid, list(r["x"])) for cid, r in enumerate(seed_rows)],
+        "cid INT, cv ARRAY<DOUBLE>",
+    ).localCheckpoint()
 
     def dist2(a, b):
         return F.aggregate(

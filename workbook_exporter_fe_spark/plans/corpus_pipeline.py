@@ -13,10 +13,11 @@ chain) runs at corpus scale:
       → bounded-size shard export (maxRecordsPerFile roll)
 
 Everything before the final write is either a pure projection/filter or
-ONE content-hash shuffle (the dedup groupBy) — the pipeline's cost at
-100 TB is the scan plus a single exchange over (hash, id) pairs, and the
-stage metrics come from one count per stage boundary (each a cheap
-aggregate over the already-built lineage, cached once).
+ONE content-hash shuffle (the dedup window) — the pipeline's cost at
+100 TB is the scan plus a single exchange keyed by content hash. Stage
+metrics are ``Observation`` rows collected DURING the one shard-write
+action (CollectMetrics nodes in the write's own plan), so the whole
+chain executes exactly one scan of the corpus — zero extra actions.
 """
 
 from __future__ import annotations
@@ -44,11 +45,20 @@ def dedup_exact_keep_first(
 ) -> DataFrame:
     """Keep one row per distinct content (min id wins — deterministic).
 
-    One shuffle keyed by the content hash; the winners relation is
-    distinct-content-sized and rejoins on (hash, id) so no row data rides
-    the dedup exchange, only (hash, id) pairs."""
-    winners = docs.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
-    return docs.join(winners, [hash_col, id_col], "leftsemi")
+    ONE shuffle keyed by the content hash and a LINEAR lineage: rank rows
+    within each hash group and keep rank 1. The former groupBy-winners +
+    leftsemi-rejoin formulation scanned the input twice (both sides of
+    the self-join) and shuffled twice; the window form shuffles the same
+    rows once and lets downstream observation metrics ride a single
+    action (curate_corpus's one-scan contract)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(hash_col).orderBy(id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def curate_corpus(
@@ -69,33 +79,46 @@ def curate_corpus(
     shards with bounded row counts. All gates are pure functions of the
     data (md5-based), so the same corpus curates identically on any
     cluster size, partition layout, or rerun — the property that makes the
-    pipeline resumable and its outputs diffable."""
-    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
-    metrics: dict = {"input_rows": docs.count()}
+    pipeline resumable and its outputs diffable.
 
-    ann = annotate_documents(docs, text_col)
-    deduped = dedup_exact_keep_first(ann, id_col)
-    metrics["after_dedup"] = deduped.count()
-    metrics["dup_rows_removed"] = metrics["input_rows"] - metrics["after_dedup"]
+    Single-pass metrics: every stage boundary count is an ``Observation``
+    (a CollectMetrics node in the lineage), all collected by ONE action —
+    the shard write itself (or one count when ``out_dir`` is None). No
+    per-stage .count() actions, no cache, no re-execution of the dedup
+    shuffle (tests pin zero extra actions)."""
+    from pyspark.sql import Observation
+
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    n = F.count(F.lit(1)).alias("rows")
+
+    # unnamed observations get unique auto-names — curate_corpus may run
+    # several times per session and named observations would cross-match
+    obs_in, obs_dedup, obs_filter, obs_sample, obs_split = (
+        Observation() for _ in range(5)
+    )
+
+    ann = annotate_documents(docs.observe(obs_in, n), text_col)
+    deduped = dedup_exact_keep_first(ann, id_col).observe(obs_dedup, n)
 
     kept = deduped
     if langs is not None:
         kept = kept.filter(F.col("lang_pred").isin(list(langs)))
     if quality_min > 0.0:
         kept = kept.filter(F.col("quality_score") >= quality_min)
-    metrics["after_filter"] = kept.count()
+    kept = kept.observe(obs_filter, n)
 
-    if sample_rate < 1.0:
-        kept = hash_sample(kept, sample_rate, key_col=id_col)
-        metrics["after_sample"] = kept.count()
-    else:
-        metrics["after_sample"] = metrics["after_filter"]
+    sampled = sample_rate < 1.0
+    if sampled:
+        kept = hash_sample(kept, sample_rate, key_col=id_col).observe(obs_sample, n)
 
-    final = hash_split(kept, splits, key_col=id_col)
-    metrics["split_rows"] = {
-        r["split"]: r["n"]
-        for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
-    }
+    final = hash_split(kept, splits, key_col=id_col).observe(
+        obs_split,
+        n,
+        *[
+            F.sum(F.when(F.col("split") == s, 1).otherwise(0)).alias(f"n_{s}")
+            for s in splits
+        ],
+    )
 
     if out_dir is not None:
         write_shards(
@@ -105,5 +128,22 @@ def curate_corpus(
             partition_by=["split"],
             sort_within=[id_col],
         )
+    else:
+        final.write.mode("overwrite").format("noop").save()
+
+    split_obs = obs_split.get
+    metrics: dict = {
+        "input_rows": obs_in.get["rows"],
+        "after_dedup": obs_dedup.get["rows"],
+        "after_filter": obs_filter.get["rows"],
+        "after_sample": obs_sample.get["rows"] if sampled else obs_filter.get["rows"],
+        "split_rows": {
+            s: split_obs[f"n_{s}"]
+            for s in splits
+            if (split_obs[f"n_{s}"] or 0) > 0
+        },
+    }
+    metrics["dup_rows_removed"] = metrics["input_rows"] - metrics["after_dedup"]
+    if out_dir is not None:
         metrics["out_dir"] = out_dir
     return final, metrics

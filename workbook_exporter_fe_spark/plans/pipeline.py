@@ -282,15 +282,27 @@ class TierPipeline:
         - no duplicate (source, bucket_ts) keys in any tier (merge
           idempotency held).
         Each check is one exceptAll/groupBy job over tier-sized tables.
+
+        After an ``expire_tiers`` run the tiers deliberately cover
+        different horizons (fine tiers expire first), so each cross-tier
+        check is scoped to the range where BOTH tiers are retained: the
+        fine tier's recorded cutoff (operators/retention.read_cutoffs),
+        rounded UP to the next full coarse bucket so partially-expired
+        boundary buckets are excluded. A never-expired store verifies the
+        full range, as before.
         """
+        from datetime import timedelta
+
         from workbook_exporter_fe_spark.functions.spark_codecs import (
             decompress_chunks,
         )
+        from workbook_exporter_fe_spark.operators.retention import read_cutoffs
 
         r = self.spark.read
         t1 = r.parquet(f"{self.out}/tier1")
         t2 = r.parquet(f"{self.out}/tier2")
         t3 = r.parquet(f"{self.out}/tier3")
+        cuts = read_cutoffs(self.out)
         checks: dict = {}
 
         def _equal(a: DataFrame, b: DataFrame) -> bool:
@@ -300,8 +312,28 @@ class TierPipeline:
                 a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
             )
 
-        checks["tier2_equals_reagg_tier1"] = _equal(t2, reaggregate(t1, "1h"))
-        checks["tier3_equals_reagg_tier2"] = _equal(t3, reaggregate(t2, "1d"))
+        def _ceil(cut, unit: str):
+            """Smallest coarse-bucket start fully above the cutoff."""
+            if unit == "1h":
+                floor = cut.replace(minute=0, second=0, microsecond=0)
+                return floor + timedelta(hours=1)
+            floor = cut.replace(hour=0, minute=0, second=0, microsecond=0)
+            return floor + timedelta(days=1)
+
+        def _scope(fine, coarse, fine_cut, unit):
+            if fine_cut is None:
+                return fine, coarse
+            lo = _ceil(fine_cut, unit)
+            trunc = "hour" if unit == "1h" else "day"
+            return (
+                fine.filter(F.date_trunc(trunc, "bucket_ts") >= F.lit(lo)),
+                coarse.filter(F.col("bucket_ts") >= F.lit(lo)),
+            )
+
+        s1, s2 = _scope(t1, t2, cuts.get("tier1"), "1h")
+        checks["tier2_equals_reagg_tier1"] = _equal(s2, reaggregate(s1, "1h"))
+        s2b, s3 = _scope(t2, t3, cuts.get("tier2"), "1d")
+        checks["tier3_equals_reagg_tier2"] = _equal(s3, reaggregate(s2b, "1d"))
 
         chunks = r.parquet(f"{self.out}/chunks")
         decoded = decompress_chunks(chunks, value_col=self.value_col).select(
@@ -310,6 +342,13 @@ class TierPipeline:
             self.value_col,
         )
         stored = t1.select("source", "bucket_ts", self.value_col)
+        t1_cut = cuts.get("tier1")
+        if t1_cut is not None:
+            # chunks keep whole (source, day) segments; compare only rows
+            # the expired tier-1 still holds (strict > matches
+            # apply_retention's filter)
+            decoded = decoded.filter(F.col("bucket_ts") > F.lit(t1_cut))
+            stored = stored.filter(F.col("bucket_ts") > F.lit(t1_cut))
         checks["chunks_roundtrip_tier1"] = _equal(decoded, stored)
 
         for name, tier in (("tier1", t1), ("tier2", t2), ("tier3", t3)):

@@ -213,23 +213,120 @@ def q47_asof_join(spark, sf_dir):
     )
 
 
+# Exact percentiles UNION-TAGGED with the Prometheus-histogram tier family
+# (operators/histogram.py): 1h bin tier → re-summed 1d tier (kind='bin':
+# integer counts, trivially oracle-exact) and histogram_quantile over the
+# 1d tier (kind='hq': the PromQL cumulative-bin interpolation — every
+# float op is a fixed IEEE chain over exact integer bin counts, mirrored
+# verbatim in the SQL, so the estimate itself value-hashes).
 @query(
     "q48_percentiles",
     """
-    SELECT event_type,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.95), 6) AS p95,
-           MIN(value) AS lo, MAX(value) AS hi
-    FROM events GROUP BY event_type
+    WITH pct AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.5), 6) AS p50,
+             ROUND(quantile_cont(value, 0.95), 6) AS p95,
+             MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type
+    ), h1 AS (
+      SELECT event_type AS source,
+             date_trunc('hour', ts) AS bucket_ts,
+             CASE WHEN value < 0.0 THEN -1
+                  WHEN value >= 500.0 THEN 20
+                  ELSE CAST(FLOOR((value - 0.0) / 25.0) AS INTEGER) END AS bin,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), hd AS (
+      SELECT source, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS bucket_ts,
+             bin, CAST(SUM(n) AS BIGINT) AS n
+      FROM h1 GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT source, bucket_ts, bin, n,
+             SUM(n) OVER (PARTITION BY source, bucket_ts ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n) OVER (PARTITION BY source, bucket_ts) AS total
+      FROM hd
+    ), hit AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source, bucket_ts ORDER BY bin) AS rn
+      FROM cum WHERE cum >= total * 0.5
+    ), hq AS (
+      SELECT source, bucket_ts,
+             ROUND(CASE WHEN bin < 0 THEN 0.0
+                        WHEN bin >= 20 THEN 500.0
+                        ELSE 0.0 + (bin + (total * 0.5 - (cum - n)) / n) * 25.0
+                   END, 6) AS hq50,
+             CAST(total AS BIGINT) AS total
+      FROM hit WHERE rn = 1
+    )
+    SELECT 'pct' AS kind, event_type AS source, CAST(NULL AS TIMESTAMP) AS bucket_ts,
+           CAST(NULL AS INTEGER) AS bin, CAST(NULL AS BIGINT) AS n,
+           p50, p95, lo, hi, CAST(NULL AS DOUBLE) AS hq50, CAST(NULL AS BIGINT) AS total
+    FROM pct
+    UNION ALL
+    SELECT 'bin' AS kind, source, bucket_ts, CAST(bin AS INTEGER) AS bin, n,
+           CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p95,
+           CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+           CAST(NULL AS DOUBLE) AS hq50, CAST(NULL AS BIGINT) AS total
+    FROM hd
+    UNION ALL
+    SELECT 'hq' AS kind, source, bucket_ts,
+           CAST(NULL AS INTEGER) AS bin, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p95,
+           CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+           hq50, total
+    FROM hq
     """,
 )
 def q48_percentiles(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.histogram import (
+        histogram_quantile,
+        histogram_reaggregate,
+        histogram_tier1,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    pct = ev.groupBy(F.col("event_type").alias("source")).agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
+    )
+    evh = ev.select(
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
+        F.col("value").alias("v"),
+    )
+    h1 = histogram_tier1(evh, lo=0.0, hi=500.0, n_bins=20, tier="1h")
+    hd = histogram_reaggregate(h1, "1d")
+    hq = histogram_quantile(hd, 0.5, lo=0.0, hi=500.0, n_bins=20)
+
+    def _pad(df, have):
+        cols = {
+            "bucket_ts": "timestamp", "bin": "int", "n": "bigint",
+            "p50": "double", "p95": "double", "lo": "double", "hi": "double",
+            "hq50": "double", "total": "bigint",
+        }
+        out = []
+        for c, typ in cols.items():
+            out.append(
+                F.col(c).cast(typ).alias(c) if c in have
+                else F.lit(None).cast(typ).alias(c)
+            )
+        return df.select("kind", "source", *out)
+
+    return (
+        _pad(pct.withColumn("kind", F.lit("pct")), {"p50", "p95", "lo", "hi"})
+        .unionByName(
+            _pad(hd.withColumn("kind", F.lit("bin")), {"bucket_ts", "bin", "n"})
+        )
+        .unionByName(
+            _pad(
+                hq.withColumnRenamed("q50", "hq50").withColumn(
+                    "kind", F.lit("hq")
+                ),
+                {"bucket_ts", "hq50", "total"},
+            )
+        )
     )
 
 

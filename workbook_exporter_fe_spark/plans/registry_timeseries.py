@@ -488,31 +488,52 @@ def q61_sketch_cascades(spark, sf_dir):
 
 
 # Counter-semantics rates (operators/rates.py): reset-adjusted deltas +
-# per-sample rate + rolling z-score anomaly flags, all per-event grain.
+# per-sample rate + rolling z-score anomaly flags + trailing-window
+# deriv()/predict_linear() (linear_fit scale mode), all per-event grain.
 # Cross-engine exactness: deltas/rates are single IEEE ops on identical
 # inputs (bit-exact); the rolling anomaly test is DIVISION-FREE integer
 # arithmetic on int64-scaled values — |x-mean| > 3·std is evaluated as
 # (n·x−S1)²·(n−1) > 9·n·(n·S2−S1²) over exact trailing-frame sums, so no
-# float accumulation order can differ between engines. Ordering ties are
-# broken by event_id on both sides.
+# float accumulation order can differ between engines. The LSQ fit uses
+# the same rule: time floored to whole seconds (centered per source),
+# values int64-scaled ×100, all five frame sums + cross products exact
+# int64; only the final division/affine chain is float — a fixed IEEE op
+# sequence mirrored verbatim in the SQL. Ordering ties are broken by
+# event_id on both sides.
 @query(
     "q71_counter_rate",
     """
     WITH s AS (
       SELECT event_type AS source, event_id, ts AS event_ts, value AS v,
-             CAST(ROUND(value * 100) AS BIGINT) AS x
+             CAST(ROUND(value * 100) AS BIGINT) AS x,
+             epoch_us(ts) // 1000000 AS tsec
       FROM events
+    ), c AS (
+      SELECT *, tsec - MIN(tsec) OVER (PARTITION BY source) AS trel FROM s
     ), d AS (
-      SELECT source, event_id, v, x,
+      SELECT source, event_id, v, x, trel,
              lag(v) OVER w AS pv,
              epoch(event_ts) - epoch(lag(event_ts) OVER w) AS dt,
              SUM(x) OVER wf AS s1,
              SUM(x * x) OVER wf AS s2,
-             COUNT(x) OVER wf AS rn
-      FROM s
+             COUNT(x) OVER wf AS rn,
+             COUNT(x) OVER wl AS lk,
+             CAST(SUM(trel) OVER wl AS BIGINT) AS lst,
+             CAST(SUM(x) OVER wl AS BIGINT) AS lsx,
+             CAST(SUM(trel * x) OVER wl AS BIGINT) AS lstx,
+             CAST(SUM(trel * trel) OVER wl AS BIGINT) AS lstt
+      FROM c
       WINDOW w AS (PARTITION BY source ORDER BY event_ts, event_id),
              wf AS (PARTITION BY source ORDER BY event_ts, event_id
-                    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+                    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING),
+             wl AS (PARTITION BY source ORDER BY event_ts, event_id
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), e AS (
+      SELECT *,
+             CASE WHEN lk >= 2 AND (lk * lstt - lst * lst) > 0
+                  THEN CAST(lk * lstx - lst * lsx AS DOUBLE)
+                       / CAST(lk * lstt - lst * lst AS DOUBLE) END AS slope_x
+      FROM d
     )
     SELECT source, event_id,
            CASE WHEN pv IS NULL THEN NULL
@@ -522,14 +543,19 @@ def q61_sketch_cascades(spark, sf_dir):
            CAST(rn AS BIGINT) AS roll_n,
            COALESCE(rn >= 5 AND (rn * s2 - s1 * s1) > 0 AND
                     (rn * x - s1) * (rn * x - s1) * (rn - 1)
-                      > 9 * rn * (rn * s2 - s1 * s1), FALSE) AS is_anomaly
-    FROM d
+                      > 9 * rn * (rn * s2 - s1 * s1), FALSE) AS is_anomaly,
+           ROUND((slope_x / 100.0) * 3600.0, 6) AS deriv_ph,
+           ROUND(((CAST(lsx AS DOUBLE) - slope_x * CAST(lst AS DOUBLE))
+                    / CAST(lk AS DOUBLE)
+                  + slope_x * CAST(trel AS DOUBLE)) / 100.0
+                 + (slope_x / 100.0) * 3600.0, 6) AS pred_1h
+    FROM e
     """,
 )
 def q71_counter_rate(spark, sf_dir):
     from pyspark.sql import Window
 
-    from workbook_exporter_fe_spark.operators.rates import rate
+    from workbook_exporter_fe_spark.operators.rates import predict_linear, rate
 
     ev = _t(spark, sf_dir, "events").select(
         F.col("event_type").alias("source"),
@@ -538,6 +564,10 @@ def q71_counter_rate(spark, sf_dir):
         F.col("value").alias("v"),
     )
     r = rate(ev, tiebreak=["event_id"])
+    fit = predict_linear(
+        r, 3600.0, value_col="v", ts_col="event_ts", n=20, scale=100,
+        tiebreak=("event_id",),
+    )
     x = F.round(F.col("v") * 100).cast("long")
     wf = (
         Window.partitionBy("source")
@@ -545,7 +575,7 @@ def q71_counter_rate(spark, sf_dir):
         .rowsBetween(-30, -1)
     )
     d = (
-        r.withColumn("_x", x)
+        fit.withColumn("_x", x)
         .withColumn("_s1", F.sum("_x").over(wf))
         .withColumn("_s2", F.sum(F.col("_x") * F.col("_x")).over(wf))
         .withColumn("roll_n", F.count("_x").over(wf))
@@ -561,6 +591,8 @@ def q71_counter_rate(spark, sf_dir):
         "rate_ps",
         "roll_n",
         F.coalesce(flag, F.lit(False)).alias("is_anomaly"),
+        F.round(F.col("slope_per_sec") * 3600.0, 6).alias("deriv_ph"),
+        F.round(F.col("predicted"), 6).alias("pred_1h"),
     )
 
 
@@ -569,22 +601,16 @@ def q71_counter_rate(spark, sf_dir):
 # plain q23 operators — the segmentation must be invisible in the results.
 @query("q64_gapfill_segmented", _GAPFILL_SQL)
 def q64_gapfill_segmented(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.gapfill import (
-        interpolate_segmented,
-        locf_segmented,
-    )
+    from workbook_exporter_fe_spark.operators.gapfill import fill_segmented
 
     t1 = _tier1(spark, sf_dir).select(
         "source", "bucket_ts", F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v")
     )
-    dense = densify(t1, "1m", value_cols=["avg_v"]).select(
-        "source",
-        "bucket_ts",
-        "filled",
-        F.col("avg_v").alias("locf_v"),
-        F.col("avg_v").alias("interp_v"),
-    )
-    out = interpolate_segmented(
-        locf_segmented(dense, "locf_v", segment="1h"), "interp_v", segment="1h"
+    dense = densify(t1, "1m", value_cols=["avg_v"])
+    # one shared carry pass produces both fills (was: two independent
+    # locf_segmented/interpolate_segmented lineages, 2.4× the cost)
+    out = fill_segmented(
+        dense, {"locf_v": "locf", "interp_v": "interp"}, value_col="avg_v",
+        segment="1h",
     )
     return out.select("source", "bucket_ts", "locf_v", "interp_v", "filled")

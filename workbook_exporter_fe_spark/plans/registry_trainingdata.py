@@ -406,35 +406,122 @@ def q37_text_metrics(spark, sf_dir):
 
 # Token-histogram analog over the documents table: the flat (source, token,
 # n) form of the tier tables' tok_hist map column (operators/tiers.py
-# token_histogram builds the map form; this is its oracle-able projection).
+# token_histogram builds the map form; this is its oracle-able projection),
+# UNION-TAGGED with the vocab bigram analytics (operators/vocab.py
+# token_bigram_counts — packed-int64 shuffle keys) over a deterministic
+# engine-portable tokenization: token id = first 7 hex chars of md5(word)
+# (28-bit non-negative int32, derivable identically in DuckDB — no shared
+# vocab table or RNG needed).
 @query(
     "q25_word_histogram",
     """
-    SELECT source, word, COUNT(*) AS n
-    FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents)
-    GROUP BY source, word
+    WITH uni AS (
+      SELECT source, word, COUNT(*) AS n
+      FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY source, word
+    ), tok AS (
+      SELECT source,
+             list_transform(string_split(text, ' '),
+                            w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT)) AS toks
+      FROM documents
+    ), bg AS (
+      SELECT source,
+             CAST(toks[i] AS INTEGER) AS gram_a,
+             CAST(toks[i + 1] AS INTEGER) AS gram_b,
+             COUNT(*) AS n
+      FROM tok, UNNEST(range(1, len(toks))) AS t(i)
+      GROUP BY 1, 2, 3
+    )
+    SELECT 'uni' AS kind, source, word,
+           CAST(NULL AS INTEGER) AS gram_a, CAST(NULL AS INTEGER) AS gram_b, n
+    FROM uni
+    UNION ALL
+    SELECT 'bi' AS kind, source, CAST(NULL AS VARCHAR) AS word,
+           gram_a, gram_b, n
+    FROM bg
     """,
 )
 def q25_word_histogram(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.vocab import token_bigram_counts
+
     d = _t(spark, sf_dir, "documents")
-    return (
+    uni = (
         d.select("source", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("source", "word")
         .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("uni").alias("kind"),
+            "source",
+            "word",
+            F.lit(None).cast("int").alias("gram_a"),
+            F.lit(None).cast("int").alias("gram_b"),
+            "n",
+        )
     )
+    toks = F.expr(
+        "transform(split(text, ' '), "
+        "w -> cast(conv(substring(md5(w), 1, 7), 16, 10) as int))"
+    )
+    bi = token_bigram_counts(d.select("source", toks.alias("tokens"))).select(
+        F.lit("bi").alias("kind"),
+        "source",
+        F.lit(None).cast("string").alias("word"),
+        "gram_a",
+        "gram_b",
+        "n",
+    )
+    return uni.unionByName(bi)
 
 
-# -- Multimodal plumbing (rows-only: the media decode step is a stub by
-# design — no image/audio libs in this build — so there is no SQL oracle;
-# the driver records the weaker rows+schema check and pytest
-# (tests/test_multimodal.py) pins the deterministic feature values) -------
+# -- Multimodal: REAL pure-numpy decodes (PPM / WAV / RVID), fully
+# hash-oracled (upgraded from rows-only in r3). gen_media writes genuine
+# format payloads whose decoded content is a closed-form ramp of the media
+# id, so the oracle derives every decoded dimension and content checksum
+# ARITHMETICALLY (cyclic-sum closed forms) while Spark actually parses
+# headers and decodes bytes inside mapInPandas — decode bugs on either
+# side break the hash.
 
-@query("q52_multimodal")
+@query(
+    "q52_multimodal",
+    """
+    WITH ids AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 300) t(i)),
+    im AS (
+      SELECT i, 3 * (i % 5 + 2) * (i % 4 + 2) AS L, (i + 7) % 256 AS s,
+             256 AS m, CAST(0 AS BIGINT) AS offs,
+             CAST(NULL AS INTEGER) AS frame_idx, 'image' AS kind
+      FROM ids WHERE i % 3 = 0
+    ),
+    au AS (
+      SELECT i, i % 50 + 10 AS L, (i + 7) % 2001 AS s,
+             2001 AS m, CAST(-1000 * (i % 50 + 10) AS BIGINT) AS offs,
+             CAST(NULL AS INTEGER) AS frame_idx, 'audio' AS kind
+      FROM ids WHERE i % 3 = 1
+    ),
+    vf AS (
+      SELECT i, (i % 6 + 2) * (i % 5 + 2) AS L,
+             (i + 7 + f * 13) % 256 AS s, 256 AS m, CAST(0 AS BIGINT) AS offs,
+             CAST(f AS INTEGER) AS frame_idx, 'video' AS kind
+      FROM (SELECT i, UNNEST(range(0, (i % 90) + 1, 30)) AS f
+            FROM ids WHERE i % 3 = 2)
+    ),
+    allrows AS (
+      SELECT * FROM im UNION ALL SELECT * FROM au UNION ALL SELECT * FROM vf
+    )
+    SELECT printf('media-%09d', i) AS media_id, kind, frame_idx,
+           CAST(L AS INTEGER) AS n_vals,
+           CAST(CASE WHEN s + L <= m THEN L * s + L * (L - 1) // 2
+                     ELSE (m - s) * s + (m - s) * (m - s - 1) // 2
+                          + (L - (m - s)) * (L - (m - s) - 1) // 2
+                END + offs AS BIGINT) AS val_sum
+    FROM allrows
+    """,
+)
 def q52_multimodal(spark, sf_dir):
-    """Feature extraction (image/audio) + video frame sampling union-tagged
-    into one scalar-column result: per-media feature summary rows and
-    per-sampled-frame rows (kind='video'). Exercises both mapInPandas
-    pipelines; pytest (tests/test_multimodal.py) pins exact values."""
+    """Feature extraction (image/audio, with decode checksums) + video
+    frame sampling union-tagged into one scalar-column result. Both
+    mapInPandas pipelines decode REAL formats; the checksum columns
+    (n_vals = decoded value count, val_sum = exact int64 content sum) are
+    what the closed-form oracle reproduces."""
     from workbook_exporter_fe_spark.operators.multimodal import (
         extract_features,
         gen_media,
@@ -442,19 +529,19 @@ def q52_multimodal(spark, sf_dir):
     )
 
     media = gen_media(spark, 300, seed=7)
-    feats = extract_features(media).select(
+    feats = extract_features(media, with_stats=True).select(
         "media_id",
         "kind",
         F.lit(None).cast("int").alias("frame_idx"),
-        F.size("features").cast("int").alias("n_feat"),
-        F.round(F.element_at("features", 1), 6).alias("feat0"),
+        "n_vals",
+        "val_sum",
     )
-    frames = sample_frames(media, every_n=30).select(
+    frames = sample_frames(media, every_n=30, with_stats=True).select(
         "media_id",
         F.lit("video").alias("kind"),
         F.col("frame_idx").cast("int").alias("frame_idx"),
-        F.length("frame_payload").cast("int").alias("n_feat"),
-        F.lit(None).cast("double").alias("feat0"),
+        "n_vals",
+        "val_sum",
     )
     return feats.unionByName(frames)
 
@@ -463,32 +550,69 @@ def q52_multimodal(spark, sf_dir):
 
 # Deterministic hash-gated downsample + train/val/test split in one query
 # (reproducible across cluster sizes, partition layouts, and engines —
-# unlike RNG df.sample()): per split, total rows, min key, and how many
-# survive the 25% sample gate.
+# unlike RNG df.sample()): per split, total rows, min key, how many
+# survive the 25% sample gate, PLUS (folded r3) the weighted sampling
+# family: per-stratum stratified-gate survivors (stratified_sample —
+# pure-integer md5 gates, exact) and the Efraimidis–Spirakis weighted
+# top-k sample (sample_topk, weight = n_chars; selection summarised as
+# count + doc_id sum + min exponential-sort key, the es formula mirrored
+# verbatim in SQL — same IEEE -ln/÷ chain on identical int inputs).
 @query(
     "q54_sample_split",
     """
     WITH s AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS h
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS h,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h52
       FROM documents
     ),
     sp AS (
-      SELECT doc_id, h,
+      SELECT doc_id, n_chars, h,
+             -LN((h52 + 1.0) / 4503599627370496.0) / n_chars AS es,
              CASE WHEN h < 58982 THEN 'train'
                   WHEN h < 62259 THEN 'val'
                   ELSE 'test' END AS split
       FROM s
+    ),
+    es_pick AS (
+      SELECT split, doc_id, es,
+             ROW_NUMBER() OVER (PARTITION BY split ORDER BY es, doc_id) AS rn
+      FROM sp
+    ),
+    es_agg AS (
+      SELECT split, COUNT(*) AS es_n, CAST(SUM(doc_id) AS BIGINT) AS es_id_sum,
+             ROUND(MIN(es), 6) AS es_min
+      FROM es_pick WHERE rn <= 5 GROUP BY split
+    ),
+    strat AS (
+      SELECT split, COUNT(*) AS n_strat
+      FROM sp
+      WHERE h < CASE split WHEN 'train' THEN 32768
+                           WHEN 'val' THEN 16384
+                           ELSE 8192 END
+      GROUP BY split
     )
-    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id,
-           COUNT(*) FILTER (WHERE h < 16384) AS n_sampled
-    FROM sp GROUP BY split
+    SELECT sp.split, COUNT(*) AS n, MIN(sp.doc_id) AS min_id,
+           COUNT(*) FILTER (WHERE sp.h < 16384) AS n_sampled,
+           COALESCE(ANY_VALUE(strat.n_strat), 0) AS n_strat,
+           ANY_VALUE(es_agg.es_n) AS es_n,
+           ANY_VALUE(es_agg.es_id_sum) AS es_id_sum,
+           ANY_VALUE(es_agg.es_min) AS es_min
+    FROM sp
+    LEFT JOIN strat ON sp.split = strat.split
+    LEFT JOIN es_agg ON sp.split = es_agg.split
+    GROUP BY sp.split
     """,
 )
 def q54_sample_split(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.sampling import hash_sample, hash_split
+    from workbook_exporter_fe_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+        sample_topk,
+        stratified_sample,
+    )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     sp = hash_split(d, weights={"train": 0.9, "val": 0.05, "test": 0.05})
     totals = sp.groupBy("split").agg(
         F.count("*").alias("n"), F.min("doc_id").alias("min_id")
@@ -496,8 +620,37 @@ def q54_sample_split(spark, sf_dir):
     sampled = hash_sample(sp, rate=0.25).groupBy("split").agg(
         F.count("*").alias("n_sampled")
     )
-    return totals.join(sampled, "split", "left").withColumn(
-        "n_sampled", F.coalesce(F.col("n_sampled"), F.lit(0))
+    strat = stratified_sample(
+        sp,
+        fractions={"train": 0.5, "val": 0.25, "test": 0.125},
+        strata_col="split",
+    ).groupBy("split").agg(F.count("*").alias("n_strat"))
+    # the es sort key, recomputed here only for the min-key summary column
+    # (sample_topk drops its internal _es)
+    h52 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    es = -F.log((h52 + F.lit(1).cast("double")) / F.lit(float(1 << 52))) / F.col(
+        "n_chars"
+    )
+    es5 = sample_topk(
+        sp, k=5, strata_col="split", weight_col="n_chars", key_col="doc_id"
+    )
+    es_agg = (
+        es5.withColumn("_es", es)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("es_n"),
+            F.sum("doc_id").alias("es_id_sum"),
+            F.round(F.min("_es"), 6).alias("es_min"),
+        )
+    )
+    return (
+        totals.join(sampled, "split", "left")
+        .join(strat, "split", "left")
+        .join(es_agg, "split", "left")
+        .withColumn("n_sampled", F.coalesce(F.col("n_sampled"), F.lit(0)))
+        .withColumn("n_strat", F.coalesce(F.col("n_strat"), F.lit(0)))
     )
 
 
