@@ -99,6 +99,58 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1 quality filters): the fraction of duplicate word n-grams and the
+    most-frequent-word share — high values mark boilerplate/spam docs a
+    curation pass drops before training.
+
+    - dup_word_ratio / dup_2gram_ratio / dup_3gram_ratio: 1 − distinct/total
+      over word n-grams (0.0 for docs too short to form a gram);
+    - top_word_ratio: occurrences of the most frequent word / total words.
+
+    Pure Column expressions — no shuffle, no UDF. The top-word count is a
+    nested HOF (count per DISTINCT word), O(n·d) per row interpreted: fine
+    for the once-per-doc curation scan over natural-language docs; for
+    pathological multi-MB docs compute it from the exploded token relation
+    instead."""
+
+    # split(' ') maps '' to [''] — drop empty tokens so blank/multi-space
+    # docs score 0, matching a python str.split() reference
+    words = F.filter(ws_tokens(text), lambda t: t != "")
+
+    def dup_ratio(k: int) -> Column:
+        if k == 1:
+            grams = words
+        else:
+            idx = F.sequence(F.lit(1), F.size(words) - (k - 1))
+            grams = F.when(
+                F.size(words) >= k,
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))),
+            ).otherwise(F.array().cast("array<string>"))
+        n = F.size(grams)
+        d = F.size(F.array_distinct(grams))
+        return F.round(
+            F.when(n > 0, (n - d).cast("double") / n).otherwise(0.0), 6
+        )
+
+    n1 = F.size(words)
+    counts = F.transform(
+        F.array_distinct(words),
+        lambda w: F.size(F.filter(words, lambda x: x == w)),
+    )
+    top = F.round(
+        F.when(n1 > 0, F.array_max(counts).cast("double") / n1).otherwise(0.0),
+        6,
+    )
+    return {
+        "dup_word_ratio": dup_ratio(1),
+        "dup_2gram_ratio": dup_ratio(2),
+        "dup_3gram_ratio": dup_ratio(3),
+        "top_word_ratio": top,
+    }
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Overlapping word k-grams joined by ' ' (empty array if < k words).
 

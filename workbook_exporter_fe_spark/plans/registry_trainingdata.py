@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from workbook_exporter_fe_spark.functions import textops
+from workbook_exporter_fe_spark.operators.decontam import contaminated_docs
 from workbook_exporter_fe_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
@@ -362,9 +363,15 @@ def q36_lang_id(spark, sf_dir):
 
 
 # Full per-document text-metrics projection: quality signals + BPE-ish
-# token count + min-hash winnowing fingerprint — all pure Column exprs in
-# one scan-stage pass (the natural shape at corpus scale: one projection
-# computes every per-doc signal).
+# token count + min-hash winnowing fingerprint + Gopher-style repetition
+# ratios (functions/textops.py repetition_features) — all pure Column exprs
+# in one scan-stage pass (the natural shape at corpus scale: one projection
+# computes every per-doc signal) — PLUS the benchmark-decontamination
+# signal (operators/decontam.py): bench = the deterministic md5-bucket
+# 1/16th of documents, every other doc is probed for shared word 8-grams
+# via the broadcast distinct-gram semi-join and annotated with its hit
+# count. DuckDB replicates the gram semantics on raw strings (the Spark
+# side compares 60-bit md5-derived gram hashes — same hit set).
 @query(
     "q37_text_metrics",
     """
@@ -378,10 +385,26 @@ def q36_lang_id(spark, sf_dir):
              ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
                / length(text), 6) AS punct_ratio,
              len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS n_bpe,
-             string_split(text, ' ') AS ws
+             string_split(text, ' ') AS ws,
+             list_filter(string_split(text, ' '), w -> w <> '') AS wz
       FROM documents
+    ),
+    g AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(ws) - 6),
+                                           i -> array_to_string(ws[i:i+7], ' '))) AS gram
+      FROM f WHERE len(ws) >= 8
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM g
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_hits
+      FROM g JOIN bench USING (gram)
+      WHERE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) <> '0'
+      GROUP BY g.doc_id
     )
-    SELECT doc_id, n_chars, n_tokens_ws, avg_token_len, stopword_ratio, punct_ratio,
+    SELECT f.doc_id, n_chars, n_tokens_ws, avg_token_len, stopword_ratio, punct_ratio,
            ROUND(least(CAST(n_tokens_ws AS DOUBLE) / 50.0, 1.0) * 0.4
                  + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 8.0 THEN 0.3 ELSE 0.0 END
                  + least(stopword_ratio * 3.0, 0.3), 6) AS quality_score,
@@ -389,18 +412,48 @@ def q36_lang_id(spark, sf_dir):
            CASE WHEN len(ws) >= 5 THEN
              (SELECT MIN(md5(s)) FROM UNNEST(list_transform(range(1, len(ws) - 3),
                 i -> array_to_string(ws[i:i+4], ' '))) AS t(s))
-           ELSE md5(text) END AS fingerprint
-    FROM f
+           ELSE md5(text) END AS fingerprint,
+           ROUND(CASE WHEN len(wz) > 0
+                 THEN CAST(len(wz) - len(list_distinct(wz)) AS DOUBLE) / len(wz)
+                 ELSE 0.0 END, 6) AS dup_word_ratio,
+           ROUND(CASE WHEN len(wz) >= 2 THEN
+                   (SELECT CAST(COUNT(*) - COUNT(DISTINCT s) AS DOUBLE) / COUNT(*)
+                    FROM UNNEST(list_transform(range(1, len(wz)),
+                                i -> array_to_string(wz[i:i+1], ' '))) AS t(s))
+                 ELSE 0.0 END, 6) AS dup_2gram_ratio,
+           ROUND(CASE WHEN len(wz) >= 3 THEN
+                   (SELECT CAST(COUNT(*) - COUNT(DISTINCT s) AS DOUBLE) / COUNT(*)
+                    FROM UNNEST(list_transform(range(1, len(wz) - 1),
+                                i -> array_to_string(wz[i:i+2], ' '))) AS t(s))
+                 ELSE 0.0 END, 6) AS dup_3gram_ratio,
+           ROUND(CASE WHEN len(wz) > 0
+                 THEN CAST(list_max(list_transform(list_distinct(wz),
+                        u -> len(list_filter(wz, x -> x = u)))) AS DOUBLE) / len(wz)
+                 ELSE 0.0 END, 6) AS top_word_ratio,
+           substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench,
+           COALESCE(hits.n_hits, 0) AS n_contam_hits
+    FROM f LEFT JOIN hits ON f.doc_id = hits.doc_id
     """,
 )
 def q37_text_metrics(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     feats = textops.quality_features(F.col("text"))
-    return d.select(
-        "doc_id",
-        *[c.alias(name) for name, c in feats.items()],
-        textops.token_count_bpe(F.col("text")).alias("n_bpe"),
-        textops.fingerprint(F.col("text"), k=5).alias("fingerprint"),
+    reps = textops.repetition_features(F.col("text"))
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    hits = contaminated_docs(
+        d.filter(~is_bench), d.filter(is_bench), k=8, hash_fn="md5"
+    )
+    return (
+        d.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            *[c.alias(name) for name, c in feats.items()],
+            textops.token_count_bpe(F.col("text")).alias("n_bpe"),
+            textops.fingerprint(F.col("text"), k=5).alias("fingerprint"),
+            *[c.alias(name) for name, c in reps.items()],
+            is_bench.alias("is_bench"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_contam_hits"),
+        )
     )
 
 
