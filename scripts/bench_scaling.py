@@ -240,31 +240,42 @@ vocabulary-sized output.
 COMPONENTS_RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from workbook_exporter_fe_spark.session import get_spark
 from workbook_exporter_fe_spark.operators.components import connected_components
-from workbook_exporter_fe_spark.operators.dedup import (
-    lsh_candidate_pairs, minhash_signatures_tokens)
-from workbook_exporter_fe_spark.sources.datagen import gen_sequences, write_sequences
 
 cores = {cores}
 spark = get_spark(app_name=f"scale_cc{{cores}}", cores=cores,
                   shuffle_partitions=cores,
                   extra_conf={{"spark.sql.files.maxPartitionBytes": "32m"}})
-path = {corpus!r}
-if not os.path.exists(path + "/_SUCCESS"):
-    write_sequences(gen_sequences(spark, {n_docs}, seed=42), path)
-pairs_path = path + "_pairs"
+
+# Deterministic near-dup-shaped graph, big enough that each round's
+# vertex-keyed shuffle dominates the per-round job overhead (the REAL
+# 1M-doc MinHash graph is 96k edges — propagation there is pure fixed
+# cost and measures the scheduler, not the operator). Vertices group
+# into 4-vertex clusters: even clusters are stars (hub + 3 leaves,
+# diameter 2 — the dominant near-dup shape), odd clusters are 4-chains
+# (worst-case one-hop propagation depth), so the job runs ~4-5 full
+# propagation rounds over all edges.
+pairs_path = {graph!r}
+V = {n_vertices}
 if not os.path.exists(pairs_path + "/_SUCCESS"):
-    seq = spark.read.parquet(path)
-    sig = minhash_signatures_tokens(seq, hash_fn="native")
-    lsh_candidate_pairs(sig).write.mode("overwrite").parquet(pairs_path)
+    v = spark.range(V).withColumnRenamed("id", "dst")
+    base = (F.col("dst") / 4).cast("long") * 4
+    star = ((F.col("dst") / 4).cast("long") % 2) == 0
+    edges = (
+        v.filter(F.col("dst") % 4 != 0)
+        .select(
+            F.when(star, base).otherwise(F.col("dst") - 1).alias("id_a"),
+            F.col("dst").alias("id_b"),
+        )
+    )
+    edges.repartition(64).write.mode("overwrite").parquet(pairs_path)
 pairs = spark.read.parquet(pairs_path)
 
-rounds_used = []
-
 def job():
-    # the iterative operator under test: per round one vertex-keyed
-    # groupBy + a one-row convergence aggregate, localCheckpoint-truncated
+    # the iterative operator under test: one vertex-keyed shuffle per
+    # round (old label rides the aggregate), localCheckpoint-truncated
     labels = connected_components(pairs, max_iter=30)
     labels.write.format("noop").mode("overwrite").save()
     return labels
@@ -288,26 +299,36 @@ spark.stop()
 COMPONENTS_MARKER = "## Iterative operator class: connected components scaling"
 
 
-def components_main(corpus: str, n_docs: int, repeats: int) -> None:
+def components_main(graph: str, n_vertices: int, repeats: int) -> None:
     """Scaling evidence for the one iterative operator (VERDICT r2 #6):
-    min-label propagation over the REAL MinHash candidate-pair graph of
-    the 1M-doc corpus. Appends to BENCH/BASELINE.md."""
-    results = {c: run_generic_at(COMPONENTS_RUNNER, c, corpus, n_docs, repeats)
-               for c in (4, 16)}
+    min-label propagation over a deterministic near-dup-shaped graph
+    sized so the per-round shuffle dominates. Appends to BENCH/BASELINE.md."""
+    results = {
+        c: run_components_at(c, graph, n_vertices, repeats) for c in (4, 16)
+    }
     t4, t16 = results[4]["best"], results[16]["best"]
     eff = (t4 / t16) / 4
     ed, vx, nc = (results[4][k] for k in ("edges", "vertices", "components"))
     section = f"""{COMPONENTS_MARKER}
 
 Same protocol (fresh JVM per level, warmup discarded, best of {repeats}):
-`connected_components` (iterated min-label propagation, one vertex-keyed
-groupBy + one-row convergence aggregate per round, localCheckpoint lineage
-truncation) over the REAL MinHash/LSH candidate-pair graph of the 1M-doc
-corpus: {ed:,} edges over {vx:,} vertices → {nc:,} components. Rounds are
-bounded by the cluster diameter (near-dup graphs are star-ish and
-shallow), so the sequential factor is the per-round job count, not data
-volume — the scaling question is whether each round's shuffle scales,
-which is what this pair measures.
+`connected_components` — iterated min-label propagation with ONE
+vertex-keyed shuffle per round (the previous label rides the aggregate as
+a null-for-neighbors min, so the convergence count reads off the
+checkpointed round result; no old-vs-new re-join) and localCheckpoint
+lineage truncation.
+
+Graph sizing matters for what this pair measures. On the REAL MinHash/LSH
+candidate-pair graph of the 1M-doc corpus (96,373 edges over 171,395
+vertices) propagation is pure fixed cost — ~10 sub-second jobs measuring
+the scheduler, not the operator (~9.2 s at BOTH local[4] and local[16];
+"efficiency" 0.24 is a small-input artifact, like benchmarking a 100-row
+groupBy). The honest scaling question — does each round's shuffle scale —
+needs rounds that are shuffle-dominated, so the measured graph is a
+deterministic near-dup-shaped graph at {ed:,} edges over {vx:,} vertices
+→ {nc:,} components (half 4-vertex star clusters: the dominant near-dup
+shape; half 4-chains: worst-case propagation depth → ~5 full-volume
+rounds).
 
 | quantity | local[4] (N) | local[16] (4N) |
 |---|---|---|
@@ -344,6 +365,21 @@ def run_generic_at(template: str, cores: int, corpus: str, n_docs: int,
     raise RuntimeError(f"no RESULT from cores={cores}: {out.stderr[-2000:]}")
 
 
+def run_components_at(cores: int, graph: str, n_vertices: int,
+                      repeats: int) -> dict:
+    code = COMPONENTS_RUNNER.format(
+        repo=REPO, cores=cores, graph=graph, n_vertices=n_vertices,
+        repeats=repeats
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from cores={cores}: {out.stderr[-2000:]}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", default="/tmp/spark_graft_bench/events_750m")
@@ -355,6 +391,8 @@ def main() -> None:
     )
     ap.add_argument("--dedup-corpus", default="/tmp/spark_graft_bench/seq_dedup_1m")
     ap.add_argument("--dedup-docs", type=int, default=1_000_000)
+    ap.add_argument("--cc-graph", default="/tmp/spark_graft_bench/cc_graph_32m")
+    ap.add_argument("--cc-vertices", type=int, default=32_000_000)
     args = ap.parse_args()
 
     if args.job == "dedup":
@@ -364,7 +402,7 @@ def main() -> None:
         bigram_main(args.dedup_corpus, args.dedup_docs, args.repeats)
         return
     if args.job == "components":
-        components_main(args.dedup_corpus, args.dedup_docs, args.repeats)
+        components_main(args.cc_graph, args.cc_vertices, args.repeats)
         return
 
     results = {c: run_at(c, args.events, args.repeats) for c in (4, 16, 8, 32)}

@@ -354,3 +354,92 @@ def test_holt_winters_matches_recurrence(spark):
         assert math.isclose(got[i][1], tr[i], rel_tol=1e-12), i
     # smoothing tracks the underlying trend: late-trend estimate near 0.5/step
     assert abs(got[119][1] - 0.5) < 0.2
+
+
+def test_mean_shift_changepoints_vs_reference(spark):
+    """Planted level shift is flagged at the shift boundary and nowhere
+    else; shift magnitudes match a pure-python two-window scan."""
+    from workbook_exporter_fe_spark.operators.rates import (
+        mean_shift_changepoints,
+    )
+
+    n = 10
+    vals = [10.0 + ((i * 7) % 5) / 10.0 for i in range(60)]
+    vals += [30.0 + ((i * 7) % 5) / 10.0 for i in range(60)]
+    rows = [("s", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, idx int, v double").select(
+        "source",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("idx") * 15).alias(
+            "event_ts"
+        ),
+        "idx",
+        "v",
+    )
+    got = {
+        r["idx"]: (r["shift"], r["is_shift"])
+        for r in mean_shift_changepoints(
+            df, value_col="v", key="source", order_cols=("event_ts",),
+            n=n, threshold=5.0, scale=100,
+        ).collect()
+    }
+    x = [round(v * 100) for v in vals]
+    for i in range(len(vals)):
+        left = x[max(0, i - n) : i]
+        right = x[i : i + n]
+        if len(left) == n and len(right) == n:
+            diff = sum(right) - sum(left)
+            want_shift = round(diff / (n * 100), 6)
+            want_flag = abs(diff) > n * 5.0 * 100
+        else:
+            want_shift, want_flag = None, False
+        assert got[i] == (want_shift, want_flag), i
+    # the planted +20 step is detected in the boundary window only
+    flagged = [i for i, (_, f) in got.items() if f]
+    assert flagged and all(60 - n < i <= 60 + n for i in flagged)
+    assert 60 in flagged
+
+
+def test_rolling_corr_vs_reference(spark):
+    """Rolling Pearson over scaled ints equals the closed-form reference;
+    constant windows yield NULL."""
+    from workbook_exporter_fe_spark.operators.rates import rolling_corr
+
+    n = 12
+    vals = [((i * 31) % 17) / 4.0 + (0.5 * i if i < 50 else -0.25 * i)
+            for i in range(100)]
+    ys = [float(i % 23) for i in range(100)]
+    rows = [("s", i, v, y) for i, (v, y) in enumerate(zip(vals, ys))]
+    df = spark.createDataFrame(
+        rows, "source string, idx int, v double, y double"
+    ).select(
+        "source",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("idx") * 15).alias(
+            "event_ts"
+        ),
+        "idx", "v", "y",
+    )
+    got = {
+        r["idx"]: (r["corr_n"], r["corr_xy"])
+        for r in rolling_corr(
+            df, "v", "y", key="source", order_cols=("event_ts",),
+            n=n, x_scale=100, y_scale=1,
+        ).collect()
+    }
+    xs = [round(v * 100) for v in vals]
+    for i in range(100):
+        w = list(range(max(0, i - n + 1), i + 1))
+        k = len(w)
+        sx = sum(xs[j] for j in w); sy = sum(int(ys[j]) for j in w)
+        sxx = sum(xs[j] ** 2 for j in w); syy = sum(int(ys[j]) ** 2 for j in w)
+        sxy = sum(xs[j] * int(ys[j]) for j in w)
+        num = k * sxy - sx * sy
+        vx = k * sxx - sx * sx
+        vy = k * syy - sy * sy
+        if k >= 2 and vx > 0 and vy > 0:
+            want = round(num / math.sqrt(float(vx) * float(vy)), 6)
+        else:
+            want = None
+        assert got[i][0] == k and (
+            got[i][1] == pytest.approx(want) if want is not None
+            else got[i][1] is None
+        ), i

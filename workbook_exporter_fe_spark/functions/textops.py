@@ -174,6 +174,51 @@ def fingerprint(text: Column, k: int = 5) -> Column:
     )
 
 
+# PII detection/redaction (training-data hygiene pass). Patterns stay in
+# the common Java-regex ∩ RE2 subset (character classes, bounded repeats,
+# \b word boundaries — no lookaround, no backrefs) so the DuckDB oracle
+# runs the IDENTICAL pattern: both engines use leftmost-first greedy
+# matching here, so match sets — and therefore the redacted string and its
+# md5 — agree byte-for-byte. Dict order IS the redaction order (email
+# before the digit patterns so an address never half-redacts).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (n_email, n_ssn, n_phone, n_ipv4).
+
+    Counts run on the RAW text independently per pattern (a string both an
+    email and something else would count twice — deterministic, and what a
+    triage dashboard wants). Pure Column exprs, scan-stage at scale."""
+    return {
+        f"n_{k}": F.size(F.regexp_extract_all(text, F.lit(p), 0))
+        for k, p in PII_PATTERNS.items()
+    }
+
+
+PII_PLACEHOLDERS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ssn": "<SSN>",
+    "phone": "<PHONE>",
+    "ipv4": "<IP>",
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its placeholder, applying patterns in
+    PII_PATTERNS order (placeholders contain no digits, so a later pattern
+    can never re-match inside an earlier redaction)."""
+    out = text
+    for k, p in PII_PATTERNS.items():
+        out = F.regexp_replace(out, p, PII_PLACEHOLDERS[k])
+    return out
+
+
 # char-trigram language profiles: the n-gram heuristic variant of lang-ID
 # (the stopword variant is `lang_id`). Profiles are tiny fixed lists so
 # both Spark and the SQL oracle embed them literally.

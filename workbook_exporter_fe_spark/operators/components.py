@@ -17,8 +17,10 @@ is a safety rail, convergence is checked exactly).
 Scale design per round: one groupBy over the (undirected) edge relation
 joined to current labels — shuffle keyed by vertex id, partial-aggregated
 map-side. Labels and edges are (long/string, long/string) pairs; no
-driver-side graph, no RDDs. The convergence check is a one-row aggregate
-(sum of changed flags). localCheckpoint() truncates the lineage each
+driver-side graph, no RDDs. The vertex's previous label rides through the
+same aggregate (min over a null-for-neighbors column), so the convergence
+check is a count over the already-checkpointed round result — one shuffle
+per round total. localCheckpoint() truncates the lineage each
 round so the plan doesn't grow exponentially with iterations — the
 standard Spark idiom for iterative algorithms (GraphFrames does the
 same).
@@ -77,27 +79,36 @@ def connected_components(
 
     changed = 0
     for _ in range(max_iter):
-        # min label over the closed neighborhood of each vertex
+        # min label over the closed neighborhood of each vertex. The
+        # vertex's own previous label rides along as `old` (neighbor rows
+        # carry NULL, and min() ignores nulls), so the convergence count
+        # reads straight off the aggregated — and checkpointed — relation:
+        # ONE shuffle per round, no old-vs-new re-join.
         neighbor_labels = (
             edges.join(
                 labels.withColumnRenamed("id", "dst"), "dst"
             )
-            .select(F.col("src").alias("id"), "component")
+            .select(
+                F.col("src").alias("id"),
+                "component",
+                F.lit(None).cast(labels.schema["component"].dataType).alias("old"),
+            )
         )
+        own = labels.select("id", "component", F.col("component").alias("old"))
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            own.unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("old").alias("old"),
+            )
         )
         if checkpoint:
             new_labels = new_labels.localCheckpoint()
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .filter(F.col("o.component") != F.col("n.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component") != F.col("old")
+        ).count()
+        labels = new_labels.drop("old")
         if changed == 0:
             break
     if changed != 0:

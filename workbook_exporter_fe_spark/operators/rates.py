@@ -423,3 +423,107 @@ def holt_winters(
         return pdf
 
     return t1.groupBy(key).applyInPandas(smooth, schema=schema)
+
+
+def mean_shift_changepoints(
+    df: DataFrame,
+    value_col: str = "v",
+    key: str = "source",
+    order_cols: tuple[str, ...] = ("event_ts", "event_id"),
+    n: int = 10,
+    threshold: float = 5.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sided sliding mean-shift changepoint detector.
+
+    At every row, compare the mean of the trailing n rows (EXCLUDING the
+    current row) with the mean of the current+next n-1 rows; flag a
+    changepoint when both windows are full and the shift exceeds
+    ``threshold``. CUSUM's recurrence (max(0, c+x)) is not expressible as
+    a window function; the two-sided mean-shift scan is the standard
+    window-algebra changepoint detector with the same detection target
+    (level shifts) and O(1)-per-row bounded ROW frames.
+
+    Cross-engine exactness: values are int64-scaled (×scale) and the flag
+    is division-free — |SR − SL| > n·threshold·scale over exact integer
+    window sums, so no float accumulation order is involved; the reported
+    ``shift`` magnitude is one exact-int subtraction then one IEEE divide.
+
+    Adds: ``shift_n`` (left-window row count), ``shift`` (mean right −
+    mean left, null unless both windows full), ``is_shift``.
+    """
+    x = F.round(F.col(value_col) * scale).cast("long")
+    wl = (
+        Window.partitionBy(key).orderBy(*order_cols).rowsBetween(-n, -1)
+    )
+    wr = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(0, n - 1)
+    d = (
+        df.withColumn("_ms_x", x)
+        .withColumn("_ms_sl", F.sum("_ms_x").over(wl))
+        .withColumn("_ms_nl", F.count("_ms_x").over(wl))
+        .withColumn("_ms_sr", F.sum("_ms_x").over(wr))
+        .withColumn("_ms_nr", F.count("_ms_x").over(wr))
+    )
+    full = (F.col("_ms_nl") == n) & (F.col("_ms_nr") == n)
+    diff = F.col("_ms_sr") - F.col("_ms_sl")
+    thr = int(round(n * threshold * scale))
+    return (
+        d.withColumn("shift_n", F.col("_ms_nl"))
+        .withColumn(
+            "shift",
+            F.when(full, F.round(diff / float(n * scale), 6)),
+        )
+        .withColumn(
+            "is_shift", F.coalesce(full & (F.abs(diff) > thr), F.lit(False))
+        )
+        .drop("_ms_x", "_ms_sl", "_ms_nl", "_ms_sr", "_ms_nr")
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key: str = "source",
+    order_cols: tuple[str, ...] = ("event_ts", "event_id"),
+    n: int = 20,
+    x_scale: int = 100,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two int64-scalable
+    columns (adds ``corr_n`` and ``corr_xy``).
+
+    Exactness: the five window sums are exact int64 on scaled values; the
+    final corr = num / sqrt(vx · vy) is a FIXED chain of IEEE ops
+    (convert, multiply, sqrt, divide — each correctly rounded), so the
+    rounded result is bit-identical across engines given identical sums.
+    Null when either variance is 0 or the window has < 2 rows. Scale
+    factors cancel in Pearson r, so they only need to make the inputs
+    integers, not match between x and y."""
+    xs = F.round(F.col(x_col) * x_scale).cast("long")
+    ys = F.round(F.col(y_col) * y_scale).cast("long")
+    w = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(-(n - 1), 0)
+    d = (
+        df.withColumn("_rc_x", xs)
+        .withColumn("_rc_y", ys)
+        .withColumn("_rc_n", F.count("_rc_x").over(w))
+        .withColumn("_rc_sx", F.sum("_rc_x").over(w))
+        .withColumn("_rc_sy", F.sum("_rc_y").over(w))
+        .withColumn("_rc_sxx", F.sum(F.col("_rc_x") * F.col("_rc_x")).over(w))
+        .withColumn("_rc_syy", F.sum(F.col("_rc_y") * F.col("_rc_y")).over(w))
+        .withColumn("_rc_sxy", F.sum(F.col("_rc_x") * F.col("_rc_y")).over(w))
+    )
+    k = F.col("_rc_n")
+    num = k * F.col("_rc_sxy") - F.col("_rc_sx") * F.col("_rc_sy")
+    vx = k * F.col("_rc_sxx") - F.col("_rc_sx") * F.col("_rc_sx")
+    vy = k * F.col("_rc_syy") - F.col("_rc_sy") * F.col("_rc_sy")
+    r = num.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+    ok = (k >= 2) & (vx > 0) & (vy > 0)
+    return (
+        d.withColumn("corr_n", k)
+        .withColumn("corr_xy", F.when(ok, F.round(r, 6)))
+        .drop(
+            "_rc_x", "_rc_y", "_rc_n", "_rc_sx", "_rc_sy",
+            "_rc_sxx", "_rc_syy", "_rc_sxy",
+        )
+    )

@@ -46,6 +46,7 @@ def pack_greedy(
     weight_col: str = "n_tok",
     key_col: str = "doc_id",
     part_col: str = "source",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign (pack_id, pack_offset) by chunking the per-source running sum.
 
@@ -67,12 +68,14 @@ def pack_greedy(
         F.col(key_col),
         F.col(weight_col),
         start.alias("_start"),
+        *[F.col(c) for c in carry_cols],
     ).select(
         part_col,
         key_col,
         weight_col,
         F.expr(f"_start div {int(capacity)}").alias("pack_id"),
         (F.col("_start") % capacity).alias("pack_offset"),
+        *carry_cols,
     )
 
 

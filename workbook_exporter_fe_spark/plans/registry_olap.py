@@ -374,27 +374,101 @@ def q49_approx_sketches(spark, sf_dir):
     )
 
 
+# Datetime/math family UNION-TAGGED with classical seasonal decomposition
+# (operators/seasonal.py) of the hourly event-count series per event_type:
+# period-24 centered-MA trend (width 25), per-phase seasonal means of the
+# detrended series, residual — numerators exact int64 (counts, so scale=1),
+# every float a fixed correctly-rounded IEEE chain mirrored verbatim below.
 @query(
     "q50_datetime_math",
     """
-    SELECT extract(isodow FROM ts) AS dow, extract(hour FROM ts) AS hour,
+    WITH hb AS (
+      SELECT event_type AS src, date_trunc('hour', ts) AS b, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT src, b, cnt,
+             (row_number() OVER ws - 1) % 24 AS phase,
+             CAST(SUM(cnt) OVER wc AS BIGINT) AS s,
+             COUNT(cnt) OVER wc AS n
+      FROM hb
+      WINDOW ws AS (PARTITION BY src ORDER BY b),
+             wc AS (PARTITION BY src ORDER BY b
+                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+      SELECT *, CASE WHEN n = 25 THEN 25 * cnt - s END AS dnum FROM r
+    ),
+    ph AS (
+      SELECT src, phase, CAST(SUM(dnum) AS BIGINT) AS pnum, COUNT(*) AS pn
+      FROM det WHERE dnum IS NOT NULL GROUP BY 1, 2
+    ),
+    dec AS (
+      SELECT det.src, det.phase, det.cnt, epoch(det.b) AS t_epoch,
+             CASE WHEN det.n = 25
+                  THEN ROUND(CAST(det.s AS DOUBLE) / 25.0, 6) END AS trend,
+             ROUND(CAST(ph.pnum AS DOUBLE) / 25.0 / CAST(ph.pn AS DOUBLE), 6) AS seasonal
+      FROM det LEFT JOIN ph ON det.src = ph.src AND det.phase = ph.phase
+    )
+    SELECT 'dh' AS kind, extract(isodow FROM ts) AS dow, extract(hour FROM ts) AS hour,
            COUNT(*) AS cnt,
-           ROUND(CAST(SUM(CAST(sqrt(abs(value)) + ln(1 + abs(value)) AS DECIMAL(28,6))) AS DOUBLE), 6) AS math_sum
-    FROM events GROUP BY 1, 2
+           ROUND(CAST(SUM(CAST(sqrt(abs(value)) + ln(1 + abs(value)) AS DECIMAL(28,6))) AS DOUBLE), 6) AS math_sum,
+           CAST(NULL AS VARCHAR) AS src, CAST(NULL AS BIGINT) AS t_epoch,
+           CAST(NULL AS DOUBLE) AS trend, CAST(NULL AS DOUBLE) AS seasonal,
+           CAST(NULL AS DOUBLE) AS resid
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'dec', CAST(NULL AS BIGINT), CAST(phase AS BIGINT), cnt,
+           CAST(NULL AS DOUBLE), src, CAST(t_epoch AS BIGINT), trend, seasonal,
+           ROUND(CAST(cnt AS DOUBLE) - trend - seasonal, 6) + 0.0 AS resid
+    FROM dec
     """,
 )
 def q50_datetime_math(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.seasonal import seasonal_decompose
+
     ev = _t(spark, sf_dir, "events")
     expr = (F.sqrt(F.abs("value")) + F.log(F.lit(1) + F.abs("value"))).cast(
         "decimal(28,6)"
     )
-    return ev.groupBy(
+    dh = ev.groupBy(
         (F.weekday("ts") + 1).cast("bigint").alias("dow"),
         F.hour("ts").cast("bigint").alias("hour"),
     ).agg(
         F.count("*").alias("cnt"),
         F.round(F.sum(expr), 6).cast("double").alias("math_sum"),
+    ).select(
+        F.lit("dh").alias("kind"),
+        "dow",
+        "hour",
+        "cnt",
+        "math_sum",
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("long").alias("t_epoch"),
+        F.lit(None).cast("double").alias("trend"),
+        F.lit(None).cast("double").alias("seasonal"),
+        F.lit(None).cast("double").alias("resid"),
     )
+    hourly = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+    ).agg(F.count("*").alias("cnt"))
+    dec = seasonal_decompose(
+        hourly, period=24, value_col="cnt", key="source",
+        ts_col="bucket_ts", scale=1,
+    ).select(
+        F.lit("dec").alias("kind"),
+        F.lit(None).cast("long").alias("dow"),
+        F.col("phase").cast("long").alias("hour"),
+        "cnt",
+        F.lit(None).cast("double").alias("math_sum"),
+        F.col("source").alias("src"),
+        F.col("bucket_ts").cast("timestamp").cast("long").alias("t_epoch"),
+        "trend",
+        "seasonal",
+        "resid",
+    )
+    return dh.unionByName(dec)
 
 
 # Window-function family the reference lacks entirely (SURVEY §2: closest
@@ -480,18 +554,65 @@ def q57_string_array_funcs(spark, sf_dir):
 # order date) — the join shape between pure equi (q03) and as-of (q47).
 # The equi key keeps it a hash join with the range as residual; a pure
 # range-only join would need a broadcast range join / binning strategy.
+# Range join UNION-TAGGED with interval-union coverage (operators/
+# interval.py interval_union): per order a 7-day activity window
+# [o_orderdate, +7d) in integer day-space; overlapping windows merge into
+# islands via the running-max sweep, and the per-priority coverage (union
+# length, island count) is exact integer arithmetic — the utilization
+# number a naive SUM of durations double-counts.
 @query(
     "q66_range_join",
     """
-    SELECT o_orderpriority, COUNT(*) AS n_lines,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+    WITH iv AS (
+      SELECT o_orderpriority AS p,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 7 AS e
+      FROM orders
+    ),
+    sw AS (
+      SELECT p, s, e,
+             MAX(e) OVER (PARTITION BY p ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv
+    ),
+    fl AS (
+      SELECT p, s, e,
+             CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+      FROM sw
+    ),
+    isl AS (
+      SELECT p, s, e,
+             SUM(nw) OVER (PARTITION BY p ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM fl
+    ),
+    g AS (
+      SELECT p, island, MIN(s) AS ist, MAX(e) AS ien, COUNT(*) AS ni
+      FROM isl GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT p, COUNT(*) AS n_islands,
+             CAST(SUM(ien - ist) AS BIGINT) AS cov_days,
+             CAST(SUM(ni) AS BIGINT) AS n_iv
+      FROM g GROUP BY p
+    )
+    SELECT 'rj' AS kind, o_orderpriority, COUNT(*) AS n_lines,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue,
+           CAST(NULL AS BIGINT) AS n_islands, CAST(NULL AS BIGINT) AS cov_days,
+           CAST(NULL AS BIGINT) AS n_iv
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
      AND l_shipdate >= o_orderdate
      AND l_shipdate < o_orderdate + INTERVAL 30 DAY
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    SELECT 'cov', p, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           n_islands, cov_days, n_iv
+    FROM cov
     """,
 )
 def q66_range_join(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.interval import interval_union
+
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     j = li.join(
@@ -500,10 +621,43 @@ def q66_range_join(spark, sf_dir):
         & (F.col("l_shipdate") >= F.col("o_orderdate"))
         & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("interval 30 days")),
     )
-    return j.groupBy("o_orderpriority").agg(
+    rj = j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
         _isum(F.col("l_extendedprice"), "revenue"),
+    ).select(
+        F.lit("rj").alias("kind"),
+        "o_orderpriority",
+        "n_lines",
+        "revenue",
+        F.lit(None).cast("long").alias("n_islands"),
+        F.lit(None).cast("long").alias("cov_days"),
+        F.lit(None).cast("long").alias("n_iv"),
     )
+    day0 = F.lit("1992-01-01").cast("date")
+    iv = o.select(
+        F.col("o_orderpriority").alias("p"),
+        F.datediff("o_orderdate", day0).cast("long").alias("s"),
+        (F.datediff("o_orderdate", day0) + 7).cast("long").alias("e"),
+    )
+    cov = (
+        interval_union(iv, "s", "e", key="p", as_long=True)
+        .groupBy("p")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum(F.col("island_end") - F.col("island_start")).alias("cov_days"),
+            F.sum("n_intervals").alias("n_iv"),
+        )
+        .select(
+            F.lit("cov").alias("kind"),
+            F.col("p").alias("o_orderpriority"),
+            F.lit(None).cast("long").alias("n_lines"),
+            F.lit(None).cast("double").alias("revenue"),
+            "n_islands",
+            "cov_days",
+            "n_iv",
+        )
+    )
+    return rj.unionByName(cov)
 
 
 # Correlated subqueries through the SQL surface, union-tagged: Catalyst

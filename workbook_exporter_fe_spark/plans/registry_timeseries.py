@@ -521,13 +521,22 @@ def q61_sketch_cascades(spark, sf_dir):
              CAST(SUM(trel) OVER wl AS BIGINT) AS lst,
              CAST(SUM(x) OVER wl AS BIGINT) AS lsx,
              CAST(SUM(trel * x) OVER wl AS BIGINT) AS lstx,
-             CAST(SUM(trel * trel) OVER wl AS BIGINT) AS lstt
+             CAST(SUM(trel * trel) OVER wl AS BIGINT) AS lstt,
+             CAST(SUM(x * x) OVER wl AS BIGINT) AS lsxx,
+             CAST(SUM(x) OVER wml AS BIGINT) AS msl,
+             COUNT(x) OVER wml AS mnl,
+             CAST(SUM(x) OVER wmr AS BIGINT) AS msr,
+             COUNT(x) OVER wmr AS mnr
       FROM c
       WINDOW w AS (PARTITION BY source ORDER BY event_ts, event_id),
              wf AS (PARTITION BY source ORDER BY event_ts, event_id
                     ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING),
              wl AS (PARTITION BY source ORDER BY event_ts, event_id
-                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             wml AS (PARTITION BY source ORDER BY event_ts, event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+             wmr AS (PARTITION BY source ORDER BY event_ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
     ), e AS (
       SELECT *,
              CASE WHEN lk >= 2 AND (lk * lstt - lst * lst) > 0
@@ -548,14 +557,31 @@ def q61_sketch_cascades(spark, sf_dir):
            ROUND(((CAST(lsx AS DOUBLE) - slope_x * CAST(lst AS DOUBLE))
                     / CAST(lk AS DOUBLE)
                   + slope_x * CAST(trel AS DOUBLE)) / 100.0
-                 + (slope_x / 100.0) * 3600.0, 6) AS pred_1h
+                 + (slope_x / 100.0) * 3600.0, 6) AS pred_1h,
+           CASE WHEN mnl = 10 AND mnr = 10
+                THEN ROUND((msr - msl) / 1000.0, 6) END AS shift,
+           COALESCE(mnl = 10 AND mnr = 10
+                    AND abs(msr - msl) > 5000, FALSE) AS is_shift,
+           CAST(lk AS BIGINT) AS corr_n,
+           CASE WHEN lk >= 2 AND (lk * lstt - lst * lst) > 0
+                     AND (lk * lsxx - lsx * lsx) > 0
+                THEN ROUND(CAST(lk * lstx - lst * lsx AS DOUBLE)
+                           / sqrt(CAST(lk * lstt - lst * lst AS DOUBLE)
+                                  * CAST(lk * lsxx - lsx * lsx AS DOUBLE)), 6)
+                     + 0.0
+           END AS corr_xy
     FROM e
     """,
 )
 def q71_counter_rate(spark, sf_dir):
     from pyspark.sql import Window
 
-    from workbook_exporter_fe_spark.operators.rates import predict_linear, rate
+    from workbook_exporter_fe_spark.operators.rates import (
+        mean_shift_changepoints,
+        predict_linear,
+        rate,
+        rolling_corr,
+    )
 
     ev = _t(spark, sf_dir, "events").select(
         F.col("event_type").alias("source"),
@@ -580,6 +606,20 @@ def q71_counter_rate(spark, sf_dir):
         .withColumn("_s2", F.sum(F.col("_x") * F.col("_x")).over(wf))
         .withColumn("roll_n", F.count("_x").over(wf))
     )
+    # changepoints + trend correlation ride the same event-grain ordering;
+    # trel mirrors the oracle's per-source zero-based whole-second clock
+    tsec = F.col("event_ts").cast("timestamp").cast("long")
+    d = d.withColumn(
+        "_trel", tsec - F.min(tsec).over(Window.partitionBy("source"))
+    )
+    d = mean_shift_changepoints(
+        d, value_col="v", key="source", order_cols=("event_ts", "event_id"),
+        n=10, threshold=5.0, scale=100,
+    )
+    d = rolling_corr(
+        d, "v", "_trel", key="source", order_cols=("event_ts", "event_id"),
+        n=20, x_scale=100, y_scale=1,
+    )
     n, s1, s2 = F.col("roll_n"), F.col("_s1"), F.col("_s2")
     dev = n * F.col("_x") - s1
     var_num = n * s2 - s1 * s1
@@ -593,6 +633,10 @@ def q71_counter_rate(spark, sf_dir):
         F.coalesce(flag, F.lit(False)).alias("is_anomaly"),
         F.round(F.col("slope_per_sec") * 3600.0, 6).alias("deriv_ph"),
         F.round(F.col("predicted"), 6).alias("pred_1h"),
+        "shift",
+        "is_shift",
+        "corr_n",
+        "corr_xy",
     )
 
 

@@ -33,15 +33,63 @@ from .registry import _t, query
 
 # -- Deduplication ---------------------------------------------------------
 
+# Exact content-hash dedup groups UNION-TAGGED with dedup family #6:
+# blocked fuzzy (Levenshtein ≤ 2) pairs over the corpus vocabulary
+# (operators/fuzzy.py). The blocking — same first char + length within
+# max_dist — is COMPLETE for that spec (bucket width k+1 with ±1 probe
+# replication), so the oracle states the spec directly as a first-char +
+# length-band self-join with DuckDB's identical unit-cost levenshtein().
 @query(
     "q30_dedup_exact",
     """
-    SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
-    FROM documents GROUP BY 1
+    WITH vocab AS (
+      SELECT DISTINCT word
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+    ),
+    fz AS (
+      SELECT a.word AS word_a, b.word AS word_b,
+             CAST(levenshtein(a.word, b.word) AS INTEGER) AS dist
+      FROM vocab a JOIN vocab b
+        ON substr(a.word, 1, 1) = substr(b.word, 1, 1)
+       AND a.word < b.word
+       AND abs(length(a.word) - length(b.word)) <= 2
+      WHERE levenshtein(a.word, b.word) <= 2
+    )
+    SELECT 'exact' AS kind, md5(text) AS content_hash, COUNT(*) AS n_dups,
+           MIN(doc_id) AS keep_id,
+           CAST(NULL AS VARCHAR) AS word_a, CAST(NULL AS VARCHAR) AS word_b,
+           CAST(NULL AS INTEGER) AS dist
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'fuzzy', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), word_a, word_b, dist
+    FROM fz
     """,
 )
 def q30_dedup_exact(spark, sf_dir):
-    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+    from workbook_exporter_fe_spark.operators.fuzzy import fuzzy_vocab_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    exact = exact_dedup_groups(d).select(
+        F.lit("exact").alias("kind"),
+        "content_hash",
+        "n_dups",
+        "keep_id",
+        F.lit(None).cast("string").alias("word_a"),
+        F.lit(None).cast("string").alias("word_b"),
+        F.lit(None).cast("int").alias("dist"),
+    )
+    fuzzy = fuzzy_vocab_pairs(d, max_dist=2).select(
+        F.lit("fuzzy").alias("kind"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("long").alias("n_dups"),
+        F.lit(None).cast("long").alias("keep_id"),
+        "word_a",
+        "word_b",
+        F.col("dist").cast("int").alias("dist"),
+    )
+    return exact.unionByName(fuzzy)
 
 
 _SHINGLE_SQL = """
@@ -312,11 +360,47 @@ def q28_embedding_neardup(spark, sf_dir):
 
 # Both language-ID heuristics side by side: marker-stopword argmax
 # (lang_stop) and char-trigram-profile argmax (lang_ngram); tie/no-hit
-# resolution order en→fr→de→es→und mirrored exactly in SQL.
+# resolution order en→fr→de→es→und mirrored exactly in SQL — PLUS the PII
+# detect/redact pass (functions/textops.py PII_PATTERNS): the synthetic
+# corpus carries no PII, so both sides append the SAME deterministic
+# doc_id-derived PII tail (an email / phone+SSN / IPv4 by doc_id % 3)
+# before detecting; patterns are in the Java-regex ∩ RE2 common subset and
+# redaction is pinned by md5(redacted) — a byte-exact cross-engine check
+# of match sets, ordering, and replacement.
+_PII_TAIL_SQL = """
+      CASE doc_id % 3
+        WHEN 0 THEN ' mail ' || printf('user%d@example.com', doc_id)
+        WHEN 1 THEN ' call ' || printf('%03d-555-%04d', doc_id % 1000, doc_id % 10000)
+                 || ' ssn ' || printf('%03d-%02d-%04d', doc_id % 900, doc_id % 90, doc_id % 9000)
+        ELSE ' host ' || printf('10.0.%d.%d', doc_id % 256, doc_id % 100)
+      END
+"""
+
 @query(
     "q36_lang_id",
-    """
-    WITH h AS (
+    f"""
+    WITH pii AS (
+      SELECT doc_id, text || {_PII_TAIL_SQL} AS aug
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+        len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+        len(regexp_extract_all(aug, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b')) AS n_ssn,
+        len(regexp_extract_all(aug, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b')) AS n_phone,
+        len(regexp_extract_all(aug, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+        md5(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+              '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')
+        ) AS redacted_md5
+      FROM pii
+    ),
+    h AS (
       SELECT doc_id,
         len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','a','is'))) AS en,
         len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les','de'))) AS fr,
@@ -349,16 +433,51 @@ def q28_embedding_neardup(spark, sf_dir):
                 WHEN sc.en = greatest(sc.en, sc.fr, sc.de, sc.es) THEN 'en'
                 WHEN sc.fr = greatest(sc.en, sc.fr, sc.de, sc.es) THEN 'fr'
                 WHEN sc.de = greatest(sc.en, sc.fr, sc.de, sc.es) THEN 'de'
-                ELSE 'es' END AS lang_ngram
-    FROM h JOIN sc ON h.doc_id = sc.doc_id
+                ELSE 'es' END AS lang_ngram,
+           p.n_email, p.n_ssn, p.n_phone, p.n_ipv4, p.redacted_md5
+    FROM h JOIN sc ON h.doc_id = sc.doc_id JOIN p ON h.doc_id = p.doc_id
     """,
 )
 def q36_lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    tail = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.format_string(" mail user%d@example.com", F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.format_string(
+                    " call %03d-555-%04d",
+                    F.col("doc_id") % 1000,
+                    F.col("doc_id") % 10000,
+                ),
+                F.format_string(
+                    " ssn %03d-%02d-%04d",
+                    F.col("doc_id") % 900,
+                    F.col("doc_id") % 90,
+                    F.col("doc_id") % 9000,
+                ),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                " host 10.0.%d.%d", F.col("doc_id") % 256, F.col("doc_id") % 100
+            )
+        )
+    )
+    aug = F.concat(F.col("text"), tail)
+    pii = textops.pii_counts(aug)
     return d.select(
         "doc_id",
         textops.lang_id(F.col("text")).alias("lang_stop"),
         textops.lang_id_ngram("text").alias("lang_ngram"),
+        pii["n_email"].alias("n_email"),
+        pii["n_ssn"].alias("n_ssn"),
+        pii["n_phone"].alias("n_phone"),
+        pii["n_ipv4"].alias("n_ipv4"),
+        F.md5(textops.redact_pii(aug)).alias("redacted_md5"),
     )
 
 
@@ -492,6 +611,12 @@ def q37_text_metrics(spark, sf_dir):
     SELECT 'bi' AS kind, source, CAST(NULL AS VARCHAR) AS word,
            gram_a, gram_b, n
     FROM bg
+    UNION ALL
+    SELECT 'df' AS kind, CAST(NULL AS VARCHAR) AS source, word,
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), COUNT(*) AS n
+    FROM (SELECT DISTINCT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS word
+          FROM documents)
+    GROUP BY word
     """,
 )
 def q25_word_histogram(spark, sf_dir):
@@ -523,7 +648,17 @@ def q25_word_histogram(spark, sf_dir):
         "gram_b",
         "n",
     )
-    return uni.unionByName(bi)
+    from workbook_exporter_fe_spark.operators.relevance import doc_freqs
+
+    df = doc_freqs(d).select(
+        F.lit("df").alias("kind"),
+        F.lit(None).cast("string").alias("source"),
+        "word",
+        F.lit(None).cast("int").alias("gram_a"),
+        F.lit(None).cast("int").alias("gram_b"),
+        F.col("df").alias("n"),
+    )
+    return uni.unionByName(bi).unionByName(df)
 
 
 # -- Multimodal: REAL pure-numpy decodes (PPM / WAV / RVID), fully
@@ -709,13 +844,22 @@ def q54_sample_split(spark, sf_dir):
 
 # GPT-style sequence packing: chunk the per-source doc concatenation into
 # capacity-4096 training examples (weight = n_chars on the driver table;
-# the engine's sequences table uses n_tok through the same operator).
+# the engine's sequences table uses n_tok through the same operator) —
+# PLUS the distributed BPE tokenizer (operators/bpe.py): merges trained on
+# the deterministic doc_id%20 subset, every doc encoded under the learned
+# ranks inside the Arrow kernel, and the textbook invariants emitted as a
+# hash-checked boolean (oracle: TRUE) — token concatenation reconstructs
+# the text and every multi-char token is a learned merge product. The
+# merge SEQUENCE itself is pinned merge-for-merge against a pure-python
+# Sennrich reference in tests/test_bpe.py (iterative training is the
+# sanctioned non-SQL-expressible part).
 @query(
     "q55_sequence_packing",
     """
     SELECT source, doc_id, n_chars,
            CAST((cum - n_chars) // 4096 AS BIGINT) AS pack_id,
-           CAST((cum - n_chars) % 4096 AS BIGINT) AS pack_offset
+           CAST((cum - n_chars) % 4096 AS BIGINT) AS pack_offset,
+           TRUE AS bpe_ok
     FROM (
       SELECT source, doc_id, n_chars,
              SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
@@ -725,10 +869,38 @@ def q54_sample_split(spark, sf_dir):
     """,
 )
 def q55_sequence_packing(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        word_freqs,
+    )
     from workbook_exporter_fe_spark.operators.sampling import pack_greedy
 
-    return pack_greedy(
-        _t(spark, sf_dir, "documents"), capacity=4096, weight_col="n_chars"
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_greedy(
+        d, capacity=4096, weight_col="n_chars", carry_cols=("text",)
+    )
+    merges = bpe_train(
+        word_freqs(d.filter(F.col("doc_id") % 20 == 0)), n_merges=6
+    )
+    vocab = F.array(*[F.lit(a + b) for a, b in merges]) if merges else F.array(
+        F.lit("")
+    )
+    enc = bpe_encode(packed, merges, text_col="text")
+    ok = (
+        F.concat_ws("", F.col("bpe_tokens"))
+        == F.regexp_replace(F.col("text"), " ", "")
+    ) & F.forall(
+        F.col("bpe_tokens"),
+        lambda t: (F.length(t) == 1) | F.array_contains(vocab, t),
+    )
+    return enc.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "pack_id",
+        "pack_offset",
+        ok.alias("bpe_ok"),
     )
 
 
