@@ -245,8 +245,11 @@ from workbook_exporter_fe_spark.session import get_spark
 from workbook_exporter_fe_spark.operators.components import connected_components
 
 cores = {cores}
+# shuffle partitions FIXED across legs (a cluster scale-out keeps the
+# partitioning and adds executors; partitions=cores would give the two
+# legs different plans AND 8M-vertex per-task hash maps at local[4])
 spark = get_spark(app_name=f"scale_cc{{cores}}", cores=cores,
-                  shuffle_partitions=cores,
+                  shuffle_partitions=64,
                   extra_conf={{"spark.sql.files.maxPartitionBytes": "32m"}})
 
 # Deterministic near-dup-shaped graph, big enough that each round's
@@ -371,8 +374,13 @@ def run_components_at(cores: int, graph: str, n_vertices: int,
         repo=REPO, cores=cores, graph=graph, n_vertices=n_vertices,
         repeats=repeats
     )
+    env = dict(os.environ)
+    # ~10 shuffle-heavy rounds over a 32M-vertex label table: give the
+    # single local JVM cluster-executor-scale heap (box has 128 GiB)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=3600, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

@@ -102,3 +102,22 @@ def test_components_nonconvergence_is_signalled(spark):
     }
     assert full == {i: 0 for i in range(7)}
     assert partial != full
+
+
+def test_components_frees_stale_round_checkpoints(spark):
+    """Each round's localCheckpoint is unpersisted once the next round is
+    materialized — iterative runs must not accumulate one label-table copy
+    per round in the block store."""
+    def n_persistent():
+        return len(
+            set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        )
+
+    base = n_persistent()
+    # a 40-chain -> many propagation rounds
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = connected_components(df, max_iter=50)
+    assert labels.select("component").distinct().count() == 1
+    # left behind: the edges checkpoint + the final labels round only
+    assert n_persistent() - base <= 2

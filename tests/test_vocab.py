@@ -143,3 +143,131 @@ def test_new_token_rate_vs_duckdb(events, duck_ev):
         g = got[(s, b)]
         assert g[0] == new_occ and g[1] == total_occ
         assert g[2] == round(new_occ / total_occ, 6)
+
+
+def test_bigram_pmi_vs_duckdb(sequences, duck_seq):
+    from workbook_exporter_fe_spark.operators.vocab import bigram_pmi
+
+    got = {
+        (r["source"], r["gram_a"], r["gram_b"]): (r["n"], r["pmi"])
+        for r in bigram_pmi(sequences, min_count=3).collect()
+    }
+    want = duck_seq.execute(
+        """
+        WITH bg AS (
+          SELECT source, tokens[i] AS a, tokens[i + 1] AS b, COUNT(*) AS n
+          FROM (SELECT source, tokens, unnest(range(1, len(tokens))) AS i FROM seq)
+          GROUP BY 1, 2, 3
+        ),
+        l AS (SELECT source, a, SUM(n) AS c_a FROM bg GROUP BY 1, 2),
+        r AS (SELECT source, b, SUM(n) AS c_b FROM bg GROUP BY 1, 2),
+        t AS (SELECT source, SUM(n) AS N FROM bg GROUP BY 1)
+        SELECT bg.source, a, b, bg.n,
+               ROUND(ln(CAST(bg.n AS DOUBLE) * CAST(t.N AS DOUBLE)
+                        / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 6) AS pmi
+        FROM bg JOIN l USING (source, a) JOIN r USING (source, b)
+                JOIN t USING (source)
+        WHERE bg.n >= 3
+        """
+    ).fetchall()
+    assert len(got) == len(want)
+    for s, a, b, n, pmi in want:
+        assert got[(s, a, b)] == (n, pmi)
+
+
+def test_bigram_pmi_flags_collocations(spark):
+    from workbook_exporter_fe_spark.operators.vocab import bigram_pmi
+
+    # tokens 1->2 always adjacent (a true collocation); 3,4,5 shuffled noise
+    rows = []
+    for d in range(40):
+        noise = [3 + ((d * 7 + j) % 3) for j in range(6)]
+        rows.append(("s", d, noise[:3] + [1, 2] + noise[3:]))
+    df = spark.createDataFrame(rows, "source string, doc_id long, tokens array<int>")
+    out = {(r.gram_a, r.gram_b): r.pmi for r in bigram_pmi(df, min_count=3).collect()}
+    colloc = out[(1, 2)]
+    assert all(colloc > v for k, v in out.items() if k != (1, 2))
+
+
+@pytest.fixture(scope="module")
+def word_docs(spark):
+    # Zipf-ish: token w{k} appears ~ 200/k times, mixed across two sources
+    rows = []
+    i = 0
+    for k in range(1, 40):
+        for _ in range(max(200 // k, 1)):
+            rows.append((i, "s" + str(i % 2), f"w{k} filler{i % 7}"))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_vocab_stats_vs_duckdb(word_docs):
+    from workbook_exporter_fe_spark.operators.vocab import vocab_stats
+
+    got = {r.source: r.asDict() for r in vocab_stats(word_docs).collect()}
+    con = duckdb.connect()
+    con.register("d", word_docs.toPandas())
+    want = con.execute(
+        """
+        WITH wc AS (
+          SELECT source, word, COUNT(*) AS n
+          FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word FROM d)
+          GROUP BY 1, 2
+        )
+        SELECT source, SUM(n) AS n_tokens, COUNT(*) AS n_types,
+               ROUND(COUNT(*) / SUM(n), 6) AS ttr,
+               SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax,
+               ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) / COUNT(*), 6)
+                 AS hapax_ratio
+        FROM wc GROUP BY source
+        """
+    ).fetchall()
+    for s, n_tokens, n_types, ttr, hapax, hapax_ratio in want:
+        g = got[s]
+        assert (g["n_tokens"], g["n_types"], g["hapax"]) == (
+            n_tokens, n_types, hapax,
+        )
+        assert g["ttr"] == pytest.approx(ttr)
+        assert g["hapax_ratio"] == pytest.approx(hapax_ratio)
+
+
+def test_zipf_fit_vs_duckdb_and_shape(word_docs):
+    from workbook_exporter_fe_spark.operators.vocab import zipf_fit
+
+    got = {r.source: r for r in zipf_fit(word_docs, top_n=30).collect()}
+    con = duckdb.connect()
+    con.register("d", word_docs.toPandas())
+    want = con.execute(
+        """
+        WITH wc AS (
+          SELECT source, word, COUNT(*) AS n
+          FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word FROM d)
+          GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT source, n,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n DESC, word) AS rank
+          FROM wc QUALIFY rank <= 30
+        ),
+        p AS (
+          SELECT source,
+                 CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(38,12)) AS x,
+                 CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(38,12)) AS y
+          FROM top
+        )
+        SELECT source, COUNT(*) AS k,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM p GROUP BY source
+        """
+    ).fetchall()
+    for s, k, sx, sy, sxy, sxx in want:
+        slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        g = got[s]
+        assert g.n_used == k
+        assert g.slope == pytest.approx(round(slope, 6))
+        assert g.intercept == pytest.approx(round((sy - slope * sx) / k, 6))
+        # Zipf-shaped input: exponent near -1, certainly negative
+        assert g.slope < -0.5

@@ -61,6 +61,19 @@ def connected_components(
     """
     if on_nonconverged not in ("raise", "warn", "ignore"):
         raise ValueError(on_nonconverged)
+    sc = pairs.sparkSession.sparkContext
+
+    def _pids() -> set:
+        """ids of currently-persisted RDDs (localCheckpoint blocks)."""
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _unpersist(ids: set) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            jr = jmap.get(rid)
+            if jr is not None:
+                jr.unpersist(False)
+
     edges = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .unionByName(
@@ -73,9 +86,12 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    prev_ids: set = set()
     if checkpoint:
         edges = edges.localCheckpoint()
+        pre = _pids()
         labels = labels.localCheckpoint()
+        prev_ids = _pids() - pre
 
     changed = 0
     for _ in range(max_iter):
@@ -103,12 +119,22 @@ def connected_components(
                 F.min("old").alias("old"),
             )
         )
+        new_ids: set = set()
         if checkpoint:
+            pre = _pids()
             new_labels = new_labels.localCheckpoint()
+            new_ids = _pids() - pre
         changed = new_labels.filter(
             F.col("component") != F.col("old")
         ).count()
         labels = new_labels.drop("old")
+        if checkpoint:
+            # the new round is materialized (eager checkpoint + the count
+            # above read it); the previous round's blocks are unreachable
+            # from here on — free them, or long/iterative runs accumulate
+            # one full label-table copy PER ROUND in the block store
+            _unpersist(prev_ids)
+            prev_ids = new_ids
         if changed == 0:
             break
     if changed != 0:

@@ -217,7 +217,16 @@ def jaccard_pairs(
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
         ),
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    # asymmetric containment rides the same pair relation for free:
+    # cont_a = |A∩B|/|A| ≈ 1 flags A as a quote/subset of B even when the
+    # symmetric Jaccard is diluted by B's extra content
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.round(F.col("inter") / F.col("sz_a"), 6).alias("cont_a"),
+        F.round(F.col("inter") / F.col("sz_b"), 6).alias("cont_b"),
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

@@ -145,3 +145,127 @@ def new_token_rate(events: DataFrame, tier: str = "1d") -> DataFrame:
             "new_rate", F.round(F.col("new_occ") / F.col("total_occ"), 6)
         )
     )
+
+
+def bigram_pmi(
+    sequences: DataFrame | None = None,
+    min_count: int = 5,
+    key: str = "source",
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """(key, gram_a, gram_b, n, pmi): pointwise mutual information of
+    adjacent-token bigrams — the collocation score. pmi = ln(c_ab * N /
+    (c_a* * c_*b)) with N the bigram total and c_a*/c_*b the positional
+    marginals, all per ``key``.
+
+    ``min_count`` implements the standard collocation floor (PMI is
+    noise-dominated at count 1) and keeps the output a filtered slice of
+    the vocabulary-square, not the corpus.
+
+    Scale: the bigram relation (packed-int64 shuffle, map-side combined —
+    the measured 0.948-scaling job) reduces to vocabulary-sized marginal
+    relations; both joins are keyed on (key, token id) primitives. Every
+    input to the ln is an exact int64, so the rounded PMI is one
+    correctly-rounded IEEE chain — cross-engine exact.
+
+    Pass ``counts`` (an unfiltered token_bigram_counts result) to reuse an
+    already-built bigram relation instead of recomputing it.
+    """
+    bg = (
+        counts
+        if counts is not None
+        else token_bigram_counts(sequences, min_count=1, key=key)
+    )
+    # the marginals are self-joins of bg against its own aggregates — the
+    # filtered side's columns must be re-aliased so `n` resolves uniquely
+    left = bg.groupBy(key, "gram_a").agg(F.sum("n").alias("c_a"))
+    right = bg.groupBy(key, "gram_b").agg(F.sum("n").alias("c_b"))
+    tot = bg.groupBy(key).agg(F.sum("n").alias("N"))
+    bgf = bg.filter(F.col("n") >= min_count).select(
+        F.col(key), F.col("gram_a"), F.col("gram_b"), F.col("n").alias("_nab")
+    )
+    out = (
+        bgf.join(left, [key, "gram_a"])
+        .join(right, [key, "gram_b"])
+        .join(F.broadcast(tot), key)
+    )
+    pmi = F.round(
+        F.log(
+            F.col("_nab").cast("double") * F.col("N").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        ),
+        6,
+    )
+    return out.select(
+        key, "gram_a", "gram_b", F.col("_nab").alias("n"), pmi.alias("pmi")
+    )
+
+
+def vocab_stats(docs: DataFrame, text_col: str = "text",
+                key: str = "source") -> DataFrame:
+    """(key, n_tokens, n_types, ttr, hapax, hapax_ratio): per-``key``
+    vocabulary richness — type/token ratio and hapax-legomena share, the
+    standard corpus-health screens (a scraped corpus whose TTR collapses
+    is boilerplate; one whose hapax ratio explodes is OCR noise).
+
+    One corpus-scale explode + groupBy to the vocabulary-sized (key, word)
+    relation, then one tiny per-key aggregate. All-integer + two divides.
+    """
+    wc = (
+        docs.select(F.col(key), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy(key, "word")
+        .agg(F.count("*").alias("n"))
+    )
+    return wc.groupBy(key).agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.count("*") / F.sum("n"), 6).alias("ttr"),
+        F.sum((F.col("n") == 1).cast("long")).alias("hapax"),
+        F.round(
+            F.sum((F.col("n") == 1).cast("long")) / F.count("*"), 6
+        ).alias("hapax_ratio"),
+    )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text", key: str = "source",
+             top_n: int = 1000) -> DataFrame:
+    """(key, n_used, slope, intercept): least-squares fit of
+    ln(freq) = intercept + slope * ln(rank) over the ``top_n``
+    most-frequent unigrams per ``key`` — the Zipf exponent (natural text
+    sits near slope ≈ -1; template/boilerplate corpora flatten it).
+
+    Rank ties break on the word for determinism. Cross-engine exactness:
+    ln(rank)/ln(freq) are rounded to 6 dp and accumulated as
+    DECIMAL(38,12) products — exact, order-independent sums — so the
+    slope/intercept are a fixed IEEE tail over identical aggregates.
+    """
+    wc = (
+        docs.select(F.col(key), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy(key, "word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(key).orderBy(F.col("n").desc(), "word")
+    top = wc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 6).cast("decimal(38,12)")
+    y = F.round(F.log(F.col("n").cast("double")), 6).cast("decimal(38,12)")
+    agg = top.groupBy(key).agg(
+        F.count("*").alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    k = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = k * F.col("sxy").cast("double") - sx * sy
+    den = k * F.col("sxx").cast("double") - sx * sx
+    slope = num / den
+    return agg.select(
+        key,
+        F.col("k").alias("n_used"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / k, 6).alias("intercept"),
+    )

@@ -151,7 +151,9 @@ def q31_minhash_lsh_pairs(spark, sf_dir):
       WHERE a.id < b.id GROUP BY 1, 2
     )
     SELECT id_a, id_b,
-           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard,
+           ROUND(inter / sa.sz, 6) AS cont_a,
+           ROUND(inter / sb.sz, 6) AS cont_b
     FROM inter
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
@@ -522,6 +524,22 @@ def q36_lang_id(spark, sf_dir):
       FROM g JOIN bench USING (gram)
       WHERE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 1) <> '0'
       GROUP BY g.doc_id
+    ),
+    lm AS (
+      SELECT word, COUNT(*) AS c
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    st AS (SELECT SUM(c) AS T, COUNT(*) AS V FROM lm),
+    xe AS (
+      SELECT doc_id,
+             ROUND(-CAST(SUM(CAST(ROUND(ln((c + 1.0) / (T + 1.0 * V)), 6)
+                                  AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS xent
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+            FROM documents) tk
+      JOIN lm USING (word) CROSS JOIN st
+      GROUP BY doc_id
     )
     SELECT f.doc_id, n_chars, n_tokens_ws, avg_token_len, stopword_ratio, punct_ratio,
            ROUND(least(CAST(n_tokens_ws AS DOUBLE) / 50.0, 1.0) * 0.4
@@ -550,11 +568,15 @@ def q36_lang_id(spark, sf_dir):
                         u -> len(list_filter(wz, x -> x = u)))) AS DOUBLE) / len(wz)
                  ELSE 0.0 END, 6) AS top_word_ratio,
            substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench,
-           COALESCE(hits.n_hits, 0) AS n_contam_hits
+           COALESCE(hits.n_hits, 0) AS n_contam_hits,
+           xe.xent
     FROM f LEFT JOIN hits ON f.doc_id = hits.doc_id
+           JOIN xe ON f.doc_id = xe.doc_id
     """,
 )
 def q37_text_metrics(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.lm import doc_cross_entropy
+
     d = _t(spark, sf_dir, "documents")
     feats = textops.quality_features(F.col("text"))
     reps = textops.repetition_features(F.col("text"))
@@ -562,8 +584,10 @@ def q37_text_metrics(spark, sf_dir):
     hits = contaminated_docs(
         d.filter(~is_bench), d.filter(is_bench), k=8, hash_fn="md5"
     )
+    xent = doc_cross_entropy(d, k=1.0).select("doc_id", "xent")
     return (
         d.join(F.broadcast(hits), "doc_id", "left")
+        .join(xent, "doc_id")
         .select(
             "doc_id",
             *[c.alias(name) for name, c in feats.items()],
@@ -572,6 +596,7 @@ def q37_text_metrics(spark, sf_dir):
             *[c.alias(name) for name, c in reps.items()],
             is_bench.alias("is_bench"),
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_contam_hits"),
+            "xent",
         )
     )
 
@@ -603,26 +628,46 @@ def q37_text_metrics(spark, sf_dir):
              COUNT(*) AS n
       FROM tok, UNNEST(range(1, len(toks))) AS t(i)
       GROUP BY 1, 2, 3
+    ), lmar AS (
+      SELECT source, gram_a, SUM(n) AS c_a FROM bg GROUP BY 1, 2
+    ), rmar AS (
+      SELECT source, gram_b, SUM(n) AS c_b FROM bg GROUP BY 1, 2
+    ), btot AS (
+      SELECT source, SUM(n) AS N FROM bg GROUP BY 1
     )
     SELECT 'uni' AS kind, source, word,
-           CAST(NULL AS INTEGER) AS gram_a, CAST(NULL AS INTEGER) AS gram_b, n
+           CAST(NULL AS INTEGER) AS gram_a, CAST(NULL AS INTEGER) AS gram_b, n,
+           CAST(NULL AS DOUBLE) AS pmi
     FROM uni
     UNION ALL
     SELECT 'bi' AS kind, source, CAST(NULL AS VARCHAR) AS word,
-           gram_a, gram_b, n
+           gram_a, gram_b, n, CAST(NULL AS DOUBLE)
     FROM bg
     UNION ALL
     SELECT 'df' AS kind, CAST(NULL AS VARCHAR) AS source, word,
-           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), COUNT(*) AS n
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), COUNT(*) AS n,
+           CAST(NULL AS DOUBLE)
     FROM (SELECT DISTINCT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS word
           FROM documents)
     GROUP BY word
+    UNION ALL
+    SELECT 'pmi' AS kind, bg.source, CAST(NULL AS VARCHAR),
+           bg.gram_a, bg.gram_b, bg.n,
+           ROUND(ln(CAST(bg.n AS DOUBLE) * CAST(btot.N AS DOUBLE)
+                    / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 6) + 0.0
+    FROM bg JOIN lmar USING (source, gram_a) JOIN rmar USING (source, gram_b)
+            JOIN btot USING (source)
+    WHERE bg.n >= 5
     """,
 )
 def q25_word_histogram(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.vocab import token_bigram_counts
+    from workbook_exporter_fe_spark.operators.vocab import (
+        bigram_pmi,
+        token_bigram_counts,
+    )
 
     d = _t(spark, sf_dir, "documents")
+    nodbl = F.lit(None).cast("double").alias("pmi")
     uni = (
         d.select("source", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("source", "word")
@@ -634,19 +679,23 @@ def q25_word_histogram(spark, sf_dir):
             F.lit(None).cast("int").alias("gram_a"),
             F.lit(None).cast("int").alias("gram_b"),
             "n",
+            nodbl,
         )
     )
     toks = F.expr(
         "transform(split(text, ' '), "
         "w -> cast(conv(substring(md5(w), 1, 7), 16, 10) as int))"
     )
-    bi = token_bigram_counts(d.select("source", toks.alias("tokens"))).select(
+    tokrel = d.select("source", toks.alias("tokens"))
+    bg_counts = token_bigram_counts(tokrel)
+    bi = bg_counts.select(
         F.lit("bi").alias("kind"),
         "source",
         F.lit(None).cast("string").alias("word"),
         "gram_a",
         "gram_b",
         "n",
+        nodbl,
     )
     from workbook_exporter_fe_spark.operators.relevance import doc_freqs
 
@@ -657,8 +706,18 @@ def q25_word_histogram(spark, sf_dir):
         F.lit(None).cast("int").alias("gram_a"),
         F.lit(None).cast("int").alias("gram_b"),
         F.col("df").alias("n"),
+        nodbl,
     )
-    return uni.unionByName(bi).unionByName(df)
+    pmi = bigram_pmi(min_count=5, counts=bg_counts).select(
+        F.lit("pmi").alias("kind"),
+        "source",
+        F.lit(None).cast("string").alias("word"),
+        "gram_a",
+        "gram_b",
+        "n",
+        "pmi",
+    )
+    return uni.unionByName(bi).unionByName(df).unionByName(pmi)
 
 
 # -- Multimodal: REAL pure-numpy decodes (PPM / WAV / RVID), fully
