@@ -7,23 +7,44 @@ A~B and B~C but A!~C never co-occurred in a bucket. That closure is
 connected components, the standard final stage of a corpus dedup
 pipeline.
 
-Algorithm: iterated label propagation to the minimum ("hash-to-min"
-style). Every vertex starts labeled with itself; each round every vertex
-takes the min label in its closed neighborhood; converged when no label
-changes. Rounds needed ≤ graph diameter (near-dup clusters are shallow —
-star-ish around popular docs — so a handful of rounds suffices; the cap
-is a safety rail, convergence is checked exactly).
+Algorithm: frontier (delta) min-label propagation — GraphX Pregel's
+active-set semantics expressed in DataFrames. Every vertex starts
+labeled with itself; each round only vertices whose label CHANGED last
+round re-post their label to their neighbors (labels are monotone
+non-increasing and min is idempotent, so posts from unchanged vertices
+are information-free: their neighbors already folded them in). Converged
+when no label changes; rounds needed ≤ graph diameter (near-dup clusters
+are shallow — star-ish around popular docs — so a handful of rounds
+suffices; the cap is a safety rail, convergence is checked exactly).
 
-Scale design per round: one groupBy over the (undirected) edge relation
-joined to current labels — shuffle keyed by vertex id, partial-aggregated
-map-side. Labels and edges are (long/string, long/string) pairs; no
-driver-side graph, no RDDs. The vertex's previous label rides through the
-same aggregate (min over a null-for-neighbors column), so the convergence
-check is a count over the already-checkpointed round result — one shuffle
-per round total. localCheckpoint() truncates the lineage each
-round so the plan doesn't grow exponentially with iterations — the
-standard Spark idiom for iterative algorithms (GraphFrames does the
-same).
+Scale design — the EDGE relation (the big side) never moves after init;
+per round only frontier-sized and label-sized rows cross the wire:
+- the (undirected, deduped) edge relation is hash-partitioned by ``dst``
+  ONCE and persisted. Cached plans pin their output partitioning
+  (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` defaults
+  false), so every round's edge⋈frontier ShuffledHashJoin probes the
+  cached partitions in place — the only exchange feeding it is the
+  (geometrically shrinking) frontier being hashed to ``dst``;
+- posts are partial-aggregated map-side, then shuffled by vertex id —
+  volume again bounded by the active neighborhood, not the graph;
+- the convergence count reads `component != old` off the just-
+  checkpointed round result (old rides the projection, no extra agg);
+- the LABEL table is truncated with an EAGER localCheckpoint every
+  round. This is load-bearing, not hygiene: the frontier and the label
+  table both reference the previous round, so a lazy (or merely cached)
+  plan doubles per round — measured on the sf0.001 minhash pair graph,
+  the analyzed tree hits 7.8k nodes by round 7 and the driver OOMs
+  rendering AQE plan strings by round 8; caching alone does NOT help
+  (InMemoryRelation substitution happens below the analyzed plan that
+  AQE logs/renders). The checkpoint costs one label-table exchange per
+  round (LogicalRDD drops partitioning info — verified empirically),
+  which is the price of a bounded plan; labels are a thin (id,
+  component) relation, orders of magnitude under the edge relation.
+- each round's checkpoint blocks are freed once the next round is
+  materialized, so at most two label-table copies are ever held (on a
+  real cluster swap localCheckpoint for reliable checkpoints — executor
+  loss cannot recompute through a destroyed local checkpoint); the edge
+  cache is dropped before returning.
 """
 
 from __future__ import annotations
@@ -58,10 +79,16 @@ def connected_components(
     TRUNCATED, not converged — ``on_nonconverged`` controls the reaction:
     'raise' (default, NotConvergedError), 'warn' (RuntimeWarning, return
     the partial labels), or 'ignore'.
+
+    ``checkpoint=False`` disables materialization AND lineage truncation
+    (pure lazy lineage, plan doubles per round — only sensible for tiny
+    graphs / plan inspection at small max_iter).
     """
     if on_nonconverged not in ("raise", "warn", "ignore"):
         raise ValueError(on_nonconverged)
-    sc = pairs.sparkSession.sparkContext
+    spark = pairs.sparkSession
+    sc = spark.sparkContext
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def _pids() -> set:
         """ids of currently-persisted RDDs (localCheckpoint blocks)."""
@@ -81,42 +108,46 @@ def connected_components(
                 F.col(right_col).alias("src"), F.col(left_col).alias("dst")
             )
         )
-        .distinct()
+        # dedup AFTER the dst-repartition: HashPartitioning(dst) satisfies
+        # the (src, dst) clustered distribution, so this is one exchange
+        # total and the result comes out partitioned the way every round
+        # needs it
+        .repartition(n_part, "dst")
+        .dropDuplicates()
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
     prev_ids: set = set()
     if checkpoint:
-        edges = edges.localCheckpoint()
+        edges = edges.persist()
+        edges.count()
         pre = _pids()
         labels = labels.localCheckpoint()
         prev_ids = _pids() - pre
 
+    # round 0: every vertex is active (each must post its label once;
+    # after that, only changed vertices carry new information)
+    frontier = labels
+
     changed = 0
     for _ in range(max_iter):
-        # min label over the closed neighborhood of each vertex. The
-        # vertex's own previous label rides along as `old` (neighbor rows
-        # carry NULL, and min() ignores nulls), so the convergence count
-        # reads straight off the aggregated — and checkpointed — relation:
-        # ONE shuffle per round, no old-vs-new re-join.
-        neighbor_labels = (
+        posts = (
             edges.join(
-                labels.withColumnRenamed("id", "dst"), "dst"
+                frontier.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+                "dst",
             )
-            .select(
-                F.col("src").alias("id"),
-                "component",
-                F.lit(None).cast(labels.schema["component"].dataType).alias("old"),
-            )
-        )
-        own = labels.select("id", "component", F.col("component").alias("old"))
-        new_labels = (
-            own.unionByName(neighbor_labels)
+            .select(F.col("src").alias("id"), F.col("component").alias("post"))
             .groupBy("id")
-            .agg(
-                F.min("component").alias("component"),
-                F.min("old").alias("old"),
+            .agg(F.min("post").alias("post"))
+        )
+        new_labels = (
+            labels.join(posts.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                # least() skips NULLs: a vertex with no posts keeps its label
+                F.least(F.col("component"), F.col("post")).alias("component"),
+                F.col("component").alias("old"),
             )
         )
         new_ids: set = set()
@@ -127,16 +158,22 @@ def connected_components(
         changed = new_labels.filter(
             F.col("component") != F.col("old")
         ).count()
-        labels = new_labels.drop("old")
         if checkpoint:
-            # the new round is materialized (eager checkpoint + the count
-            # above read it); the previous round's blocks are unreachable
-            # from here on — free them, or long/iterative runs accumulate
-            # one full label-table copy PER ROUND in the block store
+            # the new round is materialized (eager checkpoint); the
+            # previous round's blocks are unreachable from here on — free
+            # them, or long runs hold one label-table copy PER ROUND
             _unpersist(prev_ids)
             prev_ids = new_ids
+        frontier = new_labels.filter(F.col("component") != F.col("old")).select(
+            "id", "component"
+        )
+        labels = new_labels.drop("old")
         if changed == 0:
             break
+    if checkpoint:
+        # the returned labels read only their own checkpoint blocks; the
+        # (potentially large) cached edge partitions are no longer needed
+        edges.unpersist(False)
     if changed != 0:
         msg = (
             f"connected_components did not converge in max_iter={max_iter} "
