@@ -277,8 +277,9 @@ if not os.path.exists(pairs_path + "/_SUCCESS"):
 pairs = spark.read.parquet(pairs_path)
 
 def job():
-    # the iterative operator under test: one vertex-keyed shuffle per
-    # round (old label rides the aggregate), localCheckpoint-truncated
+    # the iterative operator under test: frontier min-label propagation —
+    # edges dst-partitioned once and persisted, per-round shuffles are
+    # frontier/label-sized only, labels localCheckpoint-truncated per round
     labels = connected_components(pairs, max_iter=30)
     labels.write.format("noop").mode("overwrite").save()
     return labels
@@ -315,11 +316,14 @@ def components_main(graph: str, n_vertices: int, repeats: int) -> None:
     section = f"""{COMPONENTS_MARKER}
 
 Same protocol (fresh JVM per level, warmup discarded, best of {repeats}):
-`connected_components` — iterated min-label propagation with ONE
-vertex-keyed shuffle per round (the previous label rides the aggregate as
-a null-for-neighbors min, so the convergence count reads off the
-checkpointed round result; no old-vs-new re-join) and localCheckpoint
-lineage truncation.
+`connected_components` — frontier (delta) min-label propagation: the
+edge relation is dst-partitioned once and persisted (never re-shuffled —
+cached plans pin output partitioning, so the per-round edge⋈frontier
+ShuffledHashJoin probes cached partitions in place); only vertices whose
+label changed last round re-post, so per-round shuffle volume is
+frontier-sized and shrinks as clusters converge; labels are eagerly
+localCheckpoint-ed per round (bounded plans — a lazy plan doubles per
+round and OOMs the driver rendering AQE plan strings).
 
 Graph sizing matters for what this pair measures. On the REAL MinHash/LSH
 candidate-pair graph of the 1M-doc corpus (96,373 edges over 171,395
