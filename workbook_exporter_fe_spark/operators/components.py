@@ -152,13 +152,19 @@ def connected_components(
         )
         new_ids: set = set()
         if checkpoint:
+            # LAZY checkpoint: the convergence count below is the round's
+            # ONE job — it computes the round, stores the checkpoint
+            # blocks as a side effect, and returns the changed count. An
+            # eager checkpoint would run the same work as a separate job
+            # and then count over the blocks: two barriers per round
+            # instead of one, pure fixed cost at scale.
             pre = _pids()
-            new_labels = new_labels.localCheckpoint()
-            new_ids = _pids() - pre
+            new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(
             F.col("component") != F.col("old")
         ).count()
         if checkpoint:
+            new_ids = _pids() - pre
             # the new round is materialized (eager checkpoint); the
             # previous round's blocks are unreachable from here on — free
             # them, or long runs hold one label-table copy PER ROUND
