@@ -54,6 +54,24 @@ def test_components_match_union_find_on_random_graph(spark):
     assert got == _uf_oracle(edges)
 
 
+def test_components_dedupe_edges_false_is_result_identical(spark):
+    # duplicate edges (same AND reversed direction) + self-loops: skipping
+    # the init dedup may only change post volume, never the labels
+    edges = [
+        (1, 2), (2, 1), (1, 2),          # duplicated both ways
+        (2, 3), (2, 3),
+        (10, 11), (11, 10),
+        (30, 30), (30, 30),              # duplicated self loop
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        r["id"]: r["component"]
+        for r in connected_components(df, dedupe_edges=False).collect()
+    }
+    assert fast == _uf_oracle(edges)
+    assert fast[3] == 1 and fast[11] == 10 and fast[30] == 30
+
+
 def test_dedup_canonical_on_minhash_pairs(spark, sf_dir):
     from workbook_exporter_fe_spark.operators.dedup import (
         lsh_candidate_pairs,

@@ -19,8 +19,8 @@ suffices; the cap is a safety rail, convergence is checked exactly).
 
 Scale design — the EDGE relation (the big side) never moves after init;
 per round only frontier-sized and label-sized rows cross the wire:
-- the (undirected, deduped) edge relation is hash-partitioned by ``dst``
-  ONCE and persisted. Cached plans pin their output partitioning
+- the (undirected, optionally deduped — see ``dedupe_edges``) edge
+  relation is hash-partitioned by ``dst`` ONCE and persisted. Cached plans pin their output partitioning
   (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` defaults
   false), so every round's edge⋈frontier ShuffledHashJoin probes the
   cached partitions in place — the only exchange feeding it is the
@@ -29,17 +29,27 @@ per round only frontier-sized and label-sized rows cross the wire:
   volume again bounded by the active neighborhood, not the graph;
 - the convergence count reads `component != old` off the just-
   checkpointed round result (old rides the projection, no extra agg);
-- the LABEL table is truncated with an EAGER localCheckpoint every
-  round. This is load-bearing, not hygiene: the frontier and the label
-  table both reference the previous round, so a lazy (or merely cached)
-  plan doubles per round — measured on the sf0.001 minhash pair graph,
-  the analyzed tree hits 7.8k nodes by round 7 and the driver OOMs
-  rendering AQE plan strings by round 8; caching alone does NOT help
-  (InMemoryRelation substitution happens below the analyzed plan that
-  AQE logs/renders). The checkpoint costs one label-table exchange per
-  round (LogicalRDD drops partitioning info — verified empirically),
-  which is the price of a bounded plan; labels are a thin (id,
-  component) relation, orders of magnitude under the edge relation.
+- AQE is switched OFF for the whole propagation (session value restored
+  on exit). Every round's relations are thin and fixed-shape, so runtime
+  re-planning has nothing to discover — but AQE re-optimizes every stage
+  of every round on the driver and coalesces the thin per-round
+  exchanges down to a handful of tasks; measured on the 24M-edge
+  benchmark graph at local[16] that is ~2.2x wall-clock (88.5s → 40.1s,
+  BENCH/BASELINE.md). Fixed shuffle partitions keep all cores busy on
+  every round instead;
+- the LABEL table is truncated with a LAZY localCheckpoint every round,
+  materialized by the round's convergence count (one job per round; an
+  eager checkpoint would add a second barrier). The truncation is
+  load-bearing, not hygiene: the frontier and the label table both
+  reference the previous round, so an unchckpointed plan doubles per
+  round — measured on the sf0.001 minhash pair graph, the analyzed tree
+  hits 7.8k nodes by round 7 and the driver OOMs rendering AQE plan
+  strings by round 8; caching alone does NOT help (InMemoryRelation
+  substitution happens below the analyzed plan that AQE logs/renders).
+  The checkpoint costs one label-table exchange per round (LogicalRDD
+  drops partitioning info — verified empirically), which is the price of
+  a bounded plan; labels are a thin (id, component) relation, orders of
+  magnitude under the edge relation.
 - each round's checkpoint blocks are freed once the next round is
   materialized, so at most two label-table copies are ever held (on a
   real cluster swap localCheckpoint for reliable checkpoints — executor
@@ -65,12 +75,21 @@ def connected_components(
     max_iter: int = 20,
     checkpoint: bool = True,
     on_nonconverged: str = "raise",
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """(id, component): component = min vertex id reachable from id.
 
     ``pairs`` is an edge list (direction irrelevant, self-loops/dups
     fine). Vertices only ever appearing alone are absent — union the full
     id universe downstream if singletons matter (`dedup_canonical` does).
+
+    ``dedupe_edges=False`` skips the init-time edge dropDuplicates — a
+    graph-sized hash aggregate that is the single most expensive init
+    stage. Duplicate edges never change the RESULT (min is idempotent),
+    only the per-round post volume, so callers whose pair relation is
+    already distinct — every producer in operators/dedup.py emits
+    DISTINCT canonical (id_a < id_b) pairs — should pass False;
+    the safe default keeps it for arbitrary edge lists.
 
     Propagation advances one hop per round, so a chain deeper than
     ``max_iter`` would otherwise return silently-split components (and a
@@ -87,6 +106,31 @@ def connected_components(
     if on_nonconverged not in ("raise", "warn", "ignore"):
         raise ValueError(on_nonconverged)
     spark = pairs.sparkSession
+    # see module docstring: AQE's per-round driver re-planning/coalescing
+    # is pure overhead on these fixed-shape thin relations (measured
+    # ~2.2x); scoped off, previous session value restored on ANY exit
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_before = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+        return _propagate(
+            pairs, left_col, right_col, max_iter, checkpoint,
+            on_nonconverged, dedupe_edges,
+        )
+    finally:
+        spark.conf.set(aqe_key, aqe_before)
+
+
+def _propagate(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_iter: int,
+    checkpoint: bool,
+    on_nonconverged: str,
+    dedupe_edges: bool,
+) -> DataFrame:
+    spark = pairs.sparkSession
     sc = spark.sparkContext
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -101,21 +145,22 @@ def connected_components(
             if jr is not None:
                 jr.unpersist(False)
 
-    edges = (
-        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col(right_col).alias("src"), F.col(left_col).alias("dst")
-            )
-        )
+    edges = pairs.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst"))
+    ).repartition(n_part, "dst")
+    if dedupe_edges:
         # dedup AFTER the dst-repartition: HashPartitioning(dst) satisfies
         # the (src, dst) clustered distribution, so this is one exchange
         # total and the result comes out partitioned the way every round
         # needs it
-        .repartition(n_part, "dst")
-        .dropDuplicates()
-    )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        edges = edges.dropDuplicates()
+    # the edge relation carries BOTH directions, so set(dst) is already
+    # the full vertex universe AND edges are partitioned by dst — this
+    # distinct aggregates within partitions with NO exchange (the old
+    # select(src).distinct() re-shuffled the whole doubled relation)
+    labels = edges.select(F.col("dst").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
     prev_ids: set = set()
@@ -189,7 +234,7 @@ def connected_components(
         if on_nonconverged == "raise":
             raise NotConvergedError(msg)
         if on_nonconverged == "warn":
-            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
     return labels
 
 
@@ -205,8 +250,14 @@ def dedup_canonical(
 
     The components relation is cluster-membership-sized (docs that
     appeared in ≥1 candidate pair), usually a small fraction of the
-    corpus — broadcast into the left-side join when small."""
-    comp = connected_components(pairs, left_col, right_col)
+    corpus — broadcast into the left-side join when small.
+
+    ``pairs`` is expected to come from operators/dedup.py
+    (lsh_candidate_pairs / jaccard_pairs / simhash pairs), all of which
+    emit DISTINCT canonical (id_a < id_b) rows — so the closure skips
+    its init-time edge dedup (dedupe_edges=False; duplicates would only
+    cost post volume, never correctness)."""
+    comp = connected_components(pairs, left_col, right_col, dedupe_edges=False)
     keep_clustered = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias(id_col)
     )
