@@ -253,10 +253,17 @@ cores = {cores}
 # in the SAME heap — at the 8g default the local[16] leg spends its time
 # in GC (measured 5x repeat spread), which a real scale-out never does
 # (added executors bring added memory). 48g keeps both legs GC-quiet.
+# spark.local.dir on tmpfs: each leg writes tens of GB of shuffle files;
+# on the shared /tmp disk the LAST leg measures the accumulated dirty-page
+# writeback of every leg before it (measured: a local[16] leg run first
+# steadies at 45-50s, run last after three legs it never gets under 119s).
+# -Xms pinned to -Xmx so heap growth doesn't ride the timed runs.
 spark = get_spark(app_name=f"scale_cc{{cores}}", cores=cores,
                   shuffle_partitions=64,
                   extra_conf={{"spark.sql.files.maxPartitionBytes": "32m",
-                               "spark.driver.memory": "48g"}})
+                               "spark.driver.memory": "48g",
+                               "spark.driver.extraJavaOptions": "-Xms48g",
+                               "spark.local.dir": "/dev/shm/spark_cc_local"}})
 
 # Deterministic near-dup-shaped graph, big enough that each round's
 # vertex-keyed shuffle dominates the per-round job overhead (the REAL
@@ -311,6 +318,8 @@ print("RESULT " + json.dumps({{"cores": cores, "times": times,
       "best": min(times), "edges": pairs.count(),
       "vertices": n_vertices, "components": n_components}}))
 spark.stop()
+import shutil
+shutil.rmtree("/dev/shm/spark_cc_local", ignore_errors=True)
 """
 
 
@@ -434,6 +443,15 @@ def run_generic_at(template: str, cores: int, corpus: str, n_docs: int,
 
 def run_components_at(cores: int, graph: str, n_vertices: int,
                       repeats: int) -> dict:
+    # normalize machine state between legs: flush accumulated dirty pages
+    # and drop the page cache so every leg starts from the same cold-ish
+    # baseline instead of measuring the previous legs' writeback debt
+    subprocess.run(["sync"], check=False)
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+    except OSError:
+        pass
     code = COMPONENTS_RUNNER.format(
         repo=REPO, cores=cores, graph=graph, n_vertices=n_vertices,
         repeats=repeats
