@@ -1,0 +1,118 @@
+"""SnapshotTable: commits, time travel, rollback, stats pruning, GC.
+
+The from-scratch Iceberg-style snapshot log (sources/snapshots.py) —
+append/overwrite visibility, manifest-stats file pruning as a superset
+guard, history/files metadata tables, optimistic-conflict detection and
+physical expiry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.sources.snapshots import (
+    SnapshotConflict,
+    SnapshotTable,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "tbl"))
+
+
+def _rows(df):
+    return sorted((r["id"], r["tag"]) for r in df.collect())
+
+
+def test_append_overwrite_time_travel(spark, table):
+    assert table.current_sequence() == 0
+    s1 = table.commit(_df(spark, 0, 10, "a"))
+    s2 = table.commit(_df(spark, 10, 20, "b"))
+    assert (s1, s2) == (1, 2)
+    assert table.read().count() == 20
+    assert _rows(table.read(sequence=1)) == _rows(_df(spark, 0, 10, "a"))
+    s3 = table.commit(_df(spark, 100, 105, "c"), mode="overwrite")
+    assert s3 == 3
+    assert _rows(table.read()) == _rows(_df(spark, 100, 105, "c"))
+    # time travel still sees the pre-overwrite union
+    assert table.read(sequence=2).count() == 20
+    assert table.snapshot()["total_rows"] == 5
+
+
+def test_rollback_preserves_history(spark, table):
+    table.commit(_df(spark, 0, 10, "a"))
+    table.commit(_df(spark, 10, 20, "b"))
+    table.commit(_df(spark, 100, 105, "c"), mode="overwrite")
+    s4 = table.rollback(2)
+    assert s4 == 4
+    assert table.read().count() == 20
+    hist = {r["sequence"]: r for r in table.history().collect()}
+    assert hist[4]["operation"] == "rollback"
+    assert hist[4]["is_current"] and not hist[3]["is_current"]
+    # rollback re-references files; nothing was deleted
+    assert table.read(sequence=3).count() == 5
+
+
+def test_manifest_stats_prune_is_superset_guard(spark, table):
+    # two commits with disjoint id ranges -> disjoint file-level min/max
+    table.commit(_df(spark, 0, 1000, "lo").repartition(2))
+    table.commit(_df(spark, 1000, 2000, "hi").repartition(2))
+    all_paths, _ = table.scan_files()
+    paths, pruned = table.scan_files(col_between={"id": (1500, 1600)})
+    assert pruned >= 2  # the entire first commit's files drop out
+    assert set(paths) < set(all_paths)
+    got = (
+        table.read(col_between={"id": (1500, 1600)})
+        .filter((F.col("id") >= 1500) & (F.col("id") <= 1600))
+    )
+    want = table.read().filter((F.col("id") >= 1500) & (F.col("id") <= 1600))
+    assert _rows(got) == _rows(want)
+    # open-ended bound + a column with no stats entry never over-prunes
+    paths2, _ = table.scan_files(col_between={"id": (None, 999)})
+    assert set(paths2) < set(all_paths)
+    paths3, pruned3 = table.scan_files(col_between={"nope": (0, 1)})
+    assert pruned3 == 0 and set(paths3) == set(all_paths)
+
+
+def test_prune_to_empty_returns_typed_empty_df(spark, table):
+    table.commit(_df(spark, 0, 10, "a"))
+    out = table.read(col_between={"id": (99999, 100000)})
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "tag"]
+
+
+def test_files_metadata_table(spark, table):
+    table.commit(_df(spark, 0, 100, "a").repartition(3))
+    files = table.files().collect()
+    assert sum(r["rows"] for r in files) == 100
+    assert all(r["bytes"] > 0 and os.path.exists(r["path"]) for r in files)
+
+
+def test_expire_snapshots_gc(spark, table):
+    table.commit(_df(spark, 0, 10, "a"))
+    table.commit(_df(spark, 100, 105, "b"), mode="overwrite")
+    stats = table.expire_snapshots(keep_last=1)
+    assert stats["expired_snapshots"] == 1
+    assert stats["deleted_dirs"] == 1  # commit 1's dir is unreferenced
+    assert table.read().count() == 5
+    with pytest.raises(FileNotFoundError):
+        table.read(sequence=1)
+
+
+def test_commit_conflict_detected(spark, table):
+    table.commit(_df(spark, 0, 10, "a"))
+    # a racing writer grabs sequence 2 first
+    with open(table._manifest_path(2), "w") as f:
+        f.write("{}")
+    with pytest.raises(SnapshotConflict):
+        table.commit(_df(spark, 10, 20, "b"))

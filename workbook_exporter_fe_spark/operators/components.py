@@ -37,19 +37,36 @@ per round only frontier-sized and label-sized rows cross the wire:
   benchmark graph at local[16] that is ~2.2x wall-clock (88.5s → 40.1s,
   BENCH/BASELINE.md). Fixed shuffle partitions keep all cores busy on
   every round instead;
-- the LABEL table is truncated with a LAZY localCheckpoint every round,
+- the LABEL table is PERSISTED each round and lineage-truncated with a
+  LAZY localCheckpoint only every ``checkpoint_every`` rounds, both
   materialized by the round's convergence count (one job per round; an
-  eager checkpoint would add a second barrier). The truncation is
-  load-bearing, not hygiene: the frontier and the label table both
-  reference the previous round, so an unchckpointed plan doubles per
-  round — measured on the sf0.001 minhash pair graph, the analyzed tree
-  hits 7.8k nodes by round 7 and the driver OOMs rendering AQE plan
-  strings by round 8; caching alone does NOT help (InMemoryRelation
-  substitution happens below the analyzed plan that AQE logs/renders).
-  The checkpoint costs one label-table exchange per round (LogicalRDD
-  drops partitioning info — verified empirically), which is the price of
-  a bounded plan; labels are a thin (id, component) relation, orders of
-  magnitude under the edge relation.
+  eager checkpoint would add a second barrier). The split exists because
+  the two mechanisms pay for different things:
+  * plain ``persist()`` keeps the round's output partitioning —
+    ``canChangeCachedPlanOutputPartitioning`` defaults false, so the
+    cached label table stays HashPartitioning(id) and the next round's
+    labels⋈posts join runs with NO label-side exchange (posts come out
+    of groupBy(id) already co-partitioned). A localCheckpoint becomes a
+    LogicalRDD, which DROPS partitioning info (verified empirically) and
+    forces a full label-table exchange the following round;
+  * the periodic checkpoint bounds the plan. The frontier and the label
+    table both reference the previous round, so an untruncated plan
+    doubles per round — measured on the sf0.001 minhash pair graph, the
+    analyzed tree hits 7.8k nodes by round 7 and the driver OOMs
+    rendering AQE plan strings by round 8; caching alone does NOT help
+    (InMemoryRelation substitution happens below the analyzed plan that
+    AQE logs/renders). Truncating every K rounds caps the tree at
+    ~2^K references over a LogicalRDD base while paying the
+    partitioning-losing exchange only on every K-th round.
+  The base checkpoint's blocks stay alive until the NEXT checkpoint
+  materializes (cached rounds' lineage bottoms out in them — freeing
+  them early would make an evicted cached partition unrecomputable);
+  in between, at most one previous cached round is held alongside the
+  current one. Labels are a thin (id, component) relation, orders of
+  magnitude under the edge relation, so the ≤(2 caches + 2 checkpoints)
+  peak is small. The returned labels are always eagerly checkpointed, so
+  callers read a self-contained LogicalRDD regardless of where the loop
+  stopped in the checkpoint cycle.
 - each round's checkpoint blocks are freed once the next round is
   materialized, so at most two label-table copies are ever held (on a
   real cluster swap localCheckpoint for reliable checkpoints — executor
@@ -76,6 +93,7 @@ def connected_components(
     checkpoint: bool = True,
     on_nonconverged: str = "raise",
     dedupe_edges: bool = True,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """(id, component): component = min vertex id reachable from id.
 
@@ -101,10 +119,17 @@ def connected_components(
 
     ``checkpoint=False`` disables materialization AND lineage truncation
     (pure lazy lineage, plan doubles per round — only sensible for tiny
-    graphs / plan inspection at small max_iter).
+    graphs / plan inspection at small max_iter). ``checkpoint_every``
+    controls how often the label lineage is truncated with a
+    localCheckpoint (losing the cached partitioning and paying a full
+    label exchange on the following round) versus plain persist (keeps
+    HashPartitioning(id), exchange-free next round) — see the module
+    docstring; 1 truncates every round (round-2 behavior).
     """
     if on_nonconverged not in ("raise", "warn", "ignore"):
         raise ValueError(on_nonconverged)
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     spark = pairs.sparkSession
     # see module docstring: AQE's per-round driver re-planning/coalescing
     # is pure overhead on these fixed-shape thin relations (measured
@@ -115,7 +140,7 @@ def connected_components(
     try:
         return _propagate(
             pairs, left_col, right_col, max_iter, checkpoint,
-            on_nonconverged, dedupe_edges,
+            on_nonconverged, dedupe_edges, checkpoint_every,
         )
     finally:
         spark.conf.set(aqe_key, aqe_before)
@@ -129,6 +154,7 @@ def _propagate(
     checkpoint: bool,
     on_nonconverged: str,
     dedupe_edges: bool,
+    checkpoint_every: int,
 ) -> DataFrame:
     spark = pairs.sparkSession
     sc = spark.sparkContext
@@ -163,19 +189,25 @@ def _propagate(
     labels = edges.select(F.col("dst").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
-    prev_ids: set = set()
+    base_ids: set = set()
     if checkpoint:
         edges = edges.persist()
         edges.count()
         pre = _pids()
         labels = labels.localCheckpoint()
-        prev_ids = _pids() - pre
+        base_ids = _pids() - pre
 
     # round 0: every vertex is active (each must post its label once;
     # after that, only changed vertices carry new information)
     frontier = labels
 
     changed = 0
+    # cached rounds since the live base checkpoint: their lineage bottoms
+    # out in base_ids' LogicalRDD, so those blocks stay alive until the
+    # NEXT checkpoint materializes; only the immediately-previous cached
+    # round is held (older caches fall back to lineage on eviction)
+    prev_cache = None
+    since_ckpt = 0
     for _ in range(max_iter):
         posts = (
             edges.join(
@@ -195,26 +227,41 @@ def _propagate(
                 F.col("component").alias("old"),
             )
         )
+        is_ckpt_round = False
+        cur_cache = None
         new_ids: set = set()
         if checkpoint:
-            # LAZY checkpoint: the convergence count below is the round's
-            # ONE job — it computes the round, stores the checkpoint
-            # blocks as a side effect, and returns the changed count. An
-            # eager checkpoint would run the same work as a separate job
-            # and then count over the blocks: two barriers per round
-            # instead of one, pure fixed cost at scale.
-            pre = _pids()
-            new_labels = new_labels.localCheckpoint(eager=False)
+            is_ckpt_round = since_ckpt + 1 >= checkpoint_every
+            if is_ckpt_round:
+                # LAZY checkpoint: the convergence count below is the
+                # round's ONE job — it computes the round, stores the
+                # checkpoint blocks as a side effect, and returns the
+                # changed count. An eager checkpoint would run the same
+                # work as a separate job and then count over the blocks:
+                # two barriers per round instead of one.
+                pre = _pids()
+                new_labels = new_labels.localCheckpoint(eager=False)
+            else:
+                # plain persist: keeps HashPartitioning(id) so the next
+                # round's label join is exchange-free (module docstring)
+                new_labels = new_labels.persist()
+                cur_cache = new_labels
         changed = new_labels.filter(
             F.col("component") != F.col("old")
         ).count()
         if checkpoint:
-            new_ids = _pids() - pre
-            # the new round is materialized (eager checkpoint); the
-            # previous round's blocks are unreachable from here on — free
-            # them, or long runs hold one label-table copy PER ROUND
-            _unpersist(prev_ids)
-            prev_ids = new_ids
+            if is_ckpt_round:
+                new_ids = _pids() - pre
+                # the new checkpoint is self-contained: the old base and
+                # every cached round since it are unreachable — free them
+                _unpersist(base_ids)
+                base_ids = new_ids
+                since_ckpt = 0
+            else:
+                since_ckpt += 1
+            if prev_cache is not None:
+                prev_cache.unpersist(False)
+            prev_cache = cur_cache
         frontier = new_labels.filter(F.col("component") != F.col("old")).select(
             "id", "component"
         )
@@ -222,6 +269,15 @@ def _propagate(
         if changed == 0:
             break
     if checkpoint:
+        if prev_cache is not None:
+            # the loop stopped on a cache round: pin the result into its
+            # own checkpoint (one job reading the cached blocks) so the
+            # returned labels are self-contained here too
+            pre = _pids()
+            labels = labels.localCheckpoint(eager=True)
+            prev_cache.unpersist(False)
+            _unpersist(base_ids)
+            base_ids = _pids() - pre
         # the returned labels read only their own checkpoint blocks; the
         # (potentially large) cached edge partitions are no longer needed
         edges.unpersist(False)

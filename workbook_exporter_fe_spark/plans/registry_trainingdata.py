@@ -55,6 +55,29 @@ from .registry import _t, query
        AND a.word < b.word
        AND abs(length(a.word) - length(b.word)) <= 2
       WHERE levenshtein(a.word, b.word) <= 2
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], '_')) AS fp
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8 + 2)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 8)
+    ),
+    hot AS (SELECT fp FROM grams GROUP BY fp HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos AS s, pos + 7 AS e
+             FROM grams JOIN hot USING (fp)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                 PARTITION BY doc_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -2) + 1 THEN 1 ELSE 0 END AS ni
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
     )
     SELECT 'exact' AS kind, md5(text) AS content_hash, COUNT(*) AS n_dups,
            MIN(doc_id) AS keep_id,
@@ -65,6 +88,11 @@ from .registry import _t, query
     SELECT 'fuzzy', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), word_a, word_b, dist
     FROM fz
+    UNION ALL
+    SELECT 'span', CAST(NULL AS VARCHAR), COUNT(*), doc_id,
+           CAST(MIN(s) AS VARCHAR), CAST(MAX(e) AS VARCHAR),
+           CAST(NULL AS INTEGER)
+    FROM islands GROUP BY doc_id, island
     """,
 )
 def q30_dedup_exact(spark, sf_dir):
@@ -89,7 +117,22 @@ def q30_dedup_exact(spark, sf_dir):
         "word_b",
         F.col("dist").cast("int").alias("dist"),
     )
-    return exact.unionByName(fuzzy)
+    # dedup family #7: repeated-span (exact substring) detection — word
+    # 8-gram windows repeated corpus-wide, merged to maximal spans
+    # (operators/spans.py; md5 mode for the cross-engine fingerprint)
+    from workbook_exporter_fe_spark.operators.spans import repeated_spans
+
+    tok = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    span = repeated_spans(tok, n=8, min_count=2, hash_fn="md5").select(
+        F.lit("span").alias("kind"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.col("n_windows").cast("long").alias("n_dups"),
+        F.col("doc_id").cast("long").alias("keep_id"),
+        F.col("span_start").cast("string").alias("word_a"),
+        F.col("span_end").cast("string").alias("word_b"),
+        F.lit(None).cast("int").alias("dist"),
+    )
+    return exact.unionByName(fuzzy).unionByName(span)
 
 
 _SHINGLE_SQL = """
@@ -634,6 +677,34 @@ def q37_text_metrics(spark, sf_dir):
       SELECT source, gram_b, SUM(n) AS c_b FROM bg GROUP BY 1, 2
     ), btot AS (
       SELECT source, SUM(n) AS N FROM bg GROUP BY 1
+    ), gvocab AS (
+      SELECT word, SUM(n) AS gn FROM uni GROUP BY 1
+    ), dconsts AS (
+      SELECT COUNT(*) AS v, SUM(gn) AS qtot FROM gvocab
+    ), ptots AS (
+      SELECT source, SUM(n) AS ptot FROM uni GROUP BY 1
+    ), dgrid AS (
+      SELECT p.source, g.word, COALESCE(u.n, 0) AS pn, g.gn,
+             p.ptot, c.v, c.qtot
+      FROM ptots p
+      CROSS JOIN gvocab g
+      CROSS JOIN dconsts c
+      LEFT JOIN uni u ON u.source = p.source AND u.word = g.word
+    ), dterms AS (
+      SELECT source, pn,
+             (pn + 0.5) / (ptot + 0.5 * v) AS pp,
+             (gn + 0.5) / (qtot + 0.5 * v) AS qq
+      FROM dgrid
+    ), dm AS (
+      SELECT source,
+             SUM(pp * ln(pp / qq)) AS kl_div,
+             SUM(0.5 * pp * ln(2 * pp / (pp + qq))
+                 + 0.5 * qq * ln(2 * qq / (pp + qq))) AS js_div,
+             SUM((pp - qq) * ln(pp / qq)) AS psi,
+             SUM(0.5 * abs(pp - qq)) AS tvd,
+             COUNT(*) AS n_union,
+             SUM(CASE WHEN pn = 0 THEN 1 ELSE 0 END) AS n_only_base
+      FROM dterms GROUP BY 1
     )
     SELECT 'uni' AS kind, source, word,
            CAST(NULL AS INTEGER) AS gram_a, CAST(NULL AS INTEGER) AS gram_b, n,
@@ -658,6 +729,32 @@ def q37_text_metrics(spark, sf_dir):
     FROM bg JOIN lmar USING (source, gram_a) JOIN rmar USING (source, gram_b)
             JOIN btot USING (source)
     WHERE bg.n >= 5
+    UNION ALL
+    SELECT 'drift', source, 'kl_div', CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           ROUND(kl_div, 6) + 0.0 FROM dm
+    UNION ALL
+    SELECT 'drift', source, 'js_div', CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           ROUND(js_div, 6) + 0.0 FROM dm
+    UNION ALL
+    SELECT 'drift', source, 'psi', CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           ROUND(psi, 6) + 0.0 FROM dm
+    UNION ALL
+    SELECT 'drift', source, 'tvd', CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           ROUND(tvd, 6) + 0.0 FROM dm
+    UNION ALL
+    SELECT 'drift', source, 'n_union', CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), n_union, CAST(NULL AS DOUBLE) FROM dm
+    UNION ALL
+    SELECT 'drift', source, 'n_only_cur', CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM dm
+    UNION ALL
+    SELECT 'drift', source, 'n_only_base', CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), n_only_base, CAST(NULL AS DOUBLE) FROM dm
     """,
 )
 def q25_word_histogram(spark, sf_dir):
@@ -717,7 +814,60 @@ def q25_word_histogram(spark, sf_dir):
         "n",
         "pmi",
     )
-    return uni.unionByName(bi).unionByName(df).unionByName(pmi)
+    # drift family (operators/drift.py): each source's word distribution
+    # vs the corpus-global distribution, through the REAL histogram_drift
+    # operator (per-row HOF folds over map columns). Floats round to 6
+    # like the pmi rows (fold-vs-SQL sum order differs at ~1e-14, far
+    # inside the rounding); support counts are exact integers.
+    from workbook_exporter_fe_spark.operators.drift import histogram_drift
+
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    as_map = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("word", "n")))
+    )
+    cur = wc.groupBy("source").agg(as_map.alias("hist")).withColumn(
+        "_k", F.lit(1)
+    )
+    base = (
+        wc.groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .agg(as_map.alias("ghist"))
+        .withColumn("_k", F.lit(1))
+    )
+    dr = histogram_drift(
+        cur, base, keys=["_k"], hist_col="hist", base_hist_col="ghist",
+        eps=0.5,
+    )
+    noint = F.lit(None).cast("int")
+    drift_rows = None
+    for metric, is_float in (
+        ("kl_div", True), ("js_div", True), ("psi", True), ("tvd", True),
+        ("n_union", False), ("n_only_cur", False), ("n_only_base", False),
+    ):
+        row = dr.select(
+            F.lit("drift").alias("kind"),
+            "source",
+            F.lit(metric).alias("word"),
+            noint.alias("gram_a"),
+            noint.alias("gram_b"),
+            (
+                F.lit(None).cast("long") if is_float
+                else F.col(metric).cast("long")
+            ).alias("n"),
+            (
+                (F.round(F.col(metric), 6) + F.lit(0.0)) if is_float
+                else F.lit(None).cast("double")
+            ).alias("pmi"),
+        )
+        drift_rows = row if drift_rows is None else drift_rows.unionByName(row)
+    return (
+        uni.unionByName(bi).unionByName(df).unionByName(pmi)
+        .unionByName(drift_rows)
+    )
 
 
 # -- Multimodal: REAL pure-numpy decodes (PPM / WAV / RVID), fully

@@ -1,0 +1,344 @@
+"""Iceberg-style snapshot log over plain parquet: time travel + stats pruning.
+
+The north rule asks for an engine "over Iceberg tables ... resumable from
+checkpoint with per-partition lineage + metrics". The container has no
+Iceberg jar (sources/tableio.py:16 gates on that), so this module
+re-expresses the *table-format mechanics the engine actually relies on*
+as a from-scratch snapshot log over immutable parquet files:
+
+- every commit writes NEW immutable data files plus one JSON manifest
+  (`metadata/snap-<seq>.json`) naming the snapshot's full file set —
+  append commits reference the parent's files plus the new ones,
+  overwrite commits start a fresh file set (old files stay on disk for
+  time travel until `expire_snapshots`);
+- the manifest records per-file row counts and per-column min/max taken
+  from the parquet FOOTERS (pyarrow, driver-side, new files only — no
+  extra Spark action), which `scan(col_between=...)` uses to prune whole
+  files before Spark ever lists them: the manifest-stats analogue of
+  Iceberg's metadata-based split planning. At 100 TB this is the
+  difference between listing/opening every file and opening only the
+  time-range you asked for — row-group pruning inside Spark's reader
+  then narrows further;
+- `version-hint.text` points at the current sequence (the only mutable
+  byte on disk); it is swapped with ``os.replace`` (atomic on POSIX) and
+  commits are optimistic — a concurrent writer racing the same sequence
+  number loses with ``SnapshotConflict`` instead of corrupting the log
+  (Iceberg's optimistic-concurrency model; like
+  operators/retention.expire_tiers this assumes a local/posix-rename
+  filesystem — object stores need a real catalog for the pointer swap);
+- `read(sequence=...)` is time travel, `rollback(sequence)` commits a
+  NEW snapshot that re-references the old file set (history is never
+  rewritten), `history()` / `files()` are the metadata tables the
+  pipeline's metrics story expects, `expire_snapshots(keep_last=...)`
+  deletes manifests older than the kept window plus any data file no
+  retained snapshot references (physical GC).
+
+The reference's YAML-file-as-state-store (workbook_exporter-fe.py:
+1732-1754 — re-read the sink, anti-join against it, merge into it) is
+the same idea at toy scale: the output doubles as the resumable state.
+Here the state is an append-only log of immutable snapshots, which is
+what makes incremental refresh + audit (plans/pipeline.py) safe under
+failure: a crashed commit leaves data files without a manifest — invisible
+garbage, never a half-visible table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+
+class SnapshotConflict(RuntimeError):
+    """Another writer committed the same sequence number first."""
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+class SnapshotTable:
+    """A directory-backed table with Iceberg-like snapshot semantics.
+
+    Layout::
+
+        <root>/data/c<seq>-<uuid>/part-*.parquet   immutable per-commit dirs
+        <root>/metadata/snap-<seq>.json            one manifest per snapshot
+        <root>/metadata/version-hint.text          current sequence (atomic)
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta = os.path.join(root, "metadata")
+        self.data = os.path.join(root, "data")
+        os.makedirs(self.meta, exist_ok=True)
+        os.makedirs(self.data, exist_ok=True)
+
+    # ---------------------------------------------------------- manifests
+    def _manifest_path(self, seq: int) -> str:
+        return os.path.join(self.meta, f"snap-{seq:08d}.json")
+
+    def current_sequence(self) -> int:
+        """0 = empty table (no committed snapshot)."""
+        hint = os.path.join(self.meta, "version-hint.text")
+        if not os.path.exists(hint):
+            return 0
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    def _load(self, seq: int) -> dict:
+        with open(self._manifest_path(seq)) as f:
+            return json.load(f)
+
+    def snapshot(self, sequence: int | None = None) -> dict:
+        seq = self.current_sequence() if sequence is None else sequence
+        if seq == 0:
+            raise ValueError("table has no snapshots")
+        return self._load(seq)
+
+    # ------------------------------------------------------------ commits
+    def _file_stats(self, commit_dir: str) -> list[dict]:
+        """Per-file rows + per-column min/max from parquet footers.
+
+        Driver-side over the NEW files only — the parquet writer already
+        computed these statistics; harvesting the footer costs one small
+        read per file and no Spark job.
+        """
+        import pyarrow.parquet as pq
+
+        out = []
+        for name in sorted(os.listdir(commit_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(commit_dir, name)
+            md = pq.ParquetFile(path).metadata
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    k = col.path_in_schema
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        continue  # raw binary stats are not orderable here
+                    lo = lo.isoformat() if hasattr(lo, "isoformat") else lo
+                    hi = hi.isoformat() if hasattr(hi, "isoformat") else hi
+                    mins[k] = lo if k not in mins else min(mins[k], lo)
+                    maxs[k] = hi if k not in maxs else max(maxs[k], hi)
+            out.append(
+                {
+                    "path": path,
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(path),
+                    "min": mins,
+                    "max": maxs,
+                }
+            )
+        return out
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        summary: dict | None = None,
+    ) -> int:
+        """Write ``df`` as a new snapshot; returns its sequence number.
+
+        ``mode='append'`` adds the new files to the parent snapshot's set;
+        ``'overwrite'`` starts a fresh set (parent files remain readable
+        via time travel). The data write happens BEFORE the manifest/hint
+        swap, so a crash mid-commit leaves unreferenced files, never a
+        partially-visible snapshot.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(mode)
+        parent = self.current_sequence()
+        seq = parent + 1
+        commit_dir = os.path.join(self.data, f"c{seq:08d}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("error").parquet(commit_dir)
+        new_files = self._file_stats(commit_dir)
+        files = list(new_files)
+        if mode == "append" and parent > 0:
+            files = self._load(parent)["files"] + files
+        manifest = {
+            "sequence": seq,
+            "parent": parent,
+            "operation": mode,
+            "committed_at": time.time(),
+            "schema": df.schema.jsonValue(),
+            "files": files,
+            "summary": dict(summary or {}),
+            "total_rows": sum(f["rows"] for f in files),
+        }
+        mpath = self._manifest_path(seq)
+        if os.path.exists(mpath):
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise SnapshotConflict(
+                f"sequence {seq} already committed by another writer"
+            )
+        _atomic_write(mpath, json.dumps(manifest, indent=1))
+        _atomic_write(os.path.join(self.meta, "version-hint.text"), str(seq))
+        return seq
+
+    def rollback(self, sequence: int) -> int:
+        """Commit a NEW snapshot re-referencing ``sequence``'s file set.
+
+        History stays intact (Iceberg semantics) — rollback is itself an
+        auditable entry, not an erasure.
+        """
+        old = self.snapshot(sequence)
+        parent = self.current_sequence()
+        seq = parent + 1
+        manifest = {
+            "sequence": seq,
+            "parent": parent,
+            "operation": "rollback",
+            "rolled_back_to": sequence,
+            "committed_at": time.time(),
+            "schema": old["schema"],
+            "files": old["files"],
+            "summary": {},
+            "total_rows": old["total_rows"],
+        }
+        mpath = self._manifest_path(seq)
+        if os.path.exists(mpath):
+            raise SnapshotConflict(
+                f"sequence {seq} already committed by another writer"
+            )
+        _atomic_write(mpath, json.dumps(manifest, indent=1))
+        _atomic_write(os.path.join(self.meta, "version-hint.text"), str(seq))
+        return seq
+
+    # -------------------------------------------------------------- reads
+    def _select_files(
+        self, manifest: dict, col_between: dict | None
+    ) -> tuple[list[str], int]:
+        """File paths surviving manifest-stats pruning + pruned count."""
+        files = manifest["files"]
+        if not col_between:
+            return [f["path"] for f in files], 0
+        keep = []
+        for f in files:
+            ok = True
+            for col, (lo, hi) in col_between.items():
+                fmin = f["min"].get(col)
+                fmax = f["max"].get(col)
+                if fmin is None or fmax is None:
+                    continue  # no stats -> cannot prune this file
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append(f["path"])
+        return keep, len(files) - len(keep)
+
+    def read(
+        self,
+        sequence: int | None = None,
+        col_between: dict | None = None,
+    ) -> DataFrame:
+        """The snapshot's rows; ``sequence`` time-travels, ``col_between``
+        ({col: (lo, hi)}) prunes whole files by manifest min/max before
+        Spark lists anything. Pruning is a superset guard — apply the
+        actual row filter on top (exactly like partition pruning)."""
+        manifest = self.snapshot(sequence)
+        paths, _ = self._select_files(manifest, col_between)
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(manifest["schema"])
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def scan_files(
+        self, sequence: int | None = None, col_between: dict | None = None
+    ) -> tuple[list[str], int]:
+        """(surviving file paths, files pruned) — exposed so tests/plans
+        can assert the manifest actually pruned."""
+        return self._select_files(self.snapshot(sequence), col_between)
+
+    # ----------------------------------------------------- metadata tables
+    def history(self) -> DataFrame:
+        """Iceberg-style ``history``/``snapshots`` metadata table."""
+        rows = []
+        cur = self.current_sequence()
+        for seq in range(1, cur + 1):
+            m = self._load(seq)
+            rows.append(
+                Row(
+                    sequence=m["sequence"],
+                    parent=m["parent"],
+                    operation=m["operation"],
+                    n_files=len(m["files"]),
+                    total_rows=m["total_rows"],
+                    total_bytes=sum(f["bytes"] for f in m["files"]),
+                    is_current=seq == cur,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "sequence int, parent int, operation string, n_files int, "
+            "total_rows long, total_bytes long, is_current boolean",
+        )
+
+    def files(self, sequence: int | None = None) -> DataFrame:
+        """Iceberg-style ``files`` metadata table for one snapshot."""
+        m = self.snapshot(sequence)
+        rows = [
+            Row(
+                path=f["path"],
+                rows=f["rows"],
+                bytes=f["bytes"],
+                min_json=json.dumps(f["min"], sort_keys=True),
+                max_json=json.dumps(f["max"], sort_keys=True),
+            )
+            for f in m["files"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, rows long, bytes long, min_json string, "
+            "max_json string",
+        )
+
+    # ------------------------------------------------------------------ GC
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop manifests older than the kept window and delete any commit
+        directory no retained snapshot references. Time travel shrinks to
+        the kept window; the current snapshot is always retained."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.current_sequence()
+        if cur == 0:
+            return {"expired_snapshots": 0, "deleted_dirs": 0}
+        keep_from = max(1, cur - keep_last + 1)
+        live_dirs: set[str] = set()
+        for seq in range(keep_from, cur + 1):
+            for f in self._load(seq)["files"]:
+                live_dirs.add(os.path.dirname(f["path"]))
+        expired = 0
+        for seq in range(1, keep_from):
+            p = self._manifest_path(seq)
+            if os.path.exists(p):
+                os.remove(p)
+                expired += 1
+        deleted = 0
+        for name in sorted(os.listdir(self.data)):
+            d = os.path.join(self.data, name)
+            if d not in live_dirs:
+                shutil.rmtree(d)
+                deleted += 1
+        return {"expired_snapshots": expired, "deleted_dirs": deleted}
