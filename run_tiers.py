@@ -32,6 +32,13 @@ def main() -> None:
         "INCREMENTAL additive refresh of the tiers in --out (partial "
         "buckets combine; only touched chunk segments re-encode)",
     )
+    src.add_argument(
+        "--from-snapshots",
+        help="root of a tier-0 event SnapshotTable (sources/snapshots.py): "
+        "consume every snapshot appended since the last recorded "
+        "snapshot_consume row in the manifest and fold it through the "
+        "incremental refresh; no-op if already caught up",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
@@ -67,7 +74,9 @@ def main() -> None:
     from workbook_exporter_fe_spark.sources.datagen import gen_sequences
 
     spark = get_spark(app_name="run_tiers", cores=args.cores)
-    if args.events:
+    if args.from_snapshots:
+        run_fp = None  # run_from_snapshots derives it from the sequences
+    elif args.events:
         batch = spark.read.parquet(args.events)
         run_fp = f"events:{args.events}"
     elif args.input:
@@ -82,6 +91,7 @@ def main() -> None:
     if (
         not args.resume
         and not args.events
+        and not args.from_snapshots
         and os.path.exists(f"{args.out}/_manifest/manifest.jsonl")
     ):
         os.remove(f"{args.out}/_manifest/manifest.jsonl")
@@ -94,8 +104,24 @@ def main() -> None:
         late_delay=args.late_delay,
         with_anomaly=args.anomaly,
     )
-    tables = pipe.run_incremental(batch, run_fp) if args.events else pipe.run(seq, run_fp)
-    summary = {name: df.count() for name, df in tables.items()}
+    if args.from_snapshots:
+        from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+        tables = pipe.run_from_snapshots(
+            SnapshotTable(spark, args.from_snapshots)
+        )
+        summary = (
+            {name: df.count() for name, df in tables.items()}
+            if tables is not None
+            else "up-to-date"
+        )
+    else:
+        tables = (
+            pipe.run_incremental(batch, run_fp)
+            if args.events
+            else pipe.run(seq, run_fp)
+        )
+        summary = {name: df.count() for name, df in tables.items()}
     result = {
         "out": args.out,
         "rows": summary,

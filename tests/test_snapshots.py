@@ -116,3 +116,77 @@ def test_commit_conflict_detected(spark, table):
         f.write("{}")
     with pytest.raises(SnapshotConflict):
         table.commit(_df(spark, 10, 20, "b"))
+
+
+# ---------------------------------------------------------------- changes()
+
+
+def test_changes_incremental_append_scan(spark, table):
+    from workbook_exporter_fe_spark.sources.snapshots import (
+        IncrementalScanBreak,
+    )
+
+    table.commit(_df(spark, 0, 10, "a"))
+    table.commit(_df(spark, 10, 20, "b"))
+    table.commit(_df(spark, 20, 25, "c"))
+    assert table.changes(0).count() == 25  # new-consumer full catch-up
+    assert _rows(table.changes(1)) == _rows(
+        _df(spark, 10, 20, "b").unionAll(_df(spark, 20, 25, "c"))
+    )
+    assert _rows(table.changes(2)) == _rows(_df(spark, 20, 25, "c"))
+    caught_up = table.changes(3)
+    assert caught_up.count() == 0
+    assert [f.name for f in caught_up.schema.fields] == ["id", "tag"]
+    with pytest.raises(ValueError):
+        table.changes(99)
+    # a history rewrite breaks incremental consumption, loudly
+    table.commit(_df(spark, 0, 5, "d"), mode="overwrite")
+    with pytest.raises(IncrementalScanBreak):
+        table.changes(3)
+    assert table.changes(4).count() == 0  # caught up AT the overwrite is fine
+
+
+# --------------------------------------------- pipeline snapshot consumer
+
+
+def _tiers_sorted(df):
+    return [r.asDict() for r in df.orderBy("source", "bucket_ts").collect()]
+
+
+def test_pipeline_consumes_snapshots_incrementally(spark, tmp_path):
+    """Two snapshot appends consumed by run_from_snapshots must equal one
+    full cascade bit-for-bit (additive refresh over the snapshot log),
+    and a caught-up consumer must be a no-op returning None."""
+    from pyspark.sql import functions as F
+
+    from workbook_exporter_fe_spark.operators.eventize import eventize
+    from workbook_exporter_fe_spark.plans.pipeline import TierPipeline
+    from workbook_exporter_fe_spark.sources.datagen import gen_sequences
+
+    seq = gen_sequences(spark, 2000, seed=7)
+    ev = eventize(seq).select("source", "event_ts", "v", "doc_id")
+    gate = F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0
+
+    full = TierPipeline(spark, str(tmp_path / "full")).run(seq, run_fp="rf")
+
+    tbl = SnapshotTable(spark, str(tmp_path / "events_tbl"))
+    out_dir = str(tmp_path / "inc")
+
+    tbl.commit(ev.filter(gate))
+    first = TierPipeline(spark, out_dir).run_from_snapshots(tbl)
+    assert first is not None
+
+    tbl.commit(ev.filter(~gate))
+    # fresh pipeline instance: consumed-sequence state reloads from the
+    # manifest, and only snapshot 2's files are read
+    second = TierPipeline(spark, out_dir).run_from_snapshots(tbl)
+    assert second is not None
+
+    for tier in ("tier1", "tier2", "tier3"):
+        cols = ["source", "bucket_ts", "sum_v", "min_v", "max_v", "cnt"]
+        assert _tiers_sorted(second[tier].select(*cols)) == _tiers_sorted(
+            full[tier].select(*cols)
+        ), f"{tier} diverged"
+
+    # caught up -> no-op heartbeat
+    assert TierPipeline(spark, out_dir).run_from_snapshots(tbl) is None

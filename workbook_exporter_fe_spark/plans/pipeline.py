@@ -498,6 +498,48 @@ class TierPipeline:
         self._write_metrics_table()
         return out
 
+    def run_from_snapshots(self, table) -> dict[str, DataFrame] | None:
+        """Catch the tiers up to a SnapshotTable of tier-0 events
+        (sources/snapshots.py) — the engine's "consume the Iceberg
+        table incrementally" loop.
+
+        The manifest records the last CONSUMED snapshot sequence; each
+        call reads only the rows appended since (``table.changes`` — the
+        manifest file-set diff, no re-scan of consumed files) and folds
+        them through ``run_incremental`` (additive merges, so N catch-up
+        calls ≡ one full run bit-for-bit). Returns None when there is
+        nothing new — a no-op heartbeat, no Spark job beyond the driver-
+        side manifest read. A non-append snapshot in the gap raises
+        ``IncrementalScanBreak`` (see snapshots.py): additive tiers
+        cannot un-merge rewritten history, so the caller rebuilds.
+
+        Crash-safety: the consumed-sequence row is recorded AFTER
+        ``run_incremental`` completes; a crash mid-refresh replays the
+        same change range under the same run fingerprint, and the
+        per-stage manifest rows make the replay skip finished stages.
+        """
+        cur = table.current_sequence()
+        last = 0
+        for e in self.manifest.entries:
+            if (
+                e.get("stage") == "snapshot_consume"
+                and e.get("status") == "done"
+            ):
+                last = max(last, int(e.get("sequence", 0)))
+        if cur == last:
+            return None
+        batch = table.changes(last, cur)
+        run_fp = f"snap:{last + 1}-{cur}"
+        out = self.run_incremental(batch, run_fp)
+        self.manifest.record(
+            run_fp=run_fp,
+            stage="snapshot_consume",
+            status="done",
+            sequence=cur,
+            consumed_from=last,
+        )
+        return out
+
     def _write_metrics_table(self) -> None:
         """Mirror the JSONL manifest as a queryable parquet metrics table —
         the hive-fallback analog of the north rule's Iceberg metadata
