@@ -190,3 +190,98 @@ def test_pipeline_consumes_snapshots_incrementally(spark, tmp_path):
 
     # caught up -> no-op heartbeat
     assert TierPipeline(spark, out_dir).run_from_snapshots(tbl) is None
+
+
+# ------------------------------------------------------------- compact()
+
+
+def test_compact_replace_snapshot(spark, table):
+    for lo in range(0, 30, 10):
+        table.commit(_df(spark, lo, lo + 10, "t"))
+    before = _rows(table.read())
+    n_files_before = len(table.snapshot()["files"])
+    assert n_files_before >= 3
+    s = table.compact()  # default target >> test data: one output file
+    assert s == 4
+    m = table.snapshot()
+    assert m["operation"] == "replace"
+    assert len(m["files"]) < n_files_before
+    assert _rows(table.read()) == before  # row set identical
+    assert table.read(sequence=3).count() == 30  # time travel intact
+    # compacting an already-compact table is a no-op, no new snapshot
+    assert table.compact() == 4
+    assert table.current_sequence() == 4
+
+
+def test_changes_skips_compaction(spark, table):
+    table.commit(_df(spark, 0, 10, "a"))
+    table.commit(_df(spark, 10, 20, "b"))
+    table.compact()  # seq 3: replace
+    table.commit(_df(spark, 20, 25, "c"))  # seq 4
+    # consumer at seq 1 crosses the compaction: sees b + c, not the
+    # rewritten copies of a/b
+    assert _rows(table.changes(1)) == _rows(
+        _df(spark, 10, 20, "b").unionAll(_df(spark, 20, 25, "c"))
+    )
+    # new consumer full catch-up still sees every row exactly once
+    assert table.changes(0).count() == 25
+    # caught up AT the compaction: only the replace in range -> empty
+    assert table.changes(2, 3).count() == 0
+
+
+def test_sorted_compaction_restores_stats_pruning(spark, table):
+    """Interleaved appends leave every file spanning the full id range
+    (stats pruning useless); compact(sort_by=['id']) range-clusters the
+    rewrite so narrow scans skip most files again."""
+    for i in range(4):
+        # each commit covers the WHOLE id range, 2 files apiece
+        table.commit(
+            _df(spark, 0, 4000, "t")
+            .filter(F.pmod("id", F.lit(4)) == i)
+            .repartition(2)
+        )
+    before = _rows(table.read())
+    _, pruned0 = table.scan_files(col_between={"id": (100, 200)})
+    assert pruned0 == 0  # every file overlaps [100, 200]
+    total = sum(f["bytes"] for f in table.snapshot()["files"])
+    table.compact(target_file_bytes=total // 4, sort_by=["id"])
+    assert table.snapshot()["operation"] == "replace"
+    assert _rows(table.read()) == before
+    kept, pruned1 = table.scan_files(col_between={"id": (100, 200)})
+    assert len(table.snapshot()["files"]) >= 3 and pruned1 >= 1
+    got = table.read(col_between={"id": (100, 200)}).filter(
+        (F.col("id") >= 100) & (F.col("id") <= 200)
+    )
+    assert got.count() == 101  # pruning stayed a superset guard
+
+
+def test_compact_loses_race_with_concurrent_append(spark, table):
+    """A replace derived from snapshot N must refuse to land once the
+    table advanced past N — committing it would silently erase the
+    concurrent append's rows from the current snapshot."""
+    table.commit(_df(spark, 0, 10, "a"))
+    table.commit(_df(spark, 10, 20, "b"))
+    stale = table.snapshot()
+    table.commit(_df(spark, 20, 25, "c"))  # the race winner
+    with pytest.raises(SnapshotConflict):
+        table._commit_manifest(
+            operation="replace",
+            files=stale["files"],
+            schema=stale["schema"],
+            expected_parent=2,
+        )
+    assert table.read().count() == 25  # nothing was erased
+
+
+def test_changes_breaks_on_expired_files(spark, table):
+    from workbook_exporter_fe_spark.sources.snapshots import (
+        IncrementalScanBreak,
+    )
+
+    table.commit(_df(spark, 0, 10, "a"))
+    table.commit(_df(spark, 10, 20, "b"))
+    table.compact()
+    table.expire_snapshots(keep_last=1)  # drops the pre-compaction files
+    with pytest.raises(IncrementalScanBreak):
+        table.changes(1)  # appended files in range are gone
+    assert table.read().count() == 20  # full read unaffected

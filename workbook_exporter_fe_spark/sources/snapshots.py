@@ -31,7 +31,14 @@ as a from-scratch snapshot log over immutable parquet files:
   rewritten), `history()` / `files()` are the metadata tables the
   pipeline's metrics story expects, `expire_snapshots(keep_last=...)`
   deletes manifests older than the kept window plus any data file no
-  retained snapshot references (physical GC).
+  retained snapshot references (physical GC);
+- `compact()` rewrites the current file set into fewer, larger files as
+  an Iceberg-style `replace` snapshot (row set identical by
+  construction) — `changes(from_seq)`, the incremental append scan,
+  collects each APPEND snapshot's added files and skips replaces, so
+  incremental consumers run straight across compactions while true
+  history rewrites (overwrite/rollback) and GC'd ranges still break
+  loudly with ``IncrementalScanBreak``.
 
 The reference's YAML-file-as-state-store (workbook_exporter-fe.py:
 1732-1754 — re-read the sink, anti-join against it, merge into it) is
@@ -208,18 +215,121 @@ class SnapshotTable:
         auditable entry, not an erasure.
         """
         old = self.snapshot(sequence)
+        return self._commit_manifest(
+            operation="rollback",
+            files=old["files"],
+            schema=old["schema"],
+            extra={"rolled_back_to": sequence},
+        )
+
+    def compact(
+        self,
+        target_file_bytes: int = 128 << 20,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """Rewrite the current snapshot's data as fewer, larger files and
+        commit the result as an Iceberg-style REPLACE snapshot.
+
+        Small-file buildup is the chronic failure mode of an append log
+        (every incremental micro-batch adds a handful of files; a year of
+        minutely appends is half a million tiny parquet files whose
+        footers alone dominate scan planning). Compaction rewrites the
+        CURRENT file set into ~``total_bytes / target_file_bytes`` files
+        and commits ``operation='replace'``: logically a no-op — the row
+        set is identical by construction (one ``read()`` → one write) —
+        so ``changes()`` SKIPS replace snapshots and incremental
+        consumers keep working straight across a compaction, exactly like
+        Iceberg's incremental append scan ignoring REWRITE snapshots.
+        Old files stay on disk for time travel until
+        ``expire_snapshots``. Returns the new sequence, or the current
+        one unchanged when compaction would not reduce the file count.
+
+        ``sort_by`` upgrades the bin-pack to Iceberg's SORT rewrite:
+        rows are range-partitioned + sorted on those columns, so every
+        output file covers a narrow, near-disjoint slice and the
+        manifest min/max stats (``scan(col_between=...)``) prune again.
+        Interleaved appends destroy clustering — after a day of
+        per-source micro-batches every file spans the whole time range
+        and time-range scans open everything; one sorted compaction
+        restores file-skipping. Costs ONE full shuffle of the live data
+        (the plain bin-pack is a shuffle-free ``coalesce``), which is
+        the explicit price of re-clustering — schedule it per partition
+        window, not per table, at 100 TB.
+        """
+        m = self.snapshot()
+        total = sum(f["bytes"] for f in m["files"])
+        n = max(1, -(-total // max(1, target_file_bytes)))  # ceil-div
+        if sort_by is None and n >= len(m["files"]):
+            return self.current_sequence()
         parent = self.current_sequence()
+        commit_dir = os.path.join(
+            self.data, f"c{parent + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        if sort_by is None:
+            # coalesce, not repartition: a bin-pack must not shuffle
+            # 100 TB, only concatenate small outputs into bigger ones
+            out = self.read().coalesce(n)
+        else:
+            # global range clustering: tight per-file min/max on sort_by
+            out = self.read().repartitionByRange(
+                n, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        out.write.mode("error").parquet(commit_dir)
+        new_files = self._file_stats(commit_dir)
+        rows_out = sum(f["rows"] for f in new_files)
+        if rows_out != m["total_rows"]:  # footer counts are exact
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row drift: {rows_out} != {m['total_rows']}"
+            )
+        try:
+            return self._commit_manifest(
+                operation="replace",
+                files=new_files,
+                schema=m["schema"],
+                summary={
+                    "files_before": len(m["files"]),
+                    "files_after": len(new_files),
+                },
+                expected_parent=parent,
+            )
+        except SnapshotConflict:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+
+    def _commit_manifest(
+        self,
+        operation: str,
+        files: list[dict],
+        schema: dict,
+        summary: dict | None = None,
+        extra: dict | None = None,
+        expected_parent: int | None = None,
+    ) -> int:
+        """Write a manifest for a data-already-on-disk commit (rollback /
+        replace) with the same optimistic-concurrency + atomic-hint-swap
+        discipline as ``commit``. ``expected_parent`` makes the commit
+        conditional on the snapshot it was derived from still being
+        current — a replace that raced a concurrent append must lose
+        (its file set would silently erase the appended rows) rather
+        than land on the newer parent."""
+        parent = self.current_sequence()
+        if expected_parent is not None and parent != expected_parent:
+            raise SnapshotConflict(
+                f"table advanced to {parent} while deriving from "
+                f"{expected_parent}; retry against the current snapshot"
+            )
         seq = parent + 1
         manifest = {
             "sequence": seq,
             "parent": parent,
-            "operation": "rollback",
-            "rolled_back_to": sequence,
+            "operation": operation,
             "committed_at": time.time(),
-            "schema": old["schema"],
-            "files": old["files"],
-            "summary": {},
-            "total_rows": old["total_rows"],
+            "schema": schema,
+            "files": files,
+            "summary": dict(summary or {}),
+            "total_rows": sum(f["rows"] for f in files),
+            **(extra or {}),
         }
         mpath = self._manifest_path(seq)
         if os.path.exists(mpath):
@@ -288,41 +398,63 @@ class SnapshotTable:
         reads instead of re-scanning the table.
 
         ``from_sequence=0`` means "everything" (first catch-up of a new
-        consumer). Every snapshot in ``(from, to]`` must be an append —
-        a commit that rewrote history (overwrite / rollback) raises
-        ``IncrementalScanBreak`` so the consumer knows its downstream
-        state is unsound and rebuilds from ``read()``. Because append
-        manifests only ever ADD immutable files, the change set is
-        exactly the manifest file-set difference — no data diffing, no
-        scan of pre-existing files; at 100 TB a day's catch-up reads a
-        day's files."""
+        consumer). The change set is the union of each APPEND snapshot's
+        added files (its file set minus its parent's) — per-snapshot, not
+        an endpoint diff, so ``'replace'`` snapshots (compaction: same
+        rows, fewer files) are skipped and consumption continues straight
+        across them, like Iceberg's incremental append scan ignoring
+        REWRITE snapshots. A commit that rewrote LOGICAL history
+        (overwrite / rollback) raises ``IncrementalScanBreak`` — rows a
+        consumer already folded into downstream state may no longer
+        exist, and additive merges cannot subtract them; rebuild from
+        ``read()``. Same break if an appended file was already GC'd by
+        ``expire_snapshots`` (the consumer lagged past the retention
+        window). No data diffing, no scan of pre-existing files; at
+        100 TB a day's catch-up reads a day's files."""
         cur = self.current_sequence() if to_sequence is None else to_sequence
         if from_sequence > cur:
             raise ValueError(
                 f"from_sequence {from_sequence} is ahead of {cur}"
             )
-        if from_sequence == cur:  # nothing new: typed empty frame
+        def _load_or_break(seq: int) -> dict:
+            try:
+                return self._load(seq)
+            except FileNotFoundError:
+                raise IncrementalScanBreak(
+                    f"manifest for snapshot {seq} was expired — the "
+                    "consumer lagged past the retention window; rebuild "
+                    "from read()"
+                ) from None
+
+        new: list[str] = []
+        prev = (
+            {f["path"] for f in _load_or_break(from_sequence)["files"]}
+            if from_sequence > 0
+            else set()
+        )
+        for seq in range(from_sequence + 1, cur + 1):
+            m = _load_or_break(seq)
+            paths = {f["path"] for f in m["files"]}
+            if m["operation"] == "append":
+                new.extend(sorted(paths - prev))
+            elif m["operation"] != "replace":
+                raise IncrementalScanBreak(
+                    f"snapshot {seq} is '{m['operation']}', not append — "
+                    "incremental consumers must rebuild from read()"
+                )
+            prev = paths
+        missing = [p for p in new if not os.path.exists(p)]
+        if missing:
+            raise IncrementalScanBreak(
+                f"{len(missing)} appended file(s) in ({from_sequence}, "
+                f"{cur}] were expired (e.g. {missing[0]}) — the consumer "
+                "lagged past the retention window; rebuild from read()"
+            )
+        if not new:  # caught up (or only compactions in range)
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(self.snapshot(cur)["schema"])
             return self.spark.createDataFrame([], schema)
-        for seq in range(from_sequence + 1, cur + 1):
-            op = self._load(seq)["operation"]
-            if op != "append":
-                raise IncrementalScanBreak(
-                    f"snapshot {seq} is '{op}', not append — incremental "
-                    "consumers must rebuild from read()"
-                )
-        before = (
-            {f["path"] for f in self._load(from_sequence)["files"]}
-            if from_sequence > 0
-            else set()
-        )
-        new = [
-            f["path"]
-            for f in self._load(cur)["files"]
-            if f["path"] not in before
-        ]
         return self.spark.read.parquet(*new)
 
     # ----------------------------------------------------- metadata tables
