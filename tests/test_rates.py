@@ -443,3 +443,84 @@ def test_rolling_corr_vs_reference(spark):
             got[i][1] == pytest.approx(want) if want is not None
             else got[i][1] is None
         ), i
+
+
+def test_series_analytics_fused_equals_composed_chain(spark, counter_series):
+    """The fused single-window-pass operator is bit-identical to the
+    composed rate → predict_linear → rolling z-score → mean-shift →
+    rolling-corr chain, and its physical plan has exactly one Exchange,
+    one Sort, and ≤2 Window operators (the chain builds ~15)."""
+    import re
+
+    from pyspark.sql import Window
+
+    from workbook_exporter_fe_spark.operators.rates import (
+        mean_shift_changepoints,
+        predict_linear,
+        rolling_corr,
+        series_analytics,
+    )
+
+    ev = counter_series.withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    ev = spark.createDataFrame(ev.collect(), ev.schema)  # pin ids
+
+    fused = series_analytics(
+        ev, value_col="v", key="source", ts_col="event_ts",
+        tiebreak=("event_id",), scale=100, anomaly_n=30,
+        anomaly_threshold=3.0, anomaly_min_points=5, fit_n=20,
+        horizon_seconds=3600.0, shift_n=10, shift_threshold=5.0,
+    )
+
+    # the pre-fusion composed chain, verbatim from the old q71 body
+    r = rate(ev, tiebreak=["event_id"])
+    fit = predict_linear(
+        r, 3600.0, value_col="v", ts_col="event_ts", n=20, scale=100,
+        tiebreak=("event_id",),
+    )
+    x = F.round(F.col("v") * 100).cast("long")
+    wf = (
+        Window.partitionBy("source")
+        .orderBy("event_ts", "event_id")
+        .rowsBetween(-30, -1)
+    )
+    d = (
+        fit.withColumn("_x", x)
+        .withColumn("_s1", F.sum("_x").over(wf))
+        .withColumn("_s2", F.sum(F.col("_x") * F.col("_x")).over(wf))
+        .withColumn("roll_n", F.count("_x").over(wf))
+    )
+    tsec = F.col("event_ts").cast("timestamp").cast("long")
+    d = d.withColumn(
+        "_trel", tsec - F.min(tsec).over(Window.partitionBy("source"))
+    )
+    d = mean_shift_changepoints(
+        d, value_col="v", key="source", order_cols=("event_ts", "event_id"),
+        n=10, threshold=5.0, scale=100,
+    )
+    d = rolling_corr(
+        d, "v", "_trel", key="source", order_cols=("event_ts", "event_id"),
+        n=20, x_scale=100, y_scale=1,
+    )
+    n_, s1, s2 = F.col("roll_n"), F.col("_s1"), F.col("_s2")
+    dev = n_ * F.col("_x") - s1
+    var_num = n_ * s2 - s1 * s1
+    flag = (n_ >= 5) & (var_num > 0) & (dev * dev * (n_ - 1) > 9 * n_ * var_num)
+    out_cols = [
+        "source", "event_id", "delta", "rate_ps", "roll_n", "is_anomaly",
+        "slope_per_sec", "predicted", "shift", "is_shift", "corr_n",
+        "corr_xy",
+    ]
+    composed = d.withColumn(
+        "is_anomaly", F.coalesce(flag, F.lit(False))
+    ).select(*out_cols)
+
+    got = sorted(fused.select(*out_cols).collect())
+    want = sorted(composed.collect())
+    assert got == want  # bit-exact, including NULL placement
+
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bWindow\b", plan)) <= 2, plan
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\bSort\b", plan)) == 1, plan

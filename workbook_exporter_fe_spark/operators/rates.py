@@ -425,6 +425,179 @@ def holt_winters(
     return t1.groupBy(key).applyInPandas(smooth, schema=schema)
 
 
+def series_analytics(
+    df: DataFrame,
+    value_col: str = "v",
+    key: str = "source",
+    ts_col: str = "event_ts",
+    tiebreak: tuple[str, ...] = ("event_id",),
+    scale: int = 100,
+    anomaly_n: int = 30,
+    anomaly_threshold: float = 3.0,
+    anomaly_min_points: int = 5,
+    fit_n: int = 20,
+    horizon_seconds: float = 3600.0,
+    shift_n: int = 10,
+    shift_threshold: float = 5.0,
+    corr_n: int | None = None,
+) -> DataFrame:
+    """All per-series sliding analytics fused into ONE ordered window pass.
+
+    Computes, per (key, ts, tiebreak)-ordered series, the same columns as
+    the composed chain rate() → linear_fit()/predict_linear() → rolling
+    z-score anomaly → mean_shift_changepoints() → rolling_corr(value,
+    elapsed-time) — bit-identically (pinned by test) — but in TWO Window
+    operators instead of ~15:
+
+    - pass 1 (same partitioning+sort): min(epoch_seconds) over the whole
+      partition, to center time per key (the cancellation fix documented
+      on linear_fit). A window aggregate cannot consume another window
+      aggregate's output inside one operator, so the centered clock needs
+      its own pass; it rides the SAME sort (unbounded frame over the
+      ordered spec), so no extra Exchange or Sort.
+    - pass 2: every remaining analytic. Spark's WindowExec hosts any
+      number of frames for one (partitionSpec, orderSpec) — the two lag()
+      offsets, the trailing anomaly frame (-anomaly_n, -1), the fit/corr
+      frame (-(fit_n-1), 0), and the two mean-shift frames (-shift_n, -1)
+      / (0, shift_n-1) all evaluate in ONE buffered pass over each
+      partition.
+
+    Why this exists: each composed operator adds its own Window node, and
+    interleaved projections/specs block Catalyst's CollapseWindow, so the
+    chain executes ~15 buffered window passes over every series. Measured
+    at sf0.1 (100k events): chain ≈ 4.9 s, fused ≈ the single-pass floor
+    (each extra Window exec re-buffers every partition; see
+    BENCH/BASELINE.md). Per-100 TB this is the difference between 2 and
+    ~15 full passes over the event grain after the one shuffle.
+
+    The correlation is Pearson r between the value and the elapsed
+    per-key clock (trend strength), over ``corr_n`` rows — defaults to
+    ``fit_n`` so it shares the fit frame's five sums and adds only
+    sum(x²). Exactness rules are inherited verbatim from the composed
+    operators (int64-scaled sums, division-free anomaly/shift tests,
+    fixed IEEE tail ops) so results stay engine-portable.
+    """
+    thr2 = round(anomaly_threshold * anomaly_threshold)
+    if abs(anomaly_threshold * anomaly_threshold - thr2) > 1e-12:
+        raise ValueError(
+            "series_analytics needs an integral anomaly_threshold² for the "
+            "division-free exact test; use anomaly_zscore() otherwise"
+        )
+    if corr_n is None:
+        corr_n = fit_n
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    wo = Window.partitionBy(key).orderBy(*order)
+    # pass 1: per-key centered clock (whole-partition min on the SAME
+    # ordered spec: no new exchange/sort, just one extra window pass)
+    tsec = F.col(ts_col).cast("timestamp").cast("long")
+    wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d = df.withColumn(
+        "_sa_x", F.round(F.col(value_col) * scale).cast("long")
+    ).withColumn("_sa_t", tsec - F.min(tsec).over(wall))
+    # pass 2: every frame aggregate in one WindowExec
+    x, t = F.col("_sa_x"), F.col("_sa_t")
+    wf_anom = wo.rowsBetween(-anomaly_n, -1)
+    wf_fit = wo.rowsBetween(-(fit_n - 1), 0)
+    wf_l = wo.rowsBetween(-shift_n, -1)
+    wf_r = wo.rowsBetween(0, shift_n - 1)
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    v = F.col(value_col)
+    cols = {
+        "_pv": F.lag(value_col).over(wo),
+        "_psec": F.lag(sec).over(wo),
+        "_s1": F.sum(x).over(wf_anom),
+        "_s2": F.sum(x * x).over(wf_anom),
+        "roll_n": F.count(x).over(wf_anom),
+        "_k": F.count(x).over(wf_fit),
+        "_st": F.sum(t).over(wf_fit),
+        "_sx": F.sum(x).over(wf_fit),
+        "_stx": F.sum(t * x).over(wf_fit),
+        "_stt": F.sum(t * t).over(wf_fit),
+        "_sl": F.sum(x).over(wf_l),
+        "_nl": F.count(x).over(wf_l),
+        "_sr": F.sum(x).over(wf_r),
+        "_nr": F.count(x).over(wf_r),
+    }
+    if corr_n == fit_n:
+        cols["_sxx"] = F.sum(x * x).over(wf_fit)
+        ck, csx, csy = F.col("_k"), F.col("_st"), F.col("_sx")
+        csxx, csyy, csxy = F.col("_stt"), F.col("_sxx"), F.col("_stx")
+    else:
+        wf_c = wo.rowsBetween(-(corr_n - 1), 0)
+        cols.update(
+            _ck=F.count(x).over(wf_c),
+            _cst=F.sum(t).over(wf_c),
+            _csx=F.sum(x).over(wf_c),
+            _cstx=F.sum(t * x).over(wf_c),
+            _cstt=F.sum(t * t).over(wf_c),
+            _sxx=F.sum(x * x).over(wf_c),
+        )
+        ck, csx, csy = F.col("_ck"), F.col("_cst"), F.col("_csx")
+        csxx, csyy, csxy = F.col("_cstt"), F.col("_sxx"), F.col("_cstx")
+    d = d.select("*", *[c.alias(n) for n, c in cols.items()])
+    # final pure projections (verbatim formulas from the composed ops, so
+    # the IEEE op sequences — and thus the hashes — are identical)
+    pv = F.col("_pv")
+    delta = (
+        F.when(pv.isNull(), F.lit(None).cast("double"))
+        .when(v >= pv, v - pv)
+        .otherwise(v)
+    )
+    dt = sec - F.col("_psec")
+    n_, s1, s2 = F.col("roll_n"), F.col("_s1"), F.col("_s2")
+    dev = n_ * x - s1
+    var_num = n_ * s2 - s1 * s1
+    anom = (
+        (n_ >= anomaly_min_points)
+        & (var_num > 0)
+        & (dev * dev * (n_ - 1) > thr2 * n_ * var_num)
+    )
+    k, st, sx = F.col("_k"), F.col("_st"), F.col("_sx")
+    stx, stt = F.col("_stx"), F.col("_stt")
+    den = k * stt - st * st
+    num = k * stx - st * sx
+    slope_x = F.when((k >= 2) & (den > 0), num.cast("double") / den.cast("double"))
+    fit_x = (
+        (sx.cast("double") - slope_x * st.cast("double")) / k.cast("double")
+        + slope_x * t.cast("double")
+    )
+    diff = F.col("_sr") - F.col("_sl")
+    full = (F.col("_nl") == shift_n) & (F.col("_nr") == shift_n)
+    thr_shift = int(round(shift_n * shift_threshold * scale))
+    cnum = ck * csxy - csx * csy
+    cvx = ck * csxx - csx * csx
+    cvy = ck * csyy - csy * csy
+    corr = cnum.cast("double") / F.sqrt(cvx.cast("double") * cvy.cast("double"))
+    corr_ok = (ck >= 2) & (cvx > 0) & (cvy > 0)
+    slope = slope_x / F.lit(float(scale))
+    return (
+        d.withColumn("delta", delta)
+        .withColumn("rate_ps", F.when(dt > 0, F.col("delta") / dt))
+        .withColumn("is_anomaly", F.coalesce(anom, F.lit(False)))
+        .withColumn("slope_per_sec", slope)
+        .withColumn("fit_at_now", fit_x / F.lit(float(scale)))
+        .withColumn(
+            "predicted",
+            F.col("fit_at_now")
+            + F.col("slope_per_sec") * F.lit(float(horizon_seconds)),
+        )
+        .withColumn("shift_n", F.col("_nl"))
+        .withColumn(
+            "shift", F.when(full, F.round(diff / float(shift_n * scale), 6))
+        )
+        .withColumn(
+            "is_shift", F.coalesce(full & (F.abs(diff) > thr_shift), F.lit(False))
+        )
+        .withColumn("corr_n", ck)
+        .withColumn("corr_xy", F.when(corr_ok, F.round(corr, 6)))
+        .drop(
+            "_sa_x", "_sa_t", "_pv", "_psec", "_s1", "_s2", "_k", "_st",
+            "_sx", "_stx", "_stt", "_sl", "_nl", "_sr", "_nr", "_sxx",
+            "_ck", "_cst", "_csx", "_cstx", "_cstt",
+        )
+    )
+
+
 def mean_shift_changepoints(
     df: DataFrame,
     value_col: str = "v",

@@ -574,14 +574,7 @@ def q61_sketch_cascades(spark, sf_dir):
     """,
 )
 def q71_counter_rate(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from workbook_exporter_fe_spark.operators.rates import (
-        mean_shift_changepoints,
-        predict_linear,
-        rate,
-        rolling_corr,
-    )
+    from workbook_exporter_fe_spark.operators.rates import series_analytics
 
     ev = _t(spark, sf_dir, "events").select(
         F.col("event_type").alias("source"),
@@ -589,48 +582,22 @@ def q71_counter_rate(spark, sf_dir):
         F.col("ts").alias("event_ts"),
         F.col("value").alias("v"),
     )
-    r = rate(ev, tiebreak=["event_id"])
-    fit = predict_linear(
-        r, 3600.0, value_col="v", ts_col="event_ts", n=20, scale=100,
-        tiebreak=("event_id",),
+    # fused single-window-pass form of rate → predict_linear → rolling
+    # z-score → mean-shift → rolling trend-corr (pinned bit-identical to
+    # the composed chain in tests/test_rates.py); 2 Window execs, not ~15
+    d = series_analytics(
+        ev, value_col="v", key="source", ts_col="event_ts",
+        tiebreak=("event_id",), scale=100, anomaly_n=30,
+        anomaly_threshold=3.0, anomaly_min_points=5, fit_n=20,
+        horizon_seconds=3600.0, shift_n=10, shift_threshold=5.0,
     )
-    x = F.round(F.col("v") * 100).cast("long")
-    wf = (
-        Window.partitionBy("source")
-        .orderBy("event_ts", "event_id")
-        .rowsBetween(-30, -1)
-    )
-    d = (
-        fit.withColumn("_x", x)
-        .withColumn("_s1", F.sum("_x").over(wf))
-        .withColumn("_s2", F.sum(F.col("_x") * F.col("_x")).over(wf))
-        .withColumn("roll_n", F.count("_x").over(wf))
-    )
-    # changepoints + trend correlation ride the same event-grain ordering;
-    # trel mirrors the oracle's per-source zero-based whole-second clock
-    tsec = F.col("event_ts").cast("timestamp").cast("long")
-    d = d.withColumn(
-        "_trel", tsec - F.min(tsec).over(Window.partitionBy("source"))
-    )
-    d = mean_shift_changepoints(
-        d, value_col="v", key="source", order_cols=("event_ts", "event_id"),
-        n=10, threshold=5.0, scale=100,
-    )
-    d = rolling_corr(
-        d, "v", "_trel", key="source", order_cols=("event_ts", "event_id"),
-        n=20, x_scale=100, y_scale=1,
-    )
-    n, s1, s2 = F.col("roll_n"), F.col("_s1"), F.col("_s2")
-    dev = n * F.col("_x") - s1
-    var_num = n * s2 - s1 * s1
-    flag = (n >= 5) & (var_num > 0) & (dev * dev * (n - 1) > 9 * n * var_num)
     return d.select(
         "source",
         "event_id",
         "delta",
         "rate_ps",
         "roll_n",
-        F.coalesce(flag, F.lit(False)).alias("is_anomaly"),
+        "is_anomaly",
         F.round(F.col("slope_per_sec") * 3600.0, 6).alias("deriv_ph"),
         F.round(F.col("predicted"), 6).alias("pred_1h"),
         "shift",
