@@ -1,0 +1,767 @@
+"""PromQL front-end: compile a PromQL subset to DataFrame plans.
+
+The reference generates Prometheus scrape configs (every exporter block
+in /root/reference/workbook_exporter-fe.py:302-1641 is a scrape-target
+YAML stanza); the query language its users point at the resulting
+metrics is PromQL. This module closes the loop engine-side: a lexer +
+recursive-descent parser + compiler that turns PromQL text into the same
+Catalyst plans the native operators build (operators/rates.py,
+operators/histogram.py, operators/tiers.py), evaluated over tier tables
+registered in a :class:`MetricStore`.
+
+Supported subset (documented deviations below):
+
+- selectors: ``metric``, ``metric{l="x", l2!="y", l3=~"re", l4!~"re"}``,
+  range ``[5m]``, ``offset 1h``
+- range functions: ``rate increase delta idelta avg_over_time
+  sum_over_time min_over_time max_over_time count_over_time
+  last_over_time stddev_over_time deriv predict_linear``
+- instant functions: ``abs ceil floor round clamp_min clamp_max``
+- aggregations: ``sum avg min max count stddev topk bottomk`` with
+  ``by (...)`` / ``without (...)`` (prefix or postfix)
+- binary: ``+ - * / % ^``, comparisons ``== != > < >= <=`` (filter
+  semantics, ``bool`` modifier for 0/1), set ops ``and or unless``,
+  vector matching ``on (...)`` / ``ignoring (...)`` (1:1 only)
+- ``histogram_quantile(q, vec)`` over ``le``-labelled cumulative buckets
+
+Semantics deviations (deliberate, each scale- or exactness-motivated):
+
+1. **Evaluation grid = the stored bucket timestamps.** Metrics come from
+   tier tables (one row per (labels, bucket)); expressions evaluate at
+   those timestamps instead of an arbitrary query step with staleness
+   lookback. Binary ops align on exact timestamps (inner join), which is
+   PromQL's behaviour on a shared grid.
+2. **rate/increase are interval-attributed, not extrapolated.** Each
+   reset-adjusted per-sample delta belongs to the interval ending at its
+   sample; ``increase(m[r])`` sums the deltas of samples in ``(t-r, t]``.
+   Prometheus instead extrapolates to the window boundary. Ours is the
+   decomposable definition (per-bucket increases re-sum exactly across
+   tiers — the same contract as operators/rates.increase_tier1) and is
+   reproducible bit-for-bit by any engine.
+3. **1:1 vector matching only** (no group_left/group_right); result
+   labels are the matching keys.
+4. ``stddev_over_time``/``stddev`` are population, matching PromQL.
+
+Scale design: every construct compiles to window frames over
+(labels, ts)-sorted series — RANGE frames on epoch seconds, so sparse
+series are handled without densify — or to hash aggregations; one
+Exchange per distinct partitioning, no UDFs, no driver loops. Range
+functions needing a per-series epoch (deriv/predict_linear) center time
+with one same-sort whole-partition pass (the cancellation fix documented
+on operators/rates.linear_fit).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- store
+
+
+class MetricStore:
+    """Registry mapping metric names to tier-table DataFrames.
+
+    Each metric is a DataFrame with label columns (strings), a bucket
+    timestamp column, and one value column; ``register`` standardizes to
+    internal (labels..., ts, value)."""
+
+    def __init__(self) -> None:
+        self._metrics: dict[str, tuple[DataFrame, tuple[str, ...]]] = {}
+
+    def register(
+        self,
+        name: str,
+        df: DataFrame,
+        labels: tuple[str, ...] = ("source",),
+        ts_col: str = "bucket_ts",
+        value_col: str = "value",
+    ) -> "MetricStore":
+        # normalize NTZ → TIMESTAMP (UTC-pinned sessions make it exact)
+        # so offset-shifted and plain vectors join on one timestamp type
+        std = df.select(
+            *[F.col(c).cast("string").alias(c) for c in labels],
+            F.col(ts_col).cast("timestamp").alias("ts"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        self._metrics[name] = (std, tuple(labels))
+        return self
+
+    def metric(self, name: str) -> "Vector":
+        if name not in self._metrics:
+            raise PromQLError(f"unknown metric {name!r}")
+        df, labels = self._metrics[name]
+        return Vector(df, labels)
+
+
+@dataclass
+class Vector:
+    """Instant vector: DataFrame(labels..., ts, value)."""
+
+    df: DataFrame
+    labels: tuple[str, ...]
+
+
+class PromQLError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------- lexer
+
+_DUR = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<DURATION>\d+(?:ms|[smhdw]))
+  | (?P<NUMBER>\d+\.\d*|\.\d+|\d+|[iI]nf|[nN]a[nN])
+  | (?P<IDENT>[a-zA-Z_:][a-zA-Z0-9_:]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"by", "without", "on", "ignoring", "offset", "bool",
+             "and", "or", "unless"}
+
+
+def _lex(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise PromQLError(f"lex error at {text[pos:pos + 20]!r}")
+        kind = m.lastgroup
+        val = m.group()
+        pos = m.end()
+        if kind == "WS":
+            continue
+        if kind == "IDENT" and val in _KEYWORDS:
+            kind = val.upper()
+        out.append((kind, val))
+    out.append(("EOF", ""))
+    return out
+
+
+def duration_seconds(tok: str) -> float:
+    m = re.fullmatch(r"(\d+)(ms|[smhdw])", tok)
+    if not m:
+        raise PromQLError(f"bad duration {tok!r}")
+    return int(m.group(1)) * _DUR[m.group(2)]
+
+
+# ----------------------------------------------------------------- AST
+
+
+@dataclass
+class Num:
+    value: float
+
+
+@dataclass
+class Selector:
+    name: str
+    matchers: list[tuple[str, str, str]] = field(default_factory=list)
+    range_s: float | None = None
+    offset_s: float = 0.0
+
+
+@dataclass
+class Call:
+    func: str
+    args: list
+
+
+@dataclass
+class Agg:
+    op: str
+    expr: object
+    grouping: tuple[str, ...] | None = None  # by-labels
+    without: bool = False
+    param: object | None = None  # k for topk/bottomk
+
+
+@dataclass
+class Binary:
+    op: str
+    lhs: object
+    rhs: object
+    bool_mode: bool = False
+    on: tuple[str, ...] | None = None
+    ignoring: tuple[str, ...] | None = None
+
+
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "topk", "bottomk"}
+_RANGE_FNS = {
+    "rate", "increase", "delta", "idelta", "deriv", "predict_linear",
+    "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "last_over_time", "stddev_over_time",
+}
+_INSTANT_FNS = {"abs", "ceil", "floor", "round", "clamp_min", "clamp_max",
+                "histogram_quantile"}
+
+
+class _Parser:
+    """Precedence-climbing parser for the supported grammar."""
+
+    _PREC = {  # binds tighter = higher
+        "or": 1, "and": 2, "unless": 2,
+        "==": 3, "!=": 3, ">": 3, "<": 3, ">=": 3, "<=": 3,
+        "+": 4, "-": 4, "*": 5, "/": 5, "%": 5, "^": 6,
+    }
+
+    def __init__(self, text: str) -> None:
+        self.toks = _lex(text)
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise PromQLError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    def parse(self):
+        node = self.expr(0)
+        if self.peek()[0] != "EOF":
+            raise PromQLError(f"trailing input at {self.peek()[1]!r}")
+        return node
+
+    def expr(self, min_prec: int):
+        node = self.unary()
+        while True:
+            k, v = self.peek()
+            op = v if k == "OP" else (v if k in ("AND", "OR", "UNLESS") else None)
+            if op not in self._PREC or self._PREC[op] < min_prec:
+                return node
+            self.next()
+            bool_mode = False
+            if self.peek()[0] == "BOOL":
+                self.next()
+                bool_mode = True
+            on = ignoring = None
+            if self.peek()[0] in ("ON", "IGNORING"):
+                kind, _ = self.next()
+                lbls = self._label_list()
+                if kind == "ON":
+                    on = lbls
+                else:
+                    ignoring = lbls
+            # left-assoc except ^
+            nxt = self._PREC[op] + (0 if op == "^" else 1)
+            rhs = self.expr(nxt)
+            node = Binary(op, node, rhs, bool_mode, on, ignoring)
+
+    def _label_list(self) -> tuple[str, ...]:
+        self.expect("OP", "(")
+        out = []
+        while self.peek() != ("OP", ")"):
+            out.append(self.expect("IDENT"))
+            if self.peek() == ("OP", ","):
+                self.next()
+        self.expect("OP", ")")
+        return tuple(out)
+
+    def unary(self):
+        if self.peek() == ("OP", "-"):
+            self.next()
+            node = self.unary()
+            return Binary("*", Num(-1.0), node)
+        if self.peek() == ("OP", "+"):
+            self.next()
+            return self.unary()
+        return self.postfix(self.atom())
+
+    def atom(self):
+        k, v = self.peek()
+        if k == "NUMBER":
+            self.next()
+            low = v.lower()
+            return Num(float("inf") if low == "inf" else float("nan")
+                       if low == "nan" else float(v))
+        if k == "OP" and v == "(":
+            self.next()
+            node = self.expr(0)
+            self.expect("OP", ")")
+            return node
+        if k == "IDENT":
+            if v in _AGG_OPS:
+                return self.aggregation()
+            if v in _RANGE_FNS or v in _INSTANT_FNS:
+                return self.call()
+            return self.selector()
+        raise PromQLError(f"unexpected {v!r}")
+
+    def postfix(self, node):
+        # range selector + offset apply to selectors only
+        if isinstance(node, Selector):
+            if self.peek() == ("OP", "["):
+                self.next()
+                node.range_s = duration_seconds(self.expect("DURATION"))
+                self.expect("OP", "]")
+            if self.peek()[0] == "OFFSET":
+                self.next()
+                node.offset_s = duration_seconds(self.expect("DURATION"))
+        return node
+
+    def selector(self) -> Selector:
+        name = self.expect("IDENT")
+        sel = Selector(name)
+        if self.peek() == ("OP", "{"):
+            self.next()
+            while self.peek() != ("OP", "}"):
+                lbl = self.expect("IDENT")
+                k, op = self.next()
+                if k != "OP" or op not in ("=", "!=", "=~", "!~"):
+                    raise PromQLError(f"bad matcher op {op!r}")
+                raw = self.expect("STRING")
+                sel.matchers.append((lbl, op, raw[1:-1]))
+                if self.peek() == ("OP", ","):
+                    self.next()
+            self.expect("OP", "}")
+        return sel
+
+    def call(self) -> Call:
+        name = self.expect("IDENT")
+        self.expect("OP", "(")
+        args = []
+        while self.peek() != ("OP", ")"):
+            args.append(self.expr(0))
+            if self.peek() == ("OP", ","):
+                self.next()
+        self.expect("OP", ")")
+        return Call(name, args)
+
+    def aggregation(self) -> Agg:
+        op = self.expect("IDENT")
+        grouping, without = None, False
+        if self.peek()[0] in ("BY", "WITHOUT"):
+            kind, _ = self.next()
+            grouping, without = self._label_list(), kind == "WITHOUT"
+        self.expect("OP", "(")
+        args = [self.expr(0)]
+        while self.peek() == ("OP", ","):
+            self.next()
+            args.append(self.expr(0))
+        self.expect("OP", ")")
+        if grouping is None and self.peek()[0] in ("BY", "WITHOUT"):
+            kind, _ = self.next()
+            grouping, without = self._label_list(), kind == "WITHOUT"
+        if op in ("topk", "bottomk"):
+            if len(args) != 2:
+                raise PromQLError(f"{op} needs (k, expr)")
+            return Agg(op, args[1], grouping, without, param=args[0])
+        if len(args) != 1:
+            raise PromQLError(f"{op} takes one expression")
+        return Agg(op, args[0], grouping, without)
+
+
+def parse(text: str):
+    return _Parser(text).parse()
+
+
+# ------------------------------------------------------------ compiler
+
+
+def _series_window(labels: tuple[str, ...]) -> Window:
+    return Window.partitionBy(*labels).orderBy("_tsec") if labels else (
+        Window.orderBy("_tsec")
+    )
+
+
+def _with_tsec(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "_tsec", F.col("ts").cast("timestamp").cast("long")
+    )
+
+
+class PromQL:
+    """Compile parsed PromQL to a DataFrame over a :class:`MetricStore`."""
+
+    def __init__(self, store: MetricStore) -> None:
+        self.store = store
+
+    def eval(self, query: str) -> DataFrame:
+        out = self._eval(parse(query))
+        if isinstance(out, float):
+            raise PromQLError("query evaluates to a scalar, not a vector")
+        return out.df.select(*out.labels, "ts", "value")
+
+    # ---- node dispatch
+
+    def _eval(self, node):
+        if isinstance(node, Num):
+            return node.value
+        if isinstance(node, Selector):
+            return self._selector(node)
+        if isinstance(node, Call):
+            return self._call(node)
+        if isinstance(node, Agg):
+            return self._agg(node)
+        if isinstance(node, Binary):
+            return self._binary(node)
+        raise PromQLError(f"cannot evaluate {node!r}")
+
+    # ---- selectors
+
+    def _selector(self, sel: Selector, want_range: bool = False):
+        if sel.range_s is not None and not want_range:
+            raise PromQLError(
+                f"range vector {sel.name}[...] needs a range function"
+            )
+        if want_range and sel.range_s is None:
+            raise PromQLError(f"{sel.name} needs a [range]")
+        vec = self.store.metric(sel.name)
+        df = vec.df
+        for lbl, op, val in sel.matchers:
+            if lbl not in vec.labels:
+                raise PromQLError(f"unknown label {lbl!r} on {sel.name}")
+            c = F.col(lbl)
+            if op == "=":
+                df = df.filter(c == val)
+            elif op == "!=":
+                df = df.filter(c != val)
+            elif op == "=~":
+                df = df.filter(c.rlike(f"^(?:{val})$"))
+            else:
+                df = df.filter(~c.rlike(f"^(?:{val})$"))
+        if sel.offset_s:
+            df = df.withColumn(
+                "ts",
+                F.timestamp_seconds(
+                    F.col("ts").cast("timestamp").cast("long")
+                    + int(sel.offset_s)
+                ),
+            )
+        return Vector(df, vec.labels)
+
+    # ---- range functions
+
+    def _range_arg(self, node) -> tuple[Vector, float, Selector]:
+        if not isinstance(node, Selector):
+            raise PromQLError("range functions take metric[range] directly")
+        vec = self._selector(node, want_range=True)
+        return vec, float(node.range_s), node
+
+    def _call(self, call: Call):
+        name = call.func
+        if name in _RANGE_FNS:
+            return self._range_fn(call)
+        if name == "histogram_quantile":
+            q = self._eval(call.args[0])
+            if not isinstance(q, float):
+                raise PromQLError("histogram_quantile needs scalar q")
+            vec = self._eval(call.args[1])
+            return self._histogram_quantile(q, vec)
+        if name in ("clamp_min", "clamp_max"):
+            vec = self._eval(call.args[0])
+            bound = self._eval(call.args[1])
+            fn = F.greatest if name == "clamp_min" else F.least
+            return Vector(
+                vec.df.withColumn("value", fn(F.col("value"), F.lit(bound))),
+                vec.labels,
+            )
+        if name in ("abs", "ceil", "floor", "round"):
+            vec = self._eval(call.args[0])
+            fn = {"abs": F.abs, "ceil": F.ceil, "floor": F.floor,
+                  "round": F.round}[name]
+            return Vector(
+                vec.df.withColumn("value", fn(F.col("value")).cast("double")),
+                vec.labels,
+            )
+        raise PromQLError(f"unsupported function {name!r}")
+
+    def _range_fn(self, call: Call):
+        name = call.func
+        horizon = None
+        if name == "predict_linear":
+            if len(call.args) != 2:
+                raise PromQLError("predict_linear needs (v[r], t)")
+            horizon = self._eval(call.args[1])
+        elif len(call.args) != 1:
+            raise PromQLError(f"{name} takes one range vector")
+        vec, r, _sel = self._range_arg(call.args[0])
+        labels = vec.labels
+        d = _with_tsec(vec.df)
+        wo = _series_window(labels)
+        # (t - r, t] on an integral-seconds clock
+        frame = wo.rangeBetween(-(int(r) - 1), 0)
+        v = F.col("value")
+        if name in ("rate", "increase"):
+            prev = F.lag("value").over(wo)
+            delta = (
+                F.when(prev.isNull(), F.lit(None).cast("double"))
+                .when(v >= prev, v - prev)
+                .otherwise(v)
+            )
+            d = d.withColumn("_d", delta)
+            inc = F.sum("_d").over(frame)
+            out = inc if name == "increase" else inc / F.lit(r)
+        elif name == "delta":  # gauge: last - first in window
+            out = F.last("value").over(frame) - F.first("value").over(frame)
+        elif name == "idelta":
+            out = v - F.lag("value").over(wo)
+        elif name == "avg_over_time":
+            out = F.avg("value").over(frame)
+        elif name == "sum_over_time":
+            out = F.sum("value").over(frame)
+        elif name == "min_over_time":
+            out = F.min("value").over(frame)
+        elif name == "max_over_time":
+            out = F.max("value").over(frame)
+        elif name == "count_over_time":
+            out = F.count("value").over(frame).cast("double")
+        elif name == "last_over_time":
+            out = F.last("value").over(frame)
+        elif name == "stddev_over_time":  # population, like PromQL
+            out = F.stddev_pop("value").over(frame)
+        elif name in ("deriv", "predict_linear"):
+            # least squares over the range frame; time centered per series
+            # (full-epoch seconds cancel catastrophically — see
+            # operators/rates.linear_fit)
+            wall = wo.rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            d = d.withColumn("_t0", F.min("_tsec").over(wall))
+            d = d.withColumn(
+                "_tc", (F.col("_tsec") - F.col("_t0")).cast("double")
+            )
+            t = F.col("_tc")
+            k = F.count("value").over(frame).cast("double")
+            st = F.sum(t).over(frame)
+            sy = F.sum(v).over(frame)
+            sty = F.sum(t * v).over(frame)
+            stt = F.sum(t * t).over(frame)
+            den = k * stt - st * st
+            slope = F.when((k >= 2) & (den > 0), (k * sty - st * sy) / den)
+            if name == "deriv":
+                out = slope
+            else:
+                intercept = (sy - slope * st) / k
+                out = intercept + slope * (t + F.lit(float(horizon)))
+        else:  # pragma: no cover
+            raise PromQLError(name)
+        res = d.withColumn("value", out).select(*labels, "ts", "value")
+        return Vector(res.filter(F.col("value").isNotNull()), labels)
+
+    # ---- aggregation
+
+    def _agg(self, agg: Agg):
+        vec = self._eval(agg.expr)
+        if isinstance(vec, float):
+            raise PromQLError(f"{agg.op} needs a vector")
+        if agg.grouping is None:
+            keep: tuple[str, ...] = ()
+        elif agg.without:
+            keep = tuple(l for l in vec.labels if l not in agg.grouping)
+        else:
+            bad = set(agg.grouping) - set(vec.labels)
+            if bad:
+                raise PromQLError(f"unknown grouping labels {sorted(bad)}")
+            keep = tuple(l for l in vec.labels if l in agg.grouping)
+        if agg.op in ("topk", "bottomk"):
+            k = self._eval(agg.param)
+            if not isinstance(k, float):
+                raise PromQLError("topk needs scalar k")
+            order = [F.col("value").desc() if agg.op == "topk"
+                     else F.col("value").asc()]
+            order += [F.col(l) for l in vec.labels]  # deterministic ties
+            w = Window.partitionBy(*keep, "ts").orderBy(*order)
+            out = (
+                vec.df.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= int(k))
+                .drop("_rk")
+            )
+            return Vector(out, vec.labels)  # topk keeps original labels
+        fn = {
+            "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            "count": lambda c: F.count(c).cast("double"),
+            "stddev": F.stddev_pop,
+        }[agg.op]
+        out = vec.df.groupBy(*keep, "ts").agg(fn(F.col("value")).alias("value"))
+        return Vector(out, keep)
+
+    # ---- binary ops
+
+    _ARITH = {"+": "+", "-": "-", "*": "*", "/": "/", "%": "%", "^": "^"}
+    _CMP = {"==", "!=", ">", "<", ">=", "<="}
+
+    @staticmethod
+    def _apply_op(op: str, a, b):
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            # PromQL/IEEE semantics under ANSI mode: x/0 = ±Inf, 0/0 = NaN
+            return F.when(b != 0, a / b).otherwise(
+                F.when(a > 0, F.lit(float("inf")))
+                .when(a < 0, F.lit(float("-inf")))
+                .otherwise(F.lit(float("nan")))
+            )
+        if op == "%":
+            return F.when(b != 0, a % b).otherwise(F.lit(float("nan")))
+        if op == "^":
+            return F.pow(a, b)
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == ">":
+            return a > b
+        if op == "<":
+            return a < b
+        if op == ">=":
+            return a >= b
+        return a <= b
+
+    def _binary(self, node: Binary):
+        lhs, rhs = self._eval(node.lhs), self._eval(node.rhs)
+        if isinstance(lhs, float) and isinstance(rhs, float):
+            import math
+
+            if node.op in ("and", "or", "unless"):
+                raise PromQLError(f"set op {node.op!r} needs vectors")
+            if node.op in self._CMP:
+                ok = self._apply_op(node.op, lhs, rhs)
+                if not node.bool_mode:
+                    raise PromQLError("scalar comparison needs bool")
+                return 1.0 if ok else 0.0
+            if node.op == "^":
+                return math.pow(lhs, rhs)
+            return {"+": lhs + rhs, "-": lhs - rhs, "*": lhs * rhs,
+                    "/": lhs / rhs if rhs else float("inf"),
+                    "%": math.fmod(lhs, rhs) if rhs else float("nan")}[node.op]
+        if node.op in ("and", "or", "unless"):
+            return self._set_op(node, lhs, rhs)
+        if isinstance(lhs, float) or isinstance(rhs, float):
+            vec, scalar, flipped = (
+                (rhs, lhs, True) if isinstance(lhs, float) else (lhs, rhs, False)
+            )
+            a = F.lit(scalar) if flipped else F.col("value")
+            b = F.col("value") if flipped else F.lit(scalar)
+            expr = self._apply_op(node.op, a, b)
+            if node.op in self._CMP:
+                if node.bool_mode:
+                    out = vec.df.withColumn(
+                        "value", expr.cast("int").cast("double")
+                    )
+                else:
+                    out = vec.df.filter(expr)
+                return Vector(out, vec.labels)
+            return Vector(
+                vec.df.withColumn("value", expr.cast("double")), vec.labels
+            )
+        return self._vector_binary(node, lhs, rhs)
+
+    @staticmethod
+    def _match_keys(node: Binary, lhs: Vector, rhs: Vector) -> list[str]:
+        if node.on is not None:
+            return list(node.on)
+        common = [l for l in lhs.labels if l in rhs.labels]
+        if node.ignoring is not None:
+            common = [l for l in common if l not in node.ignoring]
+        return common
+
+    def _set_op(self, node: Binary, lhs: Vector, rhs: Vector):
+        if isinstance(lhs, float) or isinstance(rhs, float):
+            raise PromQLError(f"set op {node.op!r} needs vectors")
+        keys = self._match_keys(node, lhs, rhs) + ["ts"]
+        if node.op == "and":
+            out = lhs.df.join(rhs.df.select(*keys).distinct(), keys, "semi")
+            return Vector(out, lhs.labels)
+        if node.op == "unless":
+            out = lhs.df.join(rhs.df.select(*keys).distinct(), keys, "anti")
+            return Vector(out, lhs.labels)
+        # or: lhs plus rhs rows whose match keys are absent from lhs
+        if set(lhs.labels) != set(rhs.labels):
+            raise PromQLError("'or' needs identical label sets")
+        extra = rhs.df.join(lhs.df.select(*keys).distinct(), keys, "anti")
+        return Vector(lhs.df.unionByName(extra.select(*lhs.df.columns)),
+                      lhs.labels)
+
+    def _vector_binary(self, node: Binary, lhs: Vector, rhs: Vector):
+        keys = self._match_keys(node, lhs, rhs)
+        jk = keys + ["ts"]
+        l = lhs.df.select(*jk, F.col("value").alias("_lv"))
+        r = rhs.df.select(*jk, F.col("value").alias("_rv"))
+        j = l.join(r, jk)
+        expr = self._apply_op(node.op, F.col("_lv"), F.col("_rv"))
+        if node.op in self._CMP:
+            if node.bool_mode:
+                out = j.withColumn("value", expr.cast("int").cast("double"))
+            else:
+                out = j.filter(expr).withColumn("value", F.col("_lv"))
+        else:
+            out = j.withColumn("value", expr.cast("double"))
+        return Vector(out.select(*keys, "ts", "value"), tuple(keys))
+
+    # ---- histogram_quantile
+
+    def _histogram_quantile(self, q: float, vec: Vector):
+        """PromQL histogram_quantile over ``le``-labelled cumulative
+        buckets: rank into the cumulative counts, interpolate linearly
+        inside the containing bucket (lower bound 0 for the first finite
+        bucket, upper clamp at the highest finite ``le`` for +Inf)."""
+        if "le" not in vec.labels:
+            raise PromQLError("histogram_quantile needs an 'le' label")
+        rest = tuple(l for l in vec.labels if l != "le")
+        led = F.when(F.col("le").isin("+Inf", "Inf", "inf"),
+                     F.lit(float("inf"))).otherwise(F.col("le").cast("double"))
+        d = vec.df.withColumn("_le", led)
+        grp = d.groupBy(*rest, "ts").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_le"), F.col("value")))
+            ).alias("_b")
+        )
+        b = F.col("_b")
+        total = F.element_at(b, -1)["value"]  # +Inf (or top) bucket count
+        rank = total * q
+        # first bucket whose cumulative count reaches the rank
+        hits = F.filter(b, lambda s: s["value"] >= rank)
+        hit = F.element_at(hits, 1)
+        idx = F.array_position(b, hit).cast("int")
+        prev = F.when(idx > 1, F.element_at(b, idx - 1))
+        lo = F.coalesce(prev["_le"], F.lit(0.0))
+        lo_cum = F.coalesce(prev["value"], F.lit(0.0))
+        hi = hit["_le"]
+        top_finite = F.element_at(
+            F.filter(b, lambda s: ~F.isnan(s["_le"]) & (s["_le"] != float("inf"))),
+            -1,
+        )["_le"]
+        inner = F.col("_lo") + (F.col("_hi") - F.col("_lo")) * (
+            (rank - F.col("_lc")) / (F.col("_hc") - F.col("_lc"))
+        )
+        est = (
+            grp.withColumn("_lo", lo)
+            .withColumn("_hi", hi)
+            .withColumn("_lc", lo_cum)
+            .withColumn("_hc", hit["value"])
+            .withColumn("_top", top_finite)
+            .withColumn(
+                "value",
+                F.when(total <= 0, F.lit(None).cast("double"))
+                .when(F.col("_hi") == float("inf"), F.col("_top"))
+                .when(F.col("_hc") == F.col("_lc"), F.col("_hi"))
+                .otherwise(inner),
+            )
+            .select(*rest, "ts", "value")
+        )
+        return Vector(est.filter(F.col("value").isNotNull()), rest)
+
+
+def promql(store: MetricStore, query: str) -> DataFrame:
+    """One-shot: parse + compile + return DataFrame(labels..., ts, value)."""
+    return PromQL(store).eval(query)

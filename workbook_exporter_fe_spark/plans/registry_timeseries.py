@@ -47,17 +47,105 @@ def _tier1(spark, sf_dir):
     return exact
 
 
+# q20 also hash-checks the PromQL front-end (plans/promql.py): four
+# expressions evaluate over tier-1 registered as metrics and join back.
+# Exactness: the gauge is the ×100-scaled sum (integral doubles — frame
+# sums exact in any order), the counter is the running event count, and
+# every division/affine tail is a fixed IEEE sequence mirrored in SQL.
 @query(
     "q20_tier1_1m",
     f"""
-    SELECT source, bucket_ts, sum_v, min_v, max_v, cnt,
-           ROUND(sum_v / cnt, 6) AS avg_v
-    FROM ({_T1_SQL})
+    WITH t1 AS ({_T1_SQL}),
+    s AS (
+      SELECT source, bucket_ts, ROUND(sum_v * 100) AS val,
+             CAST(cnt AS DOUBLE) AS cval,
+             epoch_us(bucket_ts) // 1000000 AS tsec
+      FROM t1
+    ),
+    c AS (
+      SELECT *,
+             SUM(cval) OVER (PARTITION BY source ORDER BY bucket_ts) AS cum,
+             tsec - MIN(tsec) OVER (PARTITION BY source) AS trel
+      FROM s
+    ),
+    d AS (
+      SELECT *, cum - lag(cum) OVER (PARTITION BY source ORDER BY bucket_ts) AS dlt
+      FROM c
+    ),
+    pw AS (
+      SELECT source, bucket_ts,
+             AVG(val) OVER w15 AS avg15,
+             MAX(val) OVER w60 AS max60,
+             SUM(dlt) OVER w5 AS inc5,
+             COUNT(val) OVER w10 AS k,
+             SUM(trel) OVER w10 AS st,
+             SUM(val) OVER w10 AS sy,
+             SUM(trel * val) OVER w10 AS sty,
+             SUM(trel * trel) OVER w10 AS stt,
+             trel
+      FROM d
+      WINDOW w15 AS (PARTITION BY source ORDER BY tsec
+                     RANGE BETWEEN 899 PRECEDING AND CURRENT ROW),
+             w60 AS (PARTITION BY source ORDER BY tsec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW),
+             w5 AS (PARTITION BY source ORDER BY tsec
+                    RANGE BETWEEN 299 PRECEDING AND CURRENT ROW),
+             w10 AS (PARTITION BY source ORDER BY tsec
+                     RANGE BETWEEN 599 PRECEDING AND CURRENT ROW)
+    )
+    SELECT t1.source, t1.bucket_ts, sum_v, min_v, max_v, cnt,
+           ROUND(sum_v / cnt, 6) AS avg_v,
+           ROUND(avg15 / 100.0, 6) AS pq_avg15m,
+           ROUND(max60 / 100.0, 6) AS pq_max1h,
+           ROUND(inc5 / 300.0, 6) AS pq_rate5m,
+           ROUND((CASE WHEN k >= 2 AND (k * stt - st * st) > 0
+                       THEN ((sy - ((k * sty - st * sy) / (k * stt - st * st)) * st) / k
+                             + ((k * sty - st * sy) / (k * stt - st * st)) * (trel + 600.0))
+                  END) / 100.0, 6) AS pq_pred10m
+    FROM t1 JOIN pw ON t1.source = pw.source AND t1.bucket_ts = pw.bucket_ts
     """,
 )
 def q20_tier1_1m(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from workbook_exporter_fe_spark.plans.promql import MetricStore, promql
+
     t1 = _tier1(spark, sf_dir)
-    return t1.withColumn("avg_v", F.round(F.col("sum_v") / F.col("cnt"), 6))
+    base = t1.withColumn("avg_v", F.round(F.col("sum_v") / F.col("cnt"), 6))
+    store = MetricStore()
+    scaled = t1.select(
+        "source", "bucket_ts", F.round(F.col("sum_v") * 100).alias("value")
+    )
+    store.register("tokens_scaled", scaled)
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    counter = t1.select(
+        "source",
+        "bucket_ts",
+        F.sum(F.col("cnt").cast("double")).over(wcum).alias("value"),
+    )
+    store.register("events_cum", counter)
+
+    def col_of(expr: str, name: str, scale: float):
+        v = promql(store, expr)
+        return v.select(
+            "source",
+            F.col("ts").alias("bucket_ts"),
+            F.round(F.col("value") / scale, 6).alias(name),
+        )
+
+    out = base
+    for expr, name, scale in [
+        ("avg_over_time(tokens_scaled[15m])", "pq_avg15m", 100.0),
+        ("max_over_time(tokens_scaled[1h])", "pq_max1h", 100.0),
+        ("rate(events_cum[5m])", "pq_rate5m", 1.0),
+        ("predict_linear(tokens_scaled[10m], 600)", "pq_pred10m", 100.0),
+    ]:
+        out = out.join(col_of(expr, name, scale), ["source", "bucket_ts"], "left")
+    return out
 
 
 # Tier-2 (1h) AND tier-3 (1d) re-aggregation in one union-tagged query —
