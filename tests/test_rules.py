@@ -1,0 +1,103 @@
+"""Recording + alerting rules: intra-group chaining, `for:`-duration
+streak semantics (gaps reset), python-reference-pinned."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.plans.promql import (
+    MetricStore,
+    PromQLError,
+)
+from workbook_exporter_fe_spark.plans.rules import (
+    AlertingRule,
+    RecordingRule,
+    RuleEngine,
+)
+
+T0 = 1700000000
+
+
+def _vals(src: str) -> dict[int, float]:
+    """Gauge with planted above-threshold streaks of varied length."""
+    out = {}
+    for i in range(60):
+        if src == "s1" and i % 11 == 5:
+            continue  # scrape gap
+        hot = (10 <= i < 13) or (30 <= i < 42) or (i >= 55)
+        out[T0 + i * 60] = 100.0 + i if hot else 1.0
+    return out
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    rows = [
+        (s, t, v) for s in ("s0", "s1") for t, v in sorted(_vals(s).items())
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, tsec long, value double"
+    ).select("source", F.timestamp_seconds("tsec").alias("bucket_ts"), "value")
+    return MetricStore().register("mem_bytes", df)
+
+
+def test_recording_rule_chaining(store):
+    eng = RuleEngine(store)
+    out = eng.run(
+        [
+            RecordingRule("job:mem:sum", "sum by (source) (mem_bytes)"),
+            RecordingRule("job:mem:double", "job:mem:sum * 2"),
+        ]
+    )
+    a = {(r["source"], r["ts"]): r["value"] for r in out["job:mem:sum"].collect()}
+    b = {
+        (r["source"], r["ts"]): r["value"]
+        for r in out["job:mem:double"].collect()
+    }
+    assert a and set(a) == set(b)
+    for k, v in a.items():
+        assert b[k] == pytest.approx(2 * v)
+
+
+def test_recording_rule_scalar_rejected(store):
+    with pytest.raises(PromQLError):
+        RuleEngine(store).run([RecordingRule("nope", "1 + 2")])
+
+
+def test_alert_for_duration_streaks(store):
+    """firing exactly when the condition held at every grid step of the
+    trailing 5m (6 consecutive samples incl. current); gaps reset."""
+    eng = RuleEngine(store)
+    out = eng.run(
+        [AlertingRule("MemHot", "mem_bytes > 50", for_s=300, step_s=60)]
+    )["MemHot"]
+    got = {
+        (r["source"], int(r["ts"].timestamp())): r["state"]
+        for r in out.collect()
+    }
+    for src in ("s0", "s1"):
+        vals = _vals(src)
+        ts = sorted(vals)
+        hot = [t for t in ts if vals[t] > 50]
+        assert set(k[1] for k in got if k[0] == src) == set(hot)
+        for t in hot:
+            # streak = consecutive 60s-grid presence ending at t
+            streak = 1
+            tt = t - 60
+            while tt in vals and vals.get(tt, 0) > 50:
+                streak += 1
+                tt -= 60
+            want = "firing" if streak >= 6 else "pending"
+            assert got[(src, t)] == want, (src, t, streak)
+    # both states actually occur (short streak stays pending; 12-sample
+    # streak fires; s1's scrape gap inside a hot run resets the streak)
+    states = set(got.values())
+    assert states == {"pending", "firing"}
+
+
+def test_alert_zero_for_fires_immediately(store):
+    out = RuleEngine(store).run(
+        [AlertingRule("AnyHot", "mem_bytes > 50", for_s=0, step_s=60)]
+    )["AnyHot"]
+    assert out.filter(F.col("state") != "firing").count() == 0
+    assert out.count() > 0
