@@ -285,3 +285,54 @@ def test_changes_breaks_on_expired_files(spark, table):
     with pytest.raises(IncrementalScanBreak):
         table.changes(1)  # appended files in range are gone
     assert table.read().count() == 20  # full read unaffected
+
+
+# ------------------------------------------------------------- evolve()
+
+
+def test_schema_evolution_add_and_drop(spark, table):
+    from workbook_exporter_fe_spark.sources.snapshots import SchemaMismatch
+
+    table.commit(_df(spark, 0, 10, "a"))
+    # drift without evolve fails loudly
+    widened = _df(spark, 10, 20, "b").withColumn("score", F.lit(1.5))
+    with pytest.raises(SchemaMismatch):
+        table.commit(widened)
+    with pytest.raises(SchemaMismatch):
+        table.commit(_df(spark, 10, 20, "b").withColumn("id", F.lit("x")))
+    table.evolve(add={"score": "double"})
+    table.commit(widened)  # new producer
+    table.commit(_df(spark, 20, 25, "c"))  # OLD producer still accepted
+    cur = table.read()
+    assert set(cur.columns) == {"id", "tag", "score"}
+    assert cur.count() == 25
+    # old files null-fill; the omitted-column append too
+    assert cur.filter(F.col("score").isNull()).count() == 15
+    assert cur.filter(F.col("score") == 1.5).count() == 10
+    # time travel sees the pre-evolution schema
+    assert set(table.read(sequence=1).columns) == {"id", "tag"}
+    # incremental consumer crossing the evolve sees ONE consistent shape
+    ch = table.changes(1)
+    assert set(ch.columns) == {"id", "tag", "score"}
+    assert ch.count() == 15
+    # drop projects away without rewriting anything
+    n_files = len(table.snapshot()["files"])
+    table.evolve(drop=["score"])
+    assert set(table.read().columns) == {"id", "tag"}
+    assert len(table.snapshot()["files"]) == n_files
+    with pytest.raises(SchemaMismatch):
+        table.commit(widened)  # 'score' is unknown again
+    with pytest.raises(SchemaMismatch):
+        table.evolve(drop=["nope"])
+    with pytest.raises(SchemaMismatch):
+        table.evolve(add={"id": "bigint"})
+
+
+def test_evolve_is_metadata_only_for_consumers(spark, table):
+    table.commit(_df(spark, 0, 10, "a"))
+    seen = table.current_sequence()
+    table.evolve(add={"w": "double"})
+    assert table.snapshot()["operation"] == "evolve"
+    assert table.changes(seen).count() == 0  # nothing new, no break
+    table.commit(_df(spark, 10, 15, "b"))
+    assert table.changes(seen).count() == 5

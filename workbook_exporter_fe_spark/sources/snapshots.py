@@ -38,7 +38,14 @@ as a from-scratch snapshot log over immutable parquet files:
   collects each APPEND snapshot's added files and skips replaces, so
   incremental consumers run straight across compactions while true
   history rewrites (overwrite/rollback) and GC'd ranges still break
-  loudly with ``IncrementalScanBreak``.
+  loudly with ``IncrementalScanBreak``;
+- `evolve(add=..., drop=...)` is metadata-only schema evolution: the
+  table schema lives in the manifest and every read resolves files
+  against it BY NAME (old files null-fill added columns, dropped columns
+  project away — no rewrite, no mergeSchema footer sweep), appends are
+  schema-checked against the table (unknown columns / type changes fail
+  loudly with ``SchemaMismatch``), and `changes()` skips evolve
+  snapshots like compactions.
 
 The reference's YAML-file-as-state-store (workbook_exporter-fe.py:
 1732-1754 — re-read the sink, anti-join against it, merge into it) is
@@ -62,6 +69,16 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 class SnapshotConflict(RuntimeError):
     """Another writer committed the same sequence number first."""
+
+
+class SchemaMismatch(ValueError):
+    """An append's schema is incompatible with the table schema.
+
+    Appends must write the table's columns (a missing NULLABLE column is
+    tolerated — readers null-fill it); changing a column's type or
+    writing unknown columns requires an explicit ``evolve()`` first, so
+    accidental producer drift fails loudly instead of silently forking
+    the table's schema."""
 
 
 class IncrementalScanBreak(RuntimeError):
@@ -181,19 +198,26 @@ class SnapshotTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
         parent = self.current_sequence()
+        if mode == "append" and parent > 0:
+            self._check_append_schema(df)
         seq = parent + 1
         commit_dir = os.path.join(self.data, f"c{seq:08d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("error").parquet(commit_dir)
         new_files = self._file_stats(commit_dir)
         files = list(new_files)
+        # the TABLE schema stays authoritative across appends (an append
+        # may omit nullable evolved columns; readers null-fill) — only an
+        # overwrite or evolve() changes it
+        schema = df.schema.jsonValue()
         if mode == "append" and parent > 0:
             files = self._load(parent)["files"] + files
+            schema = self._load(parent)["schema"]
         manifest = {
             "sequence": seq,
             "parent": parent,
             "operation": mode,
             "committed_at": time.time(),
-            "schema": df.schema.jsonValue(),
+            "schema": schema,
             "files": files,
             "summary": dict(summary or {}),
             "total_rows": sum(f["rows"] for f in files),
@@ -207,6 +231,76 @@ class SnapshotTable:
         _atomic_write(mpath, json.dumps(manifest, indent=1))
         _atomic_write(os.path.join(self.meta, "version-hint.text"), str(seq))
         return seq
+
+    def _table_schema(self, sequence: int | None = None):
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(self.snapshot(sequence)["schema"])
+
+    def _check_append_schema(self, df: DataFrame) -> None:
+        table = {f.name: f for f in self._table_schema().fields}
+        incoming = {f.name: f for f in df.schema.fields}
+        unknown = sorted(set(incoming) - set(table))
+        if unknown:
+            raise SchemaMismatch(
+                f"append writes unknown column(s) {unknown}; run "
+                "evolve(add=...) first"
+            )
+        for name, f in incoming.items():
+            if f.dataType != table[name].dataType:
+                raise SchemaMismatch(
+                    f"column {name!r} is {f.dataType.simpleString()} but the "
+                    f"table has {table[name].dataType.simpleString()}; type "
+                    "changes are not supported"
+                )
+        for name, f in table.items():
+            if name not in incoming and not f.nullable:
+                raise SchemaMismatch(
+                    f"append omits non-nullable column {name!r}"
+                )
+
+    def evolve(
+        self,
+        add: dict[str, str] | None = None,
+        drop: list[str] | None = None,
+    ) -> int:
+        """Metadata-only schema change, committed as an ``evolve`` snapshot.
+
+        ``add`` maps new column names to Spark type strings (added
+        NULLABLE — existing files simply lack the column and readers
+        null-fill it, so no data is rewritten); ``drop`` removes columns
+        from the table schema (the bytes stay in old files for time
+        travel; current reads project them away). Renames and type
+        changes are deliberately unsupported: parquet resolution here is
+        by NAME, and a rename would silently orphan every old file's
+        column — Iceberg needs field IDs for that, which is exactly the
+        kind of engine machinery this log does not reimplement.
+
+        ``evolve`` adds no files, so ``changes()`` skips it like a
+        compaction and incremental consumers keep running; their frames
+        adopt the new schema from the manifest they read against.
+        """
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        m = self.snapshot()
+        fields = list(StructType.fromJson(m["schema"]).fields)
+        names = {f.name for f in fields}
+        for col in drop or []:
+            if col not in names:
+                raise SchemaMismatch(f"cannot drop unknown column {col!r}")
+        fields = [f for f in fields if f.name not in set(drop or [])]
+        for col, typ in (add or {}).items():
+            if col in names:
+                raise SchemaMismatch(f"column {col!r} already exists")
+            fields.append(StructField(col, _parse_datatype_string(typ), True))
+        if not fields:
+            raise SchemaMismatch("evolution would leave an empty schema")
+        return self._commit_manifest(
+            operation="evolve",
+            files=m["files"],
+            schema=StructType(fields).jsonValue(),
+            summary={"added": sorted(add or {}), "dropped": sorted(drop or [])},
+        )
 
     def rollback(self, sequence: int) -> int:
         """Commit a NEW snapshot re-referencing ``sequence``'s file set.
@@ -374,14 +468,18 @@ class SnapshotTable:
         ({col: (lo, hi)}) prunes whole files by manifest min/max before
         Spark lists anything. Pruning is a superset guard — apply the
         actual row filter on top (exactly like partition pruning)."""
+        from pyspark.sql.types import StructType
+
         manifest = self.snapshot(sequence)
         paths, _ = self._select_files(manifest, col_between)
+        schema = StructType.fromJson(manifest["schema"])
         if not paths:
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(manifest["schema"])
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        # read against the MANIFEST schema (Iceberg-style): files written
+        # before an add-evolution null-fill the new column, files holding
+        # since-dropped columns project them away — no mergeSchema footer
+        # sweep, the metadata already knows the answer
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def scan_files(
         self, sequence: int | None = None, col_between: dict | None = None
@@ -437,7 +535,7 @@ class SnapshotTable:
             paths = {f["path"] for f in m["files"]}
             if m["operation"] == "append":
                 new.extend(sorted(paths - prev))
-            elif m["operation"] != "replace":
+            elif m["operation"] not in ("replace", "evolve"):
                 raise IncrementalScanBreak(
                     f"snapshot {seq} is '{m['operation']}', not append — "
                     "incremental consumers must rebuild from read()"
@@ -450,12 +548,12 @@ class SnapshotTable:
                 f"{cur}] were expired (e.g. {missing[0]}) — the consumer "
                 "lagged past the retention window; rebuild from read()"
             )
-        if not new:  # caught up (or only compactions in range)
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(self.snapshot(cur)["schema"])
+        schema = self._table_schema(cur)
+        if not new:  # caught up (or only compactions/evolutions in range)
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*new)
+        # read against the endpoint's table schema so a consumer crossing
+        # an evolve() sees ONE consistent shape, not per-file drift
+        return self.spark.read.schema(schema).parquet(*new)
 
     # ----------------------------------------------------- metadata tables
     def history(self) -> DataFrame:
