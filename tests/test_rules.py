@@ -101,3 +101,63 @@ def test_alert_zero_for_fires_immediately(store):
     )["AnyHot"]
     assert out.filter(F.col("state") != "firing").count() == 0
     assert out.count() > 0
+
+
+def test_lookback_seconds():
+    from workbook_exporter_fe_spark.plans.rules import lookback_seconds
+
+    assert lookback_seconds("mem_bytes") == 0.0
+    assert lookback_seconds("rate(mem_bytes[5m])") == 300.0
+    assert lookback_seconds("rate(mem_bytes[5m] offset 10m)") == 900.0
+    assert lookback_seconds(
+        "avg_over_time(mem_bytes[3m]) / max_over_time(mem_bytes[1h])"
+    ) == 3600.0
+    assert lookback_seconds("topk(2, sum by (source) (rate(m[2m])))") == 120.0
+    # chained recorded metrics compound
+    rec = {"job:mem:avg": 900.0}
+    assert lookback_seconds("max_over_time(job:mem:avg[10m])", rec) == 1500.0
+
+
+def test_rule_materializer_incremental(spark, tmp_path):
+    """Two refreshes over a growing store produce exactly the same rows
+    as one full evaluation (per rule), with the second refresh reading
+    only the restricted window; re-refresh with no new data is a no-op."""
+    from workbook_exporter_fe_spark.plans.rules import RuleMaterializer
+
+    def mk_store(upto: int) -> MetricStore:
+        rows = [
+            (s, t, v)
+            for s in ("s0", "s1")
+            for t, v in sorted(_vals(s).items())
+            if t < T0 + upto * 60
+        ]
+        df = spark.createDataFrame(
+            rows, "source string, tsec long, value double"
+        ).select(
+            "source", F.timestamp_seconds("tsec").alias("bucket_ts"), "value"
+        )
+        return MetricStore().register("mem_bytes", df)
+
+    rules = [
+        RecordingRule("job:mem:avg5m", "avg_over_time(mem_bytes[5m])"),
+        RecordingRule("job:mem:hot_share", "job:mem:avg5m / 100"),
+        AlertingRule("MemHot", "mem_bytes > 50", for_s=180, step_s=60),
+    ]
+    mat = RuleMaterializer(spark, str(tmp_path / "rules"))
+    s1 = mat.refresh(mk_store(30), rules)
+    assert all(v["watermark"] is None for v in s1.values())
+    s2 = mat.refresh(mk_store(60), rules)
+    assert all(v["new_rows"] > 0 for v in s2.values())
+    # incremental result == one-shot full evaluation, rule by rule
+    full = RuleEngine(mk_store(60)).run(rules)
+    for name in ("job:mem:avg5m", "job:mem:hot_share", "MemHot"):
+        got = sorted(
+            map(tuple, mat._table(name).read().collect())
+        )
+        want = sorted(map(tuple, full[name].collect()))
+        assert got == want, name
+    # caught up: no new rows, no new snapshot
+    seqs = {n: mat._table(n).current_sequence() for n in s2}
+    s3 = mat.refresh(mk_store(60), rules)
+    assert all(v["new_rows"] == 0 for v in s3.values())
+    assert seqs == {n: mat._table(n).current_sequence() for n in s3}

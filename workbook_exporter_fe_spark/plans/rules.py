@@ -120,3 +120,129 @@ def run_rules(
     store: MetricStore, rules: list[RecordingRule | AlertingRule]
 ) -> dict[str, DataFrame]:
     return RuleEngine(store).run(rules)
+
+
+# --------------------------------------------------- incremental refresh
+
+
+def _walk(node):
+    yield node
+    from .promql import Agg, Binary, Call
+
+    if isinstance(node, Call):
+        for a in node.args:
+            yield from _walk(a)
+    elif isinstance(node, Agg):
+        yield from _walk(node.expr)
+        if node.param is not None:
+            yield from _walk(node.param)
+    elif isinstance(node, Binary):
+        yield from _walk(node.lhs)
+        yield from _walk(node.rhs)
+
+
+def lookback_seconds(
+    expr: str, recorded: dict[str, float] | None = None
+) -> float:
+    """How far back a rule's output at time t depends on its inputs.
+
+    The max over every selector of (range + offset), plus — for selectors
+    naming a RECORDED metric — that rule's own cumulative lookback
+    (chained rules compound their windows). This is what makes
+    incremental evaluation sound: re-reading inputs in
+    ``(W - lookback, ∞)`` reproduces every output with ts > W exactly.
+    """
+    from .promql import Selector, parse
+
+    look = 0.0
+    for node in _walk(parse(expr)):
+        if isinstance(node, Selector):
+            own = (node.range_s or 0.0) + node.offset_s
+            own += (recorded or {}).get(node.name, 0.0)
+            look = max(look, own)
+    return look
+
+
+class RuleMaterializer:
+    """Materialize rule outputs as SnapshotTable appends, incrementally.
+
+    Each rule owns one snapshot table under ``<out_root>/<rule name>``.
+    A refresh evaluates the rule group over the store RESTRICTED to
+    ``ts > W − lookback`` (W = the rule's materialized watermark, the max
+    committed ts; lookback from :func:`lookback_seconds`, plus the
+    ``for:`` duration for alerts) and appends only rows with ``ts > W`` —
+    the continuous-aggregate refresh pattern from plans/pipeline.py
+    applied to PromQL. Output rows at or below the watermark are final by
+    construction, so refreshes are idempotent under re-run; correctness
+    needs the same discipline as the tier pipeline: only evaluate over
+    CLOSED source buckets (run this behind the pipeline's late-event
+    watermark).
+
+    At 100 TB the restriction is the whole point: a day's refresh reads a
+    day-plus-lookback of the tier tables (a filter Catalyst pushes into
+    the scan — with SnapshotTable sources, ``changes()``/stats pruning
+    narrow it further), never the full history.
+    """
+
+    def __init__(self, spark, out_root: str) -> None:
+        from ..sources.snapshots import SnapshotTable
+
+        self.spark = spark
+        self.out_root = out_root
+        self._table = lambda name: SnapshotTable(
+            spark, f"{out_root}/{name}"
+        )
+
+    def _watermark(self, name: str) -> float | None:
+        t = self._table(name)
+        if t.current_sequence() == 0:
+            return None
+        # epoch seconds computed engine-side (a naive-datetime round trip
+        # through python would re-interpret in the machine timezone)
+        row = t.read().agg(
+            F.max(F.col("ts").cast("timestamp").cast("double")).alias("m")
+        ).first()
+        return row["m"]
+
+    def refresh(
+        self, store: MetricStore, rules: list[RecordingRule | AlertingRule]
+    ) -> dict[str, dict]:
+        """One incremental pass over the rule group; returns per-rule
+        stats {name: {"watermark": float|None, "new_rows": int, "seq": int}}."""
+        stats: dict[str, dict] = {}
+        recorded: dict[str, float] = {}
+        for i, rule in enumerate(rules):
+            name = rule.record if isinstance(rule, RecordingRule) else rule.alert
+            extra = rule.for_s if isinstance(rule, AlertingRule) else 0.0
+            look = lookback_seconds(rule.expr, recorded) + extra
+            if isinstance(rule, RecordingRule):
+                recorded[name] = lookback_seconds(rule.expr, recorded)
+            wm = self._watermark(name)
+            # evaluate the group PREFIX each pass so chaining resolves
+            # (plan composition only — nothing upstream materializes),
+            # against a store restricted to this rule's needed history
+            sub = store if wm is None else _restrict(store, wm - look)
+            out = RuleEngine(sub).run(list(rules[: i + 1]))[name]
+            if wm is not None:
+                out = out.filter(
+                    F.col("ts").cast("timestamp").cast("double") > wm
+                )
+            tbl = self._table(name)
+            n = out.count()
+            seq = tbl.commit(out) if n else tbl.current_sequence()
+            stats[name] = {"watermark": wm, "new_rows": n, "seq": seq}
+        return stats
+
+
+def _restrict(store: MetricStore, min_ts: float) -> MetricStore:
+    """A view of the store with every metric filtered to ts > min_ts —
+    a plain scan predicate Catalyst pushes down to the source."""
+    sub = MetricStore()
+    for name, (df, labels) in store._metrics.items():
+        sub._metrics[name] = (
+            df.filter(
+                F.col("ts").cast("timestamp").cast("double") > F.lit(min_ts)
+            ),
+            labels,
+        )
+    return sub
