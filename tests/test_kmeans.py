@@ -79,3 +79,69 @@ def test_ivf_kmeans_recall_vs_brute(spark, emb):
     assert len(got_rows) == 10
     recall = len(got & brute) / 10
     assert recall >= 0.5, recall
+
+
+def test_kmeans_assign_matches_python_argmin(spark):
+    from workbook_exporter_fe_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rows = [
+        (i, [float((i * 13 + j * 7) % 11) - 5.0 for j in range(6)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, _ = kmeans_fit(emb, k=4, iters=3)
+    got = {r["vec_id"]: r["cid"] for r in kmeans_assign(emb, cents).collect()}
+    cv = {r["cid"]: r["cv"] for r in cents.collect()}
+    for i, x in rows:
+        want = min(
+            sorted(cv),
+            key=lambda c: (sum((p - q) ** 2 for p, q in zip(x, cv[c])), c),
+        )
+        assert got[i] == want, i
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Planted tight duplicate groups on orthogonal axes: survivors are
+    exactly the min id per group (+ singletons); pairs only within
+    groups; cells never produce cross-group false positives."""
+    import pyspark.sql.functions as F
+
+    from workbook_exporter_fe_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    dim, sizes = 8, [4, 3, 1, 5, 1, 2]
+    rows = []
+    for g, n in enumerate(sizes):
+        for j in range(n):
+            v = [0.0] * dim
+            v[g] = 10.0
+            v[(g + 1) % dim] = 0.01 * ((g * 7 + j) % 5)  # tiny intra-group jitter
+            rows.append((g * 10 + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+
+    pairs = semantic_dedup_pairs(emb, k=3, iters=3, threshold=0.9).collect()
+    for r in pairs:
+        assert r["id_a"] // 10 == r["id_b"] // 10  # never cross-group
+        assert r["cos"] >= 0.9
+    # every within-group pair that shares a cell must be found; with tight
+    # groups every member maps to one cell, so ALL within-group pairs exist
+    want_pairs = {
+        (g * 10 + a, g * 10 + b)
+        for g, n in enumerate(sizes)
+        for a in range(n)
+        for b in range(a + 1, n)
+    }
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == want_pairs
+
+    kept = sorted(
+        r["doc_id"]
+        for r in semantic_dedup(docs, emb, k=3, iters=3, threshold=0.9,
+                                doc_id_col="doc_id").collect()
+    )
+    assert kept == [g * 10 for g in range(len(sizes))]

@@ -377,3 +377,104 @@ def ivf_topk_kmeans(
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cid): nearest trained centroid — ZERO-shuffle assignment.
+
+    The centroid table is k×dim (driver-small by definition of a coarse
+    quantizer), so it collects into a literal array of (d², cid) structs
+    and the argmin is one `array_min` per row — a map-side projection,
+    unlike the window-argmin inside `kmeans_fit`'s training loop (which
+    needs per-id frames anyway). Ties break to the lower cid via struct
+    ordering, matching the trainer. For k beyond ~1k switch to the
+    broadcast-join + min_by formulation; the literal plan node grows with
+    k×dim."""
+    rows = centroids.orderBy("cid").collect()
+    x = F.col(vec_col).cast("array<double>")
+    cands = []
+    for r in rows:
+        cv = F.array(*[F.lit(float(c)) for c in r["cv"]])
+        d2 = F.aggregate(
+            F.zip_with(x, cv, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        cands.append(F.struct(d2.alias("d"), F.lit(int(r["cid"])).alias("cid")))
+    best = F.array_min(F.array(*cands))["cid"]
+    return embeddings.select(F.col(id_col), best.alias("cid"))
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs: k-means cells as the candidate
+    blocks, exact integer-scaled cosine verify within each cell.
+
+    Same shape as ``embedding_neardup_pairs`` with the sign-bucket LSH
+    swapped for a TRAINED coarse quantizer: semantically close vectors
+    land in the same cell even when their sign pattern differs, so recall
+    at high thresholds is centroid-quality- rather than plane-luck-bound
+    (the SemDeDup observation: duplicates concentrate inside k-means
+    clusters of the embedding space). The all-pairs join never
+    materializes — the self-join keys on ``cid``; size k ≈ corpus/target
+    cell size so |cell|² stays bounded, exactly like the LSH planes knob.
+    Misses cross-cell pairs by construction (boundary duplicates) — the
+    recall/cost trade every blocked dedup makes; raise k for cost, or OR
+    with `embedding_neardup_pairs` buckets for recall.
+    """
+    if centroids is None:
+        centroids, _ = kmeans_fit(embeddings, k, iters, id_col, vec_col)
+    cells = kmeans_assign(embeddings, centroids, id_col, vec_col)
+    v = (
+        embeddings.select(F.col(id_col), _ivec(F.col(vec_col)).alias("iv"))
+        .select(id_col, "iv", _idot(F.col("iv"), F.col("iv")).alias("n"))
+        .join(cells, id_col)
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("iv").alias("va"),
+        F.col("n").alias("na"), "cid",
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("iv").alias("vb"),
+        F.col("n").alias("nb"), "cid",
+    )
+    pairs = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
+    cos = _cos(_idot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+    return pairs.select("id_a", "id_b", cos.alias("cos")).filter(
+        F.col("cos") >= threshold
+    )
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.95,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rows of ``docs`` surviving semantic near-dup clustering: candidate
+    pairs from `semantic_dedup_pairs`, transitive closure + one canonical
+    doc per cluster via components.dedup_canonical (min id survives,
+    singletons kept)."""
+    from .components import dedup_canonical
+
+    pairs = semantic_dedup_pairs(
+        embeddings, centroids, k, iters, threshold, vec_id_col, vec_col
+    )
+    return dedup_canonical(docs, pairs, id_col=doc_id_col)
