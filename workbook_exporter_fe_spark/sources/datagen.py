@@ -54,10 +54,19 @@ def gen_sequences(
         lambda j: (_hash64(seed_c, F.col("id"), j) % VOCAB).cast("int"),
     )
 
-    # Zipf source pick: u in [0,1) from the hash, z = #cdf-entries below u.
+    # Zipf source pick: u in [0,1) from the hash, z = #cdf-entries ≤ u.
+    # A chained CASE/WHEN over the 64 cdf boundaries, NOT a filter() HOF
+    # over a literal array: higher-order functions are CodegenFallback,
+    # and ONE of them in this projection forced the whole generator row
+    # into interpreted evaluation — measured ~65 µs/row on the 750M-event
+    # corpus build (tens of minutes per pass) vs codegen'd compares. Same
+    # z for every u including exact boundary hits (u == cdf[j] ⇒ j+1 both
+    # ways: count(c ≤ u) = first index with cdf[i] > u).
     cdf = _zipf_cdf()
     u = (_hash64(seed_c, F.col("id"), F.lit("src")) % 1_000_000_007) / 1_000_000_007.0
-    z = F.size(F.filter(F.array(*[F.lit(c) for c in cdf]), lambda c: c <= u))
+    z = F.lit(len(cdf))
+    for j in range(len(cdf) - 1, -1, -1):
+        z = F.when(u < cdf[j], F.lit(j)).otherwise(z)
     source = F.format_string("src-%02d", z)
 
     # n_tok == size(tokens) by construction (invariant, BASELINE.json:15);
