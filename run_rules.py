@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Evaluate a prometheus-style rules file over tier tables, incrementally.
+
+The reference generates scrape configs; the operational loop its users
+run on the resulting metrics is a rules file (recording + alerting)
+evaluated on a schedule. This CLI is that loop, batch-style: metrics map
+to tier tables (plain parquet dirs or SnapshotTables — autodetected),
+rules compile through the PromQL front-end (plans/promql.py), and each
+rule's output lands in its own SnapshotTable under --out via the
+lookback-restricted incremental refresh (plans/rules.py
+RuleMaterializer) — re-running is idempotent and each refresh reads only
+watermark-minus-lookback of history.
+
+Config (YAML):
+
+    metrics:
+      - name: tokens_sum          # PromQL metric name
+        table: /path/to/tier1     # parquet dir or SnapshotTable root
+        labels: [source]
+        ts: bucket_ts
+        value: sum_v
+    groups:
+      - name: capacity
+        rules:
+          - record: job:tokens:avg15m
+            expr: avg_over_time(tokens_sum[15m])
+          - alert: TokensHot
+            expr: job:tokens:avg15m > 5000
+            for: 5m
+            step: 1m
+
+Usage:
+    python run_rules.py --config rules.yaml --out /path/rules_out
+    spark-submit --py-files wexfe_spark.zip run_rules.py --config ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_table(spark, path: str):
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
+        return SnapshotTable(spark, path).read()
+    return spark.read.parquet(path)
+
+
+def build_store(spark, cfg: dict):
+    from workbook_exporter_fe_spark.plans.promql import MetricStore
+
+    store = MetricStore()
+    for m in cfg.get("metrics", []):
+        store.register(
+            m["name"],
+            _load_table(spark, m["table"]),
+            labels=tuple(m.get("labels", ["source"])),
+            ts_col=m.get("ts", "bucket_ts"),
+            value_col=m.get("value", "value"),
+        )
+    return store
+
+
+def build_rules(cfg: dict):
+    from workbook_exporter_fe_spark.plans.promql import duration_seconds
+    from workbook_exporter_fe_spark.plans.rules import (
+        AlertingRule,
+        RecordingRule,
+    )
+
+    rules = []
+    for group in cfg.get("groups", []):
+        for r in group.get("rules", []):
+            if "record" in r:
+                rules.append(RecordingRule(r["record"], r["expr"]))
+            elif "alert" in r:
+                rules.append(
+                    AlertingRule(
+                        r["alert"],
+                        r["expr"],
+                        for_s=duration_seconds(r["for"]) if "for" in r else 0.0,
+                        step_s=duration_seconds(r["step"]) if "step" in r
+                        else 60.0,
+                    )
+                )
+            else:
+                raise ValueError(f"rule needs 'record' or 'alert': {r}")
+    return rules
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True, help="rules YAML")
+    ap.add_argument("--out", required=True, help="rule-output snapshot root")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    args = ap.parse_args()
+
+    import yaml
+
+    from workbook_exporter_fe_spark.plans.rules import RuleMaterializer
+    from workbook_exporter_fe_spark.session import get_spark
+
+    with open(args.config) as f:
+        cfg = yaml.safe_load(f)
+    spark = get_spark(app_name="run_rules", cores=int(args.cpus))
+    store = build_store(spark, cfg)
+    rules = build_rules(cfg)
+    stats = RuleMaterializer(spark, args.out).refresh(store, rules)
+    print(json.dumps({"rules": stats, "out": args.out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -193,3 +193,60 @@ def test_alert_transitions(spark, store):
     assert got == sorted(want)
     events = {e for _, _, e in got}
     assert events == {"pending", "firing", "resolved"}
+
+
+def test_run_rules_cli_library_path(spark, tmp_path):
+    """run_rules.py building blocks: YAML config -> store + rules ->
+    incremental refresh; SnapshotTable sources are autodetected."""
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, "/root/repo")
+    from run_rules import build_rules, build_store
+    from workbook_exporter_fe_spark.plans.rules import RuleMaterializer
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    tier = spark.createDataFrame(
+        [(s, t, v) for s in ("s0", "s1") for t, v in sorted(_vals(s).items())],
+        "source string, tsec long, value double",
+    ).select("source", F.timestamp_seconds("tsec").alias("bucket_ts"),
+             F.col("value").alias("sum_v"))
+    # one plain parquet source + one SnapshotTable source
+    pq_dir = str(tmp_path / "tier_pq")
+    tier.write.parquet(pq_dir)
+    st = SnapshotTable(spark, str(tmp_path / "tier_snap"))
+    st.commit(tier)
+    cfg = yaml.safe_load(f"""
+metrics:
+  - name: mem_pq
+    table: {pq_dir}
+    labels: [source]
+    ts: bucket_ts
+    value: sum_v
+  - name: mem_snap
+    table: {tmp_path / "tier_snap"}
+    labels: [source]
+    ts: bucket_ts
+    value: sum_v
+groups:
+  - name: g
+    rules:
+      - record: "job:mem:avg5m"
+        expr: avg_over_time(mem_pq[5m])
+      - alert: Hot
+        expr: mem_snap > 50
+        for: 3m
+        step: 1m
+""")
+    store = build_store(spark, cfg)
+    rules = build_rules(cfg)
+    assert [type(r).__name__ for r in rules] == ["RecordingRule", "AlertingRule"]
+    assert rules[1].for_s == 180.0 and rules[1].step_s == 60.0
+    stats = RuleMaterializer(spark, str(tmp_path / "out")).refresh(store, rules)
+    assert stats["job:mem:avg5m"]["new_rows"] > 0
+    assert stats["Hot"]["new_rows"] > 0
+    # both sources resolved identically (same underlying rows)
+    a = store.metric("mem_pq").df.count()
+    b = store.metric("mem_snap").df.count()
+    assert a == b > 0
