@@ -102,3 +102,34 @@ def stream_to_tier_table(
         .foreachBatch(sink)
         .start()
     )
+
+
+def stream_tiers_from_snapshot_log(
+    spark, table_root: str, tier1_path: str, checkpoint_dir: str,
+    watermark: str = "10 minutes", bucket: str = "1 minute",
+):
+    """Continuous tier-1 maintenance by TAILING the tier-0 SnapshotTable.
+
+    The batch consumer (plans/pipeline.py run_from_snapshots) polls
+    ``changes()`` per call; this is the same loop as a standing
+    Structured Streaming query over the ``snapshot_log`` source
+    (sources/snapshot_source.py): offsets are snapshot sequences, each
+    micro-batch reads only the files the producer appended, and the
+    foreachBatch keyed merge keeps the tier table idempotent — so a
+    restarted query replays from Spark's checkpoint without
+    double-counting buckets. Compactions on the producer side are
+    invisible (replace snapshots are skipped by the source)."""
+    from workbook_exporter_fe_spark.sources import snapshot_source
+
+    snapshot_source.register(spark)
+    events = (
+        spark.readStream.format(snapshot_source.FORMAT_NAME).load(table_root)
+    )
+    if dict(events.dtypes).get("event_ts") == "timestamp_ntz":
+        # watermarks need a plain timestamp; sessions are UTC-pinned
+        events = events.withColumn(
+            "event_ts", F.col("event_ts").cast("timestamp")
+        )
+    return stream_to_tier_table(
+        events, tier1_path, checkpoint_dir, watermark, bucket
+    )
