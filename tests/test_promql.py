@@ -359,3 +359,184 @@ def test_plan_shape_rate(store):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
     assert len(re.findall(r"\bWindow\b", plan)) <= 2, plan
+
+
+# --------------------------------------------- r3 extensions: quantiles,
+# resets/changes, count_values, label fns, many-to-one matching
+
+
+def _pyquantile(win: list[float], phi: float) -> float:
+    s = sorted(win)
+    n = len(s)
+    r = phi * (n - 1)
+    lo = int(math.floor(r))
+    hi = min(lo + 1, n - 1)
+    return s[lo] + (s[hi] - s[lo]) * (r - lo)
+
+
+def test_quantile_over_time(store):
+    got = _collect(promql(store, "quantile_over_time(0.9, mem_bytes[5m])"))
+    for src in ("s0", "s1"):
+        s = _series(src, "g")
+        for t in sorted(s):
+            win = _window(s, t, 300)
+            assert got[(src, t)] == pytest.approx(_pyquantile(win, 0.9))
+
+
+def test_resets_and_changes(store):
+    got_r = _collect(promql(store, "resets(tokens_total[5m])"))
+    got_c = _collect(promql(store, "changes(mem_bytes[5m])"))
+    for src in ("s0", "s1"):
+        s = _series(src, "c")
+        ts = sorted(s)
+        for t in ts:
+            win = [tt for tt in ts if t - 300 < tt <= t]
+            want = sum(
+                1 for a, b in zip(win, win[1:]) if s[b] < s[a]
+            )
+            assert got_r[(src, t)] == want, (src, t)
+        g = _series(src, "g")
+        gts = sorted(g)
+        for t in gts:
+            win = [tt for tt in gts if t - 300 < tt <= t]
+            want = sum(1 for a, b in zip(win, win[1:]) if g[b] != g[a])
+            assert got_c[(src, t)] == want, (src, t)
+
+
+def test_quantile_aggregation(store):
+    got = _collect(promql(store, "quantile(0.5, mem_bytes)"))
+    g0, g1 = _series("s0", "g"), _series("s1", "g")
+    for t in sorted(set(g0) | set(g1)):
+        vals = [s[t] for s in (g0, g1) if t in s]
+        assert got[(t,)] == pytest.approx(_pyquantile(vals, 0.5))
+
+
+def test_count_values(store):
+    got = _collect(
+        promql(store, 'count_values by (source) ("v", mem_bytes)')
+    )
+    for src in ("s0", "s1"):
+        s = _series(src, "g")
+        for t, v in s.items():
+            assert got[(src, str(v), t)] == 1.0
+    # collapsing the label set makes equal values actually count up
+    tot = _collect(promql(store, 'count_values("v", sgn(mem_bytes))'))
+    assert sum(tot.values()) == len(_series("s0", "g")) + len(
+        _series("s1", "g")
+    )
+    assert any(v > 1.0 for v in tot.values())
+
+
+def test_math_and_timestamp(store):
+    sq = _collect(promql(store, "sqrt(abs(mem_bytes))"))
+    s = _series("s0", "g")
+    for t, v in s.items():
+        assert sq[("s0", t)] == pytest.approx(math.sqrt(abs(v)))
+    ts = _collect(promql(store, "timestamp(mem_bytes)"))
+    for t in s:
+        assert ts[("s0", t)] == float(t)
+    ln = _collect(promql(store, "ln(exp(clamp_max(mem_bytes, 3)))"))
+    for t, v in s.items():
+        assert ln[("s0", t)] == pytest.approx(min(v, 3.0))
+
+
+def test_label_replace_and_join(store):
+    got = promql(
+        store,
+        'label_replace(mem_bytes, "env", "prod-$1", "source", "s(\\d+)")',
+    )
+    assert set(got.columns) == {"source", "env", "ts", "value"}
+    envs = {(r.source, r.env) for r in got.collect()}
+    assert envs == {("s0", "prod-0"), ("s1", "prod-1")}
+    # non-matching regex keeps the sample with empty dst
+    miss = promql(
+        store, 'label_replace(mem_bytes, "env", "x$1", "source", "zzz")'
+    )
+    assert {r.env for r in miss.collect()} == {""}
+    joined = promql(
+        store, 'label_join(label_replace(mem_bytes, "env", "p", "source",'
+        ' "s0"), "key", "-", "source", "env")'
+    )
+    keys = {(r.source, r.key) for r in joined.collect()}
+    assert keys == {("s0", "s0-p"), ("s1", "s1-")}
+
+
+@pytest.fixture(scope="module")
+def info_store(spark, store):
+    """Adds a (source, mode) metric and a (source, unit) info metric."""
+    rows = [
+        (s, m, T0 + i * 60, float((i + len(m)) % 7 + 1))
+        for s in ("s0", "s1")
+        for m in ("user", "sys")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, mode string, tsec long, value double"
+    ).select("source", "mode", F.timestamp_seconds("tsec").alias("bucket_ts"),
+             "value")
+    store.register("cpu_seconds", df, labels=("source", "mode"))
+    info = [
+        (s, "bytes", T0 + i * 60, 2.0 if s == "s0" else 4.0)
+        for s in ("s0", "s1")
+        for i in range(5)
+    ]
+    idf = spark.createDataFrame(
+        info, "source string, unit string, tsec long, value double"
+    ).select("source", "unit", F.timestamp_seconds("tsec").alias("bucket_ts"),
+             "value")
+    store.register("mem_info", idf, labels=("source", "unit"))
+    return store
+
+
+def test_group_left(info_store):
+    got = promql(
+        info_store,
+        "cpu_seconds / on (source) group_left mem_info",
+    )
+    assert set(got.columns) == {"source", "mode", "ts", "value"}
+    rows = {(r.source, r.mode, int(r.ts.timestamp())): r.value
+            for r in got.collect()}
+    assert len(rows) == 20  # every many-side sample matched
+    for (s, m, t), v in rows.items():
+        cpu = float((((t - T0) // 60) + len(m)) % 7 + 1)
+        mem = 2.0 if s == "s0" else 4.0
+        assert v == pytest.approx(cpu / mem)
+    # group_left(unit) copies the info label onto the result
+    lbl = promql(
+        info_store,
+        "cpu_seconds * on (source) group_left (unit) mem_info",
+    )
+    assert "unit" in lbl.columns
+    assert {r.unit for r in lbl.collect()} == {"bytes"}
+
+
+def test_group_right(info_store):
+    got = promql(
+        info_store,
+        "mem_info + on (source) group_right cpu_seconds",
+    )
+    assert set(got.columns) == {"source", "mode", "ts", "value"}
+    assert got.count() == 20
+
+
+def test_group_left_many_to_many_raises(info_store, spark):
+    dup = [
+        (s, u, T0, 1.0)
+        for s in ("s0", "s1")
+        for u in ("bytes", "kb")  # two rows per (source, ts): not 'one'
+    ]
+    ddf = spark.createDataFrame(
+        dup, "source string, unit string, tsec long, value double"
+    ).select("source", "unit", F.timestamp_seconds("tsec").alias("bucket_ts"),
+             "value")
+    info_store.register("dup_info", ddf, labels=("source", "unit"))
+    bad = promql(info_store, "cpu_seconds / on (source) group_left dup_info")
+    with pytest.raises(Exception, match="multiple matches"):
+        bad.collect()
+
+
+def test_group_modifier_parse_errors():
+    with pytest.raises(PromQLError, match="requires on"):
+        parse("a / group_left b")
+    ast = parse("a / on (source) group_left (unit) b")
+    assert ast.group == "left" and ast.group_labels == ("unit",)

@@ -15,13 +15,18 @@ Supported subset (documented deviations below):
   range ``[5m]``, ``offset 1h``
 - range functions: ``rate increase delta idelta avg_over_time
   sum_over_time min_over_time max_over_time count_over_time
-  last_over_time stddev_over_time deriv predict_linear``
-- instant functions: ``abs ceil floor round clamp_min clamp_max``
-- aggregations: ``sum avg min max count stddev topk bottomk`` with
-  ``by (...)`` / ``without (...)`` (prefix or postfix)
+  last_over_time stddev_over_time quantile_over_time resets changes
+  deriv predict_linear``
+- instant functions: ``abs ceil floor round sqrt exp ln log2 log10 sgn
+  clamp_min clamp_max timestamp label_replace label_join``
+- aggregations: ``sum avg min max count stddev quantile count_values
+  topk bottomk`` with ``by (...)`` / ``without (...)`` (prefix or
+  postfix)
 - binary: ``+ - * / % ^``, comparisons ``== != > < >= <=`` (filter
   semantics, ``bool`` modifier for 0/1), set ops ``and or unless``,
-  vector matching ``on (...)`` / ``ignoring (...)`` (1:1 only)
+  vector matching ``on (...)`` / ``ignoring (...)``, many-to-one with
+  ``group_left (...)`` / ``group_right (...)`` (duplicate 'one'-side
+  keys raise at execution, like Prometheus's many-to-many error)
 - ``histogram_quantile(q, vec)`` over ``le``-labelled cumulative buckets
 
 Semantics deviations (deliberate, each scale- or exactness-motivated):
@@ -125,7 +130,7 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {"by", "without", "on", "ignoring", "offset", "bool",
-             "and", "or", "unless"}
+             "and", "or", "unless", "group_left", "group_right"}
 
 
 def _lex(text: str) -> list[tuple[str, str]]:
@@ -162,6 +167,11 @@ class Num:
 
 
 @dataclass
+class Str:
+    value: str
+
+
+@dataclass
 class Selector:
     name: str
     matchers: list[tuple[str, str, str]] = field(default_factory=list)
@@ -192,16 +202,21 @@ class Binary:
     bool_mode: bool = False
     on: tuple[str, ...] | None = None
     ignoring: tuple[str, ...] | None = None
+    group: str | None = None  # 'left' | 'right' (many-to-one matching)
+    group_labels: tuple[str, ...] = ()
 
 
-_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "topk", "bottomk"}
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "topk", "bottomk",
+            "quantile", "count_values"}
 _RANGE_FNS = {
     "rate", "increase", "delta", "idelta", "deriv", "predict_linear",
     "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
     "count_over_time", "last_over_time", "stddev_over_time",
+    "quantile_over_time", "resets", "changes",
 }
 _INSTANT_FNS = {"abs", "ceil", "floor", "round", "clamp_min", "clamp_max",
-                "histogram_quantile"}
+                "histogram_quantile", "sqrt", "exp", "ln", "log2", "log10",
+                "sgn", "timestamp", "label_replace", "label_join"}
 
 
 class _Parser:
@@ -257,10 +272,22 @@ class _Parser:
                     on = lbls
                 else:
                     ignoring = lbls
+            group, group_labels = None, ()
+            if self.peek()[0] in ("GROUP_LEFT", "GROUP_RIGHT"):
+                kind, _ = self.next()
+                group = "left" if kind == "GROUP_LEFT" else "right"
+                if on is None and ignoring is None:
+                    raise PromQLError(
+                        f"group_{group} requires on(...) or ignoring(...)"
+                    )
+                # as in Prometheus, '(' after group_* is the label list
+                if self.peek() == ("OP", "("):
+                    group_labels = self._label_list()
             # left-assoc except ^
             nxt = self._PREC[op] + (0 if op == "^" else 1)
             rhs = self.expr(nxt)
-            node = Binary(op, node, rhs, bool_mode, on, ignoring)
+            node = Binary(op, node, rhs, bool_mode, on, ignoring,
+                          group, group_labels)
 
     def _label_list(self) -> tuple[str, ...]:
         self.expect("OP", "(")
@@ -289,6 +316,9 @@ class _Parser:
             low = v.lower()
             return Num(float("inf") if low == "inf" else float("nan")
                        if low == "nan" else float(v))
+        if k == "STRING":
+            self.next()
+            return Str(v[1:-1])
         if k == "OP" and v == "(":
             self.next()
             node = self.expr(0)
@@ -357,9 +387,9 @@ class _Parser:
         if grouping is None and self.peek()[0] in ("BY", "WITHOUT"):
             kind, _ = self.next()
             grouping, without = self._label_list(), kind == "WITHOUT"
-        if op in ("topk", "bottomk"):
+        if op in ("topk", "bottomk", "quantile", "count_values"):
             if len(args) != 2:
-                raise PromQLError(f"{op} needs (k, expr)")
+                raise PromQLError(f"{op} needs (param, expr)")
             return Agg(op, args[1], grouping, without, param=args[0])
         if len(args) != 1:
             raise PromQLError(f"{op} takes one expression")
@@ -401,6 +431,8 @@ class PromQL:
 
     def _eval(self, node):
         if isinstance(node, Num):
+            return node.value
+        if isinstance(node, Str):
             return node.value
         if isinstance(node, Selector):
             return self._selector(node)
@@ -471,26 +503,91 @@ class PromQL:
                 vec.df.withColumn("value", fn(F.col("value"), F.lit(bound))),
                 vec.labels,
             )
-        if name in ("abs", "ceil", "floor", "round"):
+        if name in ("abs", "ceil", "floor", "round", "sqrt", "exp", "ln",
+                    "log2", "log10", "sgn"):
             vec = self._eval(call.args[0])
             fn = {"abs": F.abs, "ceil": F.ceil, "floor": F.floor,
-                  "round": F.round}[name]
+                  "round": F.round, "sqrt": F.sqrt, "exp": F.exp,
+                  "ln": F.log, "log2": F.log2, "log10": F.log10,
+                  "sgn": F.signum}[name]
             return Vector(
                 vec.df.withColumn("value", fn(F.col("value")).cast("double")),
                 vec.labels,
             )
+        if name == "timestamp":
+            vec = self._eval(call.args[0])
+            return Vector(
+                vec.df.withColumn(
+                    "value",
+                    F.col("ts").cast("timestamp").cast("long").cast("double"),
+                ),
+                vec.labels,
+            )
+        if name == "label_replace":
+            return self._label_replace(call)
+        if name == "label_join":
+            return self._label_join(call)
         raise PromQLError(f"unsupported function {name!r}")
+
+    def _label_replace(self, call: Call):
+        """label_replace(v, dst, replacement, src, regex): if the anchored
+        regex matches the src label's value, set dst to the replacement
+        (with $1-style group references); otherwise the sample keeps its
+        existing dst (or empty when dst is new)."""
+        if len(call.args) != 5:
+            raise PromQLError("label_replace needs (v, dst, repl, src, re)")
+        vec = self._eval(call.args[0])
+        dst, repl, src, regex = (self._eval(a) for a in call.args[1:])
+        if not all(isinstance(s, str) for s in (dst, repl, src, regex)):
+            raise PromQLError("label_replace label args must be strings")
+        if src not in vec.labels:
+            raise PromQLError(f"unknown source label {src!r}")
+        anchored = f"^(?:{regex})$"
+        old = F.col(dst) if dst in vec.labels else F.lit("")
+        out = vec.df.withColumn(
+            dst,
+            F.when(
+                F.col(src).rlike(anchored),
+                F.regexp_replace(F.col(src), anchored, repl),
+            ).otherwise(old),
+        )
+        labels = vec.labels if dst in vec.labels else vec.labels + (dst,)
+        return Vector(out, labels)
+
+    def _label_join(self, call: Call):
+        """label_join(v, dst, sep, src...): dst = src labels joined."""
+        if len(call.args) < 4:
+            raise PromQLError("label_join needs (v, dst, sep, src...)")
+        vec = self._eval(call.args[0])
+        dst, sep = self._eval(call.args[1]), self._eval(call.args[2])
+        srcs = [self._eval(a) for a in call.args[3:]]
+        bad = [s for s in srcs if s not in vec.labels]
+        if bad:
+            raise PromQLError(f"unknown source label(s) {bad}")
+        out = vec.df.withColumn(
+            dst, F.concat_ws(sep, *[F.col(s) for s in srcs])
+        )
+        labels = vec.labels if dst in vec.labels else vec.labels + (dst,)
+        return Vector(out, labels)
 
     def _range_fn(self, call: Call):
         name = call.func
-        horizon = None
+        horizon = phi = None
+        range_node = call.args[0] if call.args else None
         if name == "predict_linear":
             if len(call.args) != 2:
                 raise PromQLError("predict_linear needs (v[r], t)")
             horizon = self._eval(call.args[1])
+        elif name == "quantile_over_time":
+            if len(call.args) != 2:
+                raise PromQLError("quantile_over_time needs (phi, v[r])")
+            phi = self._eval(call.args[0])
+            if not isinstance(phi, float):
+                raise PromQLError("quantile_over_time needs scalar phi")
+            range_node = call.args[1]
         elif len(call.args) != 1:
             raise PromQLError(f"{name} takes one range vector")
-        vec, r, _sel = self._range_arg(call.args[0])
+        vec, r, _sel = self._range_arg(range_node)
         labels = vec.labels
         d = _with_tsec(vec.df)
         wo = _series_window(labels)
@@ -525,6 +622,21 @@ class PromQL:
             out = F.last("value").over(frame)
         elif name == "stddev_over_time":  # population, like PromQL
             out = F.stddev_pop("value").over(frame)
+        elif name == "quantile_over_time":
+            # rank phi*(n-1) with linear interpolation — the same formula
+            # as PromQL's quantile (and Spark's exact percentile)
+            out = F.percentile("value", F.lit(phi)).over(frame)
+        elif name in ("resets", "changes"):
+            prev = F.lag("value").over(wo)
+            flag = (
+                (v < prev) if name == "resets" else (v != prev)
+            ).cast("long")
+            d = d.withColumn("_f", F.when(prev.isNull(), F.lit(0)).otherwise(flag))
+            # transitions strictly inside the window: the first in-frame
+            # sample's flag crosses the window boundary — drop it
+            out = (
+                F.sum("_f").over(frame) - F.first("_f").over(frame)
+            ).cast("double")
         elif name in ("deriv", "predict_linear"):
             # least squares over the range frame; time centered per series
             # (full-epoch seconds cancel catastrophically — see
@@ -583,6 +695,26 @@ class PromQL:
                 .drop("_rk")
             )
             return Vector(out, vec.labels)  # topk keeps original labels
+        if agg.op == "quantile":
+            phi = self._eval(agg.param)
+            if not isinstance(phi, float):
+                raise PromQLError("quantile needs scalar phi")
+            out = vec.df.groupBy(*keep, "ts").agg(
+                F.percentile(F.col("value"), F.lit(phi)).alias("value")
+            )
+            return Vector(out, keep)
+        if agg.op == "count_values":
+            lbl = self._eval(agg.param)
+            if not isinstance(lbl, str):
+                raise PromQLError('count_values needs ("label", expr)')
+            if lbl in keep:
+                raise PromQLError(f"label {lbl!r} collides with grouping")
+            out = (
+                vec.df.withColumn(lbl, F.col("value").cast("string"))
+                .groupBy(*keep, lbl, "ts")
+                .agg(F.count("*").cast("double").alias("value"))
+            )
+            return Vector(out, keep + (lbl,))
         fn = {
             "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
             "count": lambda c: F.count(c).cast("double"),
@@ -694,6 +826,8 @@ class PromQL:
 
     def _vector_binary(self, node: Binary, lhs: Vector, rhs: Vector):
         keys = self._match_keys(node, lhs, rhs)
+        if node.group:
+            return self._grouped_binary(node, lhs, rhs, keys)
         jk = keys + ["ts"]
         l = lhs.df.select(*jk, F.col("value").alias("_lv"))
         r = rhs.df.select(*jk, F.col("value").alias("_rv"))
@@ -707,6 +841,65 @@ class PromQL:
         else:
             out = j.withColumn("value", expr.cast("double"))
         return Vector(out.select(*keys, "ts", "value"), tuple(keys))
+
+    def _grouped_binary(self, node: Binary, lhs: Vector, rhs: Vector,
+                        keys: list[str]):
+        """group_left / group_right many-to-one matching: every sample on
+        the 'many' side joins the unique 'one'-side sample with the same
+        match keys; labels listed in group_*() are copied from the 'one'
+        side (overwriting the many side's). A duplicate key on the 'one'
+        side fails the query at execution (Prometheus raises the same
+        many-to-many error), via a conditional raise_error that stays on
+        the codegen happy path."""
+        many = lhs if node.group == "left" else rhs
+        one = rhs if node.group == "left" else lhs
+        many_val = "_lv" if node.group == "left" else "_rv"
+        one_val = "_rv" if node.group == "left" else "_lv"
+        extra = tuple(dict.fromkeys(
+            l for l in node.group_labels if l not in keys
+        ))
+        bad = [l for l in extra if l not in one.labels]
+        if bad:
+            raise PromQLError(
+                f"group_{node.group} labels {bad} not on the 'one' side"
+            )
+        jk = keys + ["ts"]
+        w = Window.partitionBy(*jk)
+        one_df = (
+            one.df.select(
+                *jk,
+                *[F.col(l).alias(f"_g_{l}") for l in extra],
+                F.col("value").alias(one_val),
+            )
+            .withColumn("_n", F.count("*").over(w))
+            .withColumn(
+                one_val,
+                F.when(
+                    F.col("_n") > 1,
+                    F.raise_error(F.lit(
+                        f"group_{node.group}: multiple matches on the "
+                        "'one' side for the same match keys"
+                    )),
+                ).otherwise(F.col(one_val)),
+            )
+            .drop("_n")
+        )
+        many_df = many.df.select(
+            *many.labels, "ts", F.col("value").alias(many_val)
+        )
+        j = many_df.join(one_df, jk)
+        expr = self._apply_op(node.op, F.col("_lv"), F.col("_rv"))
+        if node.op in self._CMP:
+            if node.bool_mode:
+                j = j.withColumn("value", expr.cast("int").cast("double"))
+            else:
+                j = j.filter(expr).withColumn("value", F.col("_lv"))
+        else:
+            j = j.withColumn("value", expr.cast("double"))
+        for l in extra:
+            j = j.withColumn(l, F.col(f"_g_{l}"))
+        labels = tuple(dict.fromkeys(tuple(many.labels) + extra))
+        return Vector(j.select(*labels, "ts", "value"), labels)
 
     # ---- histogram_quantile
 
