@@ -198,3 +198,83 @@ def test_stream_tier1_from_snapshot_log(spark, events, tmp_path):
     assert got.select("source").distinct().count() == want.select(
         "source"
     ).distinct().count()
+
+
+# ------------------------------------------------------------- write side
+
+
+def test_batch_write_commits_snapshots(spark, tmp_path):
+    ss.register(spark)
+    root = str(tmp_path / "w")
+    _mk(spark, 0, 100).repartition(3).write.format("snapshot_log").mode(
+        "append"
+    ).save(root)
+    _mk(spark, 100, 150).write.format("snapshot_log").mode("append").save(
+        root
+    )
+    st = SnapshotTable(spark, root)
+    assert st.current_sequence() == 2
+    assert sorted(r.k for r in st.read().collect()) == list(range(150))
+    # footer stats were harvested: the manifest prunes like a commit()'d
+    # table (changes() and scan() run unmodified on writer-made snapshots)
+    assert st.changes(1).count() == 50
+    paths, pruned = st.scan_files(col_between={"k": (140, None)})
+    assert pruned > 0
+    # overwrite starts a fresh file set; history keeps the old snapshot
+    _mk(spark, 0, 10).write.format("snapshot_log").mode("overwrite").save(
+        root
+    )
+    assert st.read().count() == 10
+    assert st.read(sequence=2).count() == 150
+    ops = [r.operation for r in st.history().collect()]
+    assert ops == ["append", "append", "overwrite"]
+
+
+def test_batch_write_append_schema_check(spark, tmp_path):
+    ss.register(spark)
+    root = str(tmp_path / "w")
+    _mk(spark, 0, 10).write.format("snapshot_log").mode("append").save(root)
+    with pytest.raises(Exception, match="unknown column"):
+        spark.range(3).select(F.col("id").alias("zzz")).write.format(
+            "snapshot_log"
+        ).mode("append").save(root)
+    # the failed write published nothing
+    assert SnapshotTable(spark, root).current_sequence() == 1
+
+
+def test_stream_write_snapshot_to_snapshot(spark, tmp_path):
+    """Tail one SnapshotTable into another: snapshot_log on BOTH ends of
+    a streaming query, exactly-once across reruns."""
+    ss.register(spark)
+    src = SnapshotTable(spark, str(tmp_path / "src"))
+    dst_root = str(tmp_path / "dst")
+    src.commit(_mk(spark, 0, 40))
+    src.commit(_mk(spark, 40, 80))
+
+    def run():
+        q = (
+            spark.readStream.format("snapshot_log")
+            .load(src.root)
+            .writeStream.format("snapshot_log")
+            .option("path", dst_root)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    dst = SnapshotTable(spark, dst_root)
+    assert dst.read().count() == 80
+    src.commit(_mk(spark, 80, 100))
+    run()
+    assert sorted(r.k for r in dst.read().collect()) == list(range(100))
+    n_snaps = dst.current_sequence()
+    run()  # caught up: no new snapshot, no new rows
+    assert dst.current_sequence() == n_snaps
+    assert dst.read().count() == 100
+    # every dst snapshot is a stream append with its epoch recorded
+    for seq in range(1, dst.current_sequence() + 1):
+        s = dst.snapshot(seq)["summary"]
+        assert s["writer"] == "snapshot_log_stream"
+        assert "epoch" in s

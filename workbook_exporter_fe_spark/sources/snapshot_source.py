@@ -49,14 +49,17 @@ Spark source with offsets instead of a YAML re-parse.
 
 from __future__ import annotations
 
-import json
 import os
+import shutil
+import uuid
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -65,6 +68,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -77,22 +81,16 @@ def register(spark) -> None:
 
 
 # --------------------------------------------------------------- manifest IO
-# The readers run in Python worker processes without a SparkSession, so
-# they read the manifest JSON directly instead of going through
-# SnapshotTable (which wants a session for its DataFrame helpers).
+# The readers/writers run in Python worker processes without a
+# SparkSession, so they use the session-free manifest helpers from
+# snapshots.py instead of going through SnapshotTable (which wants a
+# session for its DataFrame helpers).
 
-
-def _current_sequence(root: str) -> int:
-    hint = os.path.join(root, "metadata", "version-hint.text")
-    if not os.path.exists(hint):
-        return 0
-    with open(hint) as f:
-        return int(f.read().strip())
-
-
-def _load_manifest(root: str, seq: int) -> dict:
-    with open(os.path.join(root, "metadata", f"snap-{seq:08d}.json")) as f:
-        return json.load(f)
+from workbook_exporter_fe_spark.sources.snapshots import (  # noqa: E402
+    commit_files as _commit_files,
+    current_sequence as _current_sequence,
+    load_manifest as _load_manifest,
+)
 
 
 def _norm(value):
@@ -289,6 +287,130 @@ class SnapshotLogStreamReader(DataSourceStreamReader):
         pass
 
 
+# ------------------------------------------------------------------- writers
+
+
+@dataclass
+class _Written(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+def _write_task_file(commit_dir: str, iterator: Iterator) -> _Written | None:
+    """Executor-side: stream this task's RecordBatches into ONE parquet
+    file under ``commit_dir``. Returns None for an empty partition (no
+    file is created). Only paths returned in commit messages are ever
+    published — a failed attempt's partial file stays unreferenced
+    garbage, which is exactly the snapshot log's crash contract."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(commit_dir, exist_ok=True)
+    path = os.path.join(commit_dir, f"part-{uuid.uuid4().hex}.parquet")
+    writer = None
+    rows = 0
+    try:
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return None
+    return _Written(path, rows)
+
+
+class SnapshotLogBatchWriter(DataSourceArrowWriter):
+    """df.write.format("snapshot_log"): Spark's two-phase data-source
+    commit mapped onto the snapshot log. Executors write immutable
+    parquet files (phase 1); the driver-side ``commit`` publishes exactly
+    the files named in the commit messages as ONE new snapshot (phase 2,
+    optimistic + atomic hint swap). ``mode("append")`` → append snapshot
+    (schema-checked against the table), ``mode("overwrite")`` → overwrite
+    snapshot; ``abort`` removes the staged directory."""
+
+    def __init__(self, root: str, schema: StructType, overwrite: bool):
+        self.root = root
+        self.schema = schema
+        self.mode = "overwrite" if overwrite else "append"
+        self.commit_dir = os.path.join(
+            root, "data", f"w{uuid.uuid4().hex[:12]}"
+        )
+
+    def write(self, iterator: Iterator) -> _Written | None:
+        return _write_task_file(self.commit_dir, iterator)
+
+    def commit(self, messages) -> None:
+        paths = [m.path for m in messages if m is not None]
+        _commit_files(
+            self.root,
+            paths,
+            self.schema.jsonValue(),
+            mode=self.mode,
+            summary={"writer": "snapshot_log", "tasks": len(paths)},
+            cleanup_dir=self.commit_dir,
+        )
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.commit_dir, ignore_errors=True)
+
+
+class SnapshotLogStreamWriter(DataSourceStreamArrowWriter):
+    """writeStream.format("snapshot_log"): one append snapshot per
+    micro-batch. The epoch id is recorded in the snapshot summary, and a
+    replayed epoch (failure after the manifest swap but before Spark's
+    checkpoint advanced) is detected and SKIPPED, so the sink stays
+    exactly-once — the streaming analogue of the keyed-merge idempotence
+    the foreachBatch tier sink uses."""
+
+    def __init__(self, root: str, schema: StructType):
+        self.root = root
+        self.schema = schema
+        self.stream_dir = os.path.join(
+            root, "data", f"s{uuid.uuid4().hex[:12]}"
+        )
+
+    def _already_committed(self, batch_id: int) -> bool:
+        seq = _current_sequence(self.root)
+        if seq == 0:
+            return False
+        s = _load_manifest(self.root, seq).get("summary", {})
+        return (
+            s.get("writer") == "snapshot_log_stream"
+            and s.get("stream_dir") == self.stream_dir
+            and int(s.get("epoch", -1)) >= batch_id
+        )
+
+    def write(self, iterator: Iterator) -> _Written | None:
+        return _write_task_file(self.stream_dir, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        if self._already_committed(batchId):
+            return  # replayed epoch: snapshot already visible
+        paths = [m.path for m in messages if m is not None]
+        _commit_files(
+            self.root,
+            paths,
+            self.schema.jsonValue(),
+            mode="append",
+            summary={
+                "writer": "snapshot_log_stream",
+                "epoch": batchId,
+                "stream_dir": self.stream_dir,
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
 class SnapshotLogDataSource(DataSource):
     """format("snapshot_log") — options:
 
@@ -301,6 +423,13 @@ class SnapshotLogDataSource(DataSource):
       ``spark.sql.python.filterPushdown.enabled=true``
     - ``batchRows``: arrow batch size per yielded RecordBatch (default
       65536)
+
+    Writing: ``df.write.format("snapshot_log").mode("append"|"overwrite")
+    .save(root)`` commits ONE new snapshot via Spark's two-phase
+    data-source commit (only ``append``/``overwrite`` save modes exist
+    for Python data sources); ``writeStream.format("snapshot_log")``
+    appends one snapshot per micro-batch with epoch ids recorded in the
+    manifest summary, so replayed epochs are skipped (exactly-once).
     """
 
     @classmethod
@@ -346,3 +475,18 @@ class SnapshotLogDataSource(DataSource):
             str(self.options.get("starting", "earliest")).lower(),
             self._batch_rows(),
         )
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotLogBatchWriter:
+        from workbook_exporter_fe_spark.sources.snapshots import (
+            _check_append_schema_json,
+        )
+
+        # fail an incompatible append at PLANNING time — before any task
+        # writes data; the commit-time check remains authoritative under
+        # concurrent evolve/overwrite races
+        if not overwrite and _current_sequence(self._root()) > 0:
+            _check_append_schema_json(self._root(), schema.jsonValue())
+        return SnapshotLogBatchWriter(self._root(), schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> SnapshotLogStreamWriter:
+        return SnapshotLogStreamWriter(self._root(), schema)

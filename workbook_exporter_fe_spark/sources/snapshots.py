@@ -97,6 +97,151 @@ def _atomic_write(path: str, text: str) -> None:
     os.replace(tmp, path)
 
 
+# ------------------------------------------------- session-free commit path
+# The snapshot_log DataSource writer (sources/snapshot_source.py) commits
+# from Spark's data-source commit hook, where no SparkSession exists: the
+# executors have already written parquet files, and publishing them is
+# pure metadata work. These free functions are that path; SnapshotTable
+# delegates to them so there is exactly one manifest-assembly code path.
+
+
+def current_sequence(root: str) -> int:
+    """0 = empty table (no committed snapshot)."""
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    if not os.path.exists(hint):
+        return 0
+    with open(hint) as f:
+        return int(f.read().strip())
+
+
+def load_manifest(root: str, seq: int) -> dict:
+    with open(os.path.join(root, "metadata", f"snap-{seq:08d}.json")) as f:
+        return json.load(f)
+
+
+def file_stats_for_paths(paths: list[str]) -> list[dict]:
+    """Per-file rows + per-column min/max from parquet footers.
+
+    Driver-side over the NEW files only — the parquet writer already
+    computed these statistics; harvesting the footer costs one small
+    read per file and no Spark job.
+    """
+    import pyarrow.parquet as pq
+
+    out = []
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                k = col.path_in_schema
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    continue  # raw binary stats are not orderable here
+                lo = lo.isoformat() if hasattr(lo, "isoformat") else lo
+                hi = hi.isoformat() if hasattr(hi, "isoformat") else hi
+                mins[k] = lo if k not in mins else min(mins[k], lo)
+                maxs[k] = hi if k not in maxs else max(maxs[k], hi)
+        out.append(
+            {
+                "path": path,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(path),
+                "min": mins,
+                "max": maxs,
+            }
+        )
+    return out
+
+
+def _check_append_schema_json(root: str, incoming_json: dict) -> None:
+    from pyspark.sql.types import StructType
+
+    table = {
+        f.name: f
+        for f in StructType.fromJson(
+            load_manifest(root, current_sequence(root))["schema"]
+        ).fields
+    }
+    incoming = {f.name: f for f in StructType.fromJson(incoming_json).fields}
+    unknown = sorted(set(incoming) - set(table))
+    if unknown:
+        raise SchemaMismatch(
+            f"append writes unknown column(s) {unknown}; run "
+            "evolve(add=...) first"
+        )
+    for name, f in incoming.items():
+        if f.dataType != table[name].dataType:
+            raise SchemaMismatch(
+                f"column {name!r} is {f.dataType.simpleString()} but the "
+                f"table has {table[name].dataType.simpleString()}; type "
+                "changes are not supported"
+            )
+    for name, f in table.items():
+        if name not in incoming and not f.nullable:
+            raise SchemaMismatch(f"append omits non-nullable column {name!r}")
+
+
+def commit_files(
+    root: str,
+    new_paths: list[str],
+    schema_json: dict,
+    mode: str = "append",
+    summary: dict | None = None,
+    cleanup_dir: str | None = None,
+    check_schema: bool = True,
+) -> int:
+    """Publish already-written parquet files as a new snapshot.
+
+    Stats are harvested from the EXPLICIT path list (not a directory
+    listing), so a failed/retried task's orphan files in the same commit
+    directory are never referenced — they stay invisible garbage, like a
+    crashed Spark-side commit. Optimistic concurrency and the atomic
+    hint swap match SnapshotTable.commit; on conflict ``cleanup_dir``
+    (the new files' directory) is removed.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(mode)
+    meta = os.path.join(root, "metadata")
+    os.makedirs(meta, exist_ok=True)
+    parent = current_sequence(root)
+    if mode == "append" and parent > 0 and check_schema:
+        _check_append_schema_json(root, schema_json)
+    seq = parent + 1
+    files = file_stats_for_paths(sorted(new_paths))
+    schema = schema_json
+    if mode == "append" and parent > 0:
+        prev = load_manifest(root, parent)
+        files = prev["files"] + files
+        schema = prev["schema"]
+    manifest = {
+        "sequence": seq,
+        "parent": parent,
+        "operation": mode,
+        "committed_at": time.time(),
+        "schema": schema,
+        "files": files,
+        "summary": dict(summary or {}),
+        "total_rows": sum(f["rows"] for f in files),
+    }
+    mpath = os.path.join(meta, f"snap-{seq:08d}.json")
+    if os.path.exists(mpath):
+        if cleanup_dir:
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        raise SnapshotConflict(
+            f"sequence {seq} already committed by another writer"
+        )
+    _atomic_write(mpath, json.dumps(manifest, indent=1))
+    _atomic_write(os.path.join(meta, "version-hint.text"), str(seq))
+    return seq
+
+
 class SnapshotTable:
     """A directory-backed table with Iceberg-like snapshot semantics.
 
@@ -121,15 +266,10 @@ class SnapshotTable:
 
     def current_sequence(self) -> int:
         """0 = empty table (no committed snapshot)."""
-        hint = os.path.join(self.meta, "version-hint.text")
-        if not os.path.exists(hint):
-            return 0
-        with open(hint) as f:
-            return int(f.read().strip())
+        return current_sequence(self.root)
 
     def _load(self, seq: int) -> dict:
-        with open(self._manifest_path(seq)) as f:
-            return json.load(f)
+        return load_manifest(self.root, seq)
 
     def snapshot(self, sequence: int | None = None) -> dict:
         seq = self.current_sequence() if sequence is None else sequence
@@ -139,47 +279,16 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ commits
     def _file_stats(self, commit_dir: str) -> list[dict]:
-        """Per-file rows + per-column min/max from parquet footers.
-
-        Driver-side over the NEW files only — the parquet writer already
-        computed these statistics; harvesting the footer costs one small
-        read per file and no Spark job.
-        """
-        import pyarrow.parquet as pq
-
-        out = []
-        for name in sorted(os.listdir(commit_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(commit_dir, name)
-            md = pq.ParquetFile(path).metadata
-            mins: dict = {}
-            maxs: dict = {}
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        continue
-                    k = col.path_in_schema
-                    lo, hi = st.min, st.max
-                    if isinstance(lo, bytes):
-                        continue  # raw binary stats are not orderable here
-                    lo = lo.isoformat() if hasattr(lo, "isoformat") else lo
-                    hi = hi.isoformat() if hasattr(hi, "isoformat") else hi
-                    mins[k] = lo if k not in mins else min(mins[k], lo)
-                    maxs[k] = hi if k not in maxs else max(maxs[k], hi)
-            out.append(
-                {
-                    "path": path,
-                    "rows": md.num_rows,
-                    "bytes": os.path.getsize(path),
-                    "min": mins,
-                    "max": maxs,
-                }
+        """Footer stats for every parquet file in ``commit_dir`` (Spark
+        task commits are atomic renames, so a directory listing here only
+        ever sees complete files)."""
+        return file_stats_for_paths(
+            sorted(
+                os.path.join(commit_dir, n)
+                for n in os.listdir(commit_dir)
+                if n.endswith(".parquet")
             )
-        return out
+        )
 
     def commit(
         self,
@@ -193,44 +302,32 @@ class SnapshotTable:
         ``'overwrite'`` starts a fresh set (parent files remain readable
         via time travel). The data write happens BEFORE the manifest/hint
         swap, so a crash mid-commit leaves unreferenced files, never a
-        partially-visible snapshot.
+        partially-visible snapshot. The TABLE schema stays authoritative
+        across appends (an append may omit nullable evolved columns;
+        readers null-fill) — only an overwrite or evolve() changes it.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
         parent = self.current_sequence()
         if mode == "append" and parent > 0:
-            self._check_append_schema(df)
-        seq = parent + 1
-        commit_dir = os.path.join(self.data, f"c{seq:08d}-{uuid.uuid4().hex[:8]}")
+            self._check_append_schema(df)  # fail BEFORE writing data
+        commit_dir = os.path.join(
+            self.data, f"c{parent + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
         df.write.mode("error").parquet(commit_dir)
-        new_files = self._file_stats(commit_dir)
-        files = list(new_files)
-        # the TABLE schema stays authoritative across appends (an append
-        # may omit nullable evolved columns; readers null-fill) — only an
-        # overwrite or evolve() changes it
-        schema = df.schema.jsonValue()
-        if mode == "append" and parent > 0:
-            files = self._load(parent)["files"] + files
-            schema = self._load(parent)["schema"]
-        manifest = {
-            "sequence": seq,
-            "parent": parent,
-            "operation": mode,
-            "committed_at": time.time(),
-            "schema": schema,
-            "files": files,
-            "summary": dict(summary or {}),
-            "total_rows": sum(f["rows"] for f in files),
-        }
-        mpath = self._manifest_path(seq)
-        if os.path.exists(mpath):
-            shutil.rmtree(commit_dir, ignore_errors=True)
-            raise SnapshotConflict(
-                f"sequence {seq} already committed by another writer"
-            )
-        _atomic_write(mpath, json.dumps(manifest, indent=1))
-        _atomic_write(os.path.join(self.meta, "version-hint.text"), str(seq))
-        return seq
+        return commit_files(
+            self.root,
+            [
+                os.path.join(commit_dir, n)
+                for n in os.listdir(commit_dir)
+                if n.endswith(".parquet")
+            ],
+            df.schema.jsonValue(),
+            mode=mode,
+            summary=summary,
+            cleanup_dir=commit_dir,
+            check_schema=False,  # already checked against this parent
+        )
 
     def _table_schema(self, sequence: int | None = None):
         from pyspark.sql.types import StructType
