@@ -540,3 +540,51 @@ def test_group_modifier_parse_errors():
         parse("a / group_left b")
     ast = parse("a / on (source) group_left (unit) b")
     assert ast.group == "left" and ast.group_labels == ("unit",)
+
+
+def test_subquery_over_rate(store):
+    """max_over_time over a rate() subquery: the inner expression's grid
+    supplies the samples, the outer frame windows them."""
+    got = _collect(
+        promql(store, "max_over_time(rate(tokens_total[5m])[15m:])")
+    )
+    for src in ("s0", "s1"):
+        s = _series(src, "c")
+        ts = sorted(s)
+        deltas = {}
+        for a, b in zip(ts, ts[1:]):
+            deltas[b] = (s[b] - s[a] if s[b] >= s[a] else s[b])
+        rate = {}
+        for t in ts:
+            win = [deltas[tt] for tt in ts
+                   if t - 300 < tt <= t and tt in deltas]
+            if win:
+                rate[t] = sum(win) / 300.0
+        for t in sorted(rate):
+            outer = [rate[tt] for tt in rate if t - 900 < tt <= t]
+            assert got[(src, t)] == pytest.approx(max(outer)), (src, t)
+
+
+def test_subquery_over_aggregation(store):
+    """avg_over_time over a sum() subquery — aggregations drop labels,
+    the subquery windows the aggregated series."""
+    got = _collect(
+        promql(store, "avg_over_time(sum(mem_bytes)[10m:])")
+    )
+    g0, g1 = _series("s0", "g"), _series("s1", "g")
+    tot = {
+        t: sum(s[t] for s in (g0, g1) if t in s)
+        for t in sorted(set(g0) | set(g1))
+    }
+    for t in tot:
+        win = [tot[tt] for tt in tot if t - 600 < tt <= t]
+        assert got[(t,)] == pytest.approx(sum(win) / len(win)), t
+
+
+def test_subquery_parse_errors():
+    with pytest.raises(PromQLError, match="re-sampling is not supported"):
+        parse("max_over_time(rate(x[5m])[30m:1m])")
+    with pytest.raises(PromQLError, match="needs a range function"):
+        promql(MetricStore(), "rate(x[5m])[30m:]")
+    with pytest.raises(PromQLError, match="instant selectors"):
+        parse("max_over_time(rate(x[5m])[30m])")

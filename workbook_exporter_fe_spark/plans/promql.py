@@ -12,7 +12,10 @@ registered in a :class:`MetricStore`.
 Supported subset (documented deviations below):
 
 - selectors: ``metric``, ``metric{l="x", l2!="y", l3=~"re", l4!~"re"}``,
-  range ``[5m]``, ``offset 1h``
+  range ``[5m]``, ``offset 1h``; subqueries ``expr[30m:]`` feed any
+  range function with an expression's result (explicit re-sampling
+  steps are rejected — the inner expression's own grid supplies the
+  samples, per deviation 1)
 - range functions: ``rate increase delta idelta avg_over_time
   sum_over_time min_over_time max_over_time count_over_time
   last_over_time stddev_over_time quantile_over_time resets changes
@@ -195,6 +198,19 @@ class Agg:
 
 
 @dataclass
+class Subquery:
+    """``expr[range:]`` — a range vector produced by an expression.
+
+    The inner expression's own evaluation grid supplies the samples
+    inside the window (deviation: an explicit re-sampling ``step`` is
+    rejected rather than silently approximated — see module docstring).
+    """
+
+    expr: object
+    range_s: float
+
+
+@dataclass
 class Binary:
     op: str
     lhs: object
@@ -333,15 +349,32 @@ class _Parser:
         raise PromQLError(f"unexpected {v!r}")
 
     def postfix(self, node):
-        # range selector + offset apply to selectors only
-        if isinstance(node, Selector):
-            if self.peek() == ("OP", "["):
+        if self.peek() == ("OP", "["):
+            self.next()
+            dur = duration_seconds(self.expect("DURATION"))
+            # ':' is an IDENT character (recording-rule names use it), so
+            # a subquery's ':step' tail lexes as one IDENT token
+            k, v = self.peek()
+            if k == "IDENT" and v.startswith(":"):
                 self.next()
-                node.range_s = duration_seconds(self.expect("DURATION"))
                 self.expect("OP", "]")
-            if self.peek()[0] == "OFFSET":
-                self.next()
-                node.offset_s = duration_seconds(self.expect("DURATION"))
+                if len(v) > 1:
+                    raise PromQLError(
+                        "subquery step re-sampling is not supported; omit "
+                        "the step ('[range:]') to use the inner grid"
+                    )
+                node = Subquery(node, dur)
+            else:
+                self.expect("OP", "]")
+                if not isinstance(node, Selector) or node.range_s is not None:
+                    raise PromQLError(
+                        "[range] applies to instant selectors; use "
+                        "expr[range:] for subqueries"
+                    )
+                node.range_s = dur
+        if isinstance(node, Selector) and self.peek()[0] == "OFFSET":
+            self.next()
+            node.offset_s = duration_seconds(self.expect("DURATION"))
         return node
 
     def selector(self) -> Selector:
@@ -442,6 +475,8 @@ class PromQL:
             return self._agg(node)
         if isinstance(node, Binary):
             return self._binary(node)
+        if isinstance(node, Subquery):
+            raise PromQLError("a subquery needs a range function around it")
         raise PromQLError(f"cannot evaluate {node!r}")
 
     # ---- selectors
@@ -479,9 +514,16 @@ class PromQL:
 
     # ---- range functions
 
-    def _range_arg(self, node) -> tuple[Vector, float, Selector]:
+    def _range_arg(self, node) -> tuple[Vector, float, object]:
+        if isinstance(node, Subquery):
+            inner = self._eval(node.expr)
+            if isinstance(inner, float):
+                raise PromQLError("subquery needs a vector expression")
+            return inner, float(node.range_s), node
         if not isinstance(node, Selector):
-            raise PromQLError("range functions take metric[range] directly")
+            raise PromQLError(
+                "range functions take metric[range] or expr[range:]"
+            )
         vec = self._selector(node, want_range=True)
         return vec, float(node.range_s), node
 

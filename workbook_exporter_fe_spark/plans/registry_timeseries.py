@@ -69,7 +69,12 @@ def _tier1(spark, sf_dir):
       FROM s
     ),
     d AS (
-      SELECT *, cum - lag(cum) OVER (PARTITION BY source ORDER BY bucket_ts) AS dlt
+      SELECT *,
+             cum - lag(cum) OVER (PARTITION BY source ORDER BY bucket_ts) AS dlt,
+             CASE WHEN lag(val) OVER (PARTITION BY source ORDER BY bucket_ts)
+                       IS NULL THEN 0
+                  WHEN val <> lag(val) OVER (PARTITION BY source ORDER BY bucket_ts)
+                       THEN 1 ELSE 0 END AS chg
       FROM c
     ),
     pw AS (
@@ -82,7 +87,11 @@ def _tier1(spark, sf_dir):
              SUM(val) OVER w10 AS sy,
              SUM(trel * val) OVER w10 AS sty,
              SUM(trel * trel) OVER w10 AS stt,
-             trel
+             quantile_cont(val, 0.5) OVER w15 AS med15,
+             SUM(chg) OVER w15 - FIRST_VALUE(chg) OVER w15 AS chg15,
+             val / SUM(val) OVER (PARTITION BY bucket_ts) AS share,
+             SUM(dlt) OVER w5 / 300.0 AS rate5,
+             tsec, trel
       FROM d
       WINDOW w15 AS (PARTITION BY source ORDER BY tsec
                      RANGE BETWEEN 899 PRECEDING AND CURRENT ROW),
@@ -92,6 +101,15 @@ def _tier1(spark, sf_dir):
                     RANGE BETWEEN 299 PRECEDING AND CURRENT ROW),
              w10 AS (PARTITION BY source ORDER BY tsec
                      RANGE BETWEEN 599 PRECEDING AND CURRENT ROW)
+    ),
+    -- subquery mirror: max_over_time(rate(events_cum[5m])[15m:]) — the
+    -- outer frame ranges over the inner rate's own (non-null) grid
+    sq AS (
+      SELECT source, bucket_ts,
+             MAX(rate5) OVER (PARTITION BY source ORDER BY tsec
+                              RANGE BETWEEN 899 PRECEDING AND CURRENT ROW)
+               AS maxrate15
+      FROM pw
     )
     SELECT t1.source, t1.bucket_ts, sum_v, min_v, max_v, cnt,
            ROUND(sum_v / cnt, 6) AS avg_v,
@@ -101,8 +119,14 @@ def _tier1(spark, sf_dir):
            ROUND((CASE WHEN k >= 2 AND (k * stt - st * st) > 0
                        THEN ((sy - ((k * sty - st * sy) / (k * stt - st * st)) * st) / k
                              + ((k * sty - st * sy) / (k * stt - st * st)) * (trel + 600.0))
-                  END) / 100.0, 6) AS pq_pred10m
-    FROM t1 JOIN pw ON t1.source = pw.source AND t1.bucket_ts = pw.bucket_ts
+                  END) / 100.0, 6) AS pq_pred10m,
+           ROUND(med15 / 100.0, 6) AS pq_med15m,
+           CAST(chg15 AS DOUBLE) AS pq_changes15m,
+           ROUND(share, 6) AS pq_share,
+           ROUND(maxrate15, 6) AS pq_maxrate15m
+    FROM t1
+    JOIN pw ON t1.source = pw.source AND t1.bucket_ts = pw.bucket_ts
+    JOIN sq ON t1.source = sq.source AND t1.bucket_ts = sq.bucket_ts
     """,
 )
 def q20_tier1_1m(spark, sf_dir):
@@ -143,6 +167,16 @@ def q20_tier1_1m(spark, sf_dir):
         ("max_over_time(tokens_scaled[1h])", "pq_max1h", 100.0),
         ("rate(events_cum[5m])", "pq_rate5m", 1.0),
         ("predict_linear(tokens_scaled[10m], 600)", "pq_pred10m", 100.0),
+        # r3 front-end extensions, each in a bit-exact shape: phi=0.5
+        # keeps the quantile interpolation exact on integral doubles,
+        # changes() is an integer count, group_left share-of-total is
+        # one IEEE division, and the subquery max picks an existing
+        # exact-division value
+        ("quantile_over_time(0.5, tokens_scaled[15m])", "pq_med15m", 100.0),
+        ("changes(tokens_scaled[15m])", "pq_changes15m", 1.0),
+        ("tokens_scaled / on () group_left sum(tokens_scaled)",
+         "pq_share", 1.0),
+        ("max_over_time(rate(events_cum[5m])[15m:])", "pq_maxrate15m", 1.0),
     ]:
         out = out.join(col_of(expr, name, scale), ["source", "bucket_ts"], "left")
     return out
