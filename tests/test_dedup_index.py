@@ -1,0 +1,113 @@
+"""MinHashIndex: incremental LSH dedup against a persisted signature
+index — batch-by-batch pair output provably equals the full-corpus LSH
+pairs, and incremental_keep applies the canonical-survivor policy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from workbook_exporter_fe_spark.operators.dedup import (
+    MinHashIndex,
+    incremental_keep,
+    lsh_candidate_pairs,
+    minhash_signatures_tokens,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, list(t)) for i, t in rows], "doc_id string, tokens array<int>"
+    )
+
+
+def _batches(spark):
+    """Three batches with planted duplicates:
+
+    b1: d01, d02 (identical to d01), d03 (unique)
+    b2: d11 (identical to d01 — CROSS dup), d12 (unique)
+    b3: d21, d22, d23 (d21==d22 within; d23 identical to d12 — cross)
+    """
+    base = list(range(100, 150))
+    uniq = lambda s: [s * 7 + j * 13 + (s * j) % 11 for j in range(40)]
+    b1 = _docs(spark, [("d01", base), ("d02", base), ("d03", uniq(3))])
+    b2 = _docs(spark, [("d11", base), ("d12", uniq(12))])
+    b3 = _docs(
+        spark,
+        [("d21", uniq(21)), ("d22", uniq(21)), ("d23", uniq(12))],
+    )
+    return b1, b2, b3
+
+
+def _pairset(df):
+    return {
+        tuple(sorted((r.id_a, r.id_b))) for r in df.select("id_a", "id_b").collect()
+    }
+
+
+def test_incremental_pairs_equal_full_corpus(spark, tmp_path):
+    b1, b2, b3 = _batches(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    got = set()
+    for b in (b1, b2, b3):
+        got |= _pairset(idx.add_batch(b))
+    full_sigs = minhash_signatures_tokens(b1.unionByName(b2).unionByName(b3))
+    want = _pairset(lsh_candidate_pairs(full_sigs))
+    assert got == want
+    assert len(want) > 0
+    # the index accumulated every batch's signatures
+    assert idx.table.current_sequence() == 3
+    assert (
+        idx.signatures().select("doc_id").distinct().count() == 8
+    )
+
+
+def test_cross_pairs_are_tagged_and_ordered(spark, tmp_path):
+    b1, b2, _ = _batches(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    p1 = idx.add_batch(b1)
+    assert {r.is_cross for r in p1.collect()} == {False}
+    p2 = idx.add_batch(b2).collect()
+    cross = {(r.id_a, r.id_b) for r in p2 if r.is_cross}
+    # id_a is always the EXISTING doc on cross pairs
+    assert ("d01", "d11") in cross and ("d02", "d11") in cross
+    assert all(a.startswith("d0") for a, _ in cross)
+
+
+def test_incremental_keep_policy(spark, tmp_path):
+    b1, b2, b3 = _batches(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    k1 = incremental_keep(b1, idx.add_batch(b1))
+    assert {r.doc_id for r in k1.collect()} == {"d01", "d03"}  # d02 == d01
+    k2 = incremental_keep(b2, idx.add_batch(b2))
+    assert {r.doc_id for r in k2.collect()} == {"d12"}  # d11 == old d01
+    k3 = incremental_keep(b3, idx.add_batch(b3))
+    # d21/d22 cluster keeps the min id; d23 duplicates old d12
+    assert {r.doc_id for r in k3.collect()} == {"d21"}
+
+
+def test_chain_through_cross_dropped_doc_keeps_survivor(spark, tmp_path):
+    """A within-batch pair into a cross-dropped doc must not eliminate
+    the surviving doc (the chain is cut at the cross boundary)."""
+    base = list(range(200, 260))
+    old = _docs(spark, [("old1", base)])
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.add_batch(old)
+    # n1 duplicates old1; n2 duplicates n1 (hence old1 transitively) —
+    # but n2's only pairs go through n1/old1: policy drops both n1 (cross)
+    # and n2 (cross, since n2 also LSH-matches old1 via identical tokens)
+    batch = _docs(spark, [("n1", base), ("n2", base), ("n3", [1, 2, 3, 4])])
+    pairs = idx.add_batch(batch)
+    kept = {r.doc_id for r in incremental_keep(batch, pairs).collect()}
+    assert kept == {"n3"}
+
+
+def test_param_mismatch_raises(spark, tmp_path):
+    b1, _, _ = _batches(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"), n_bands=4)
+    idx.add_batch(b1)
+    MinHashIndex(spark, str(tmp_path / "idx"), n_bands=4)  # same: fine
+    with pytest.raises(ValueError, match="different"):
+        MinHashIndex(spark, str(tmp_path / "idx"), n_bands=8)
+    with pytest.raises(ValueError, match="different"):
+        MinHashIndex(spark, str(tmp_path / "idx"), k=5)

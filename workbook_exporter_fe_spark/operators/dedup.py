@@ -261,3 +261,144 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             F.col(f"s{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0))
     return wide.select("id", total.alias("simhash"))
+
+
+# ------------------------------------------------------------------ index
+# Incremental dedup: at corpus scale the expensive thing is re-shingling
+# and re-pairing the EXISTING corpus every time a batch lands. The index
+# persists each batch's (doc_id, band, sig) LSH signatures in a
+# SnapshotTable, so deduplicating a new batch costs: shingle the BATCH,
+# one (band, sig) join against the stored signatures, one batch-internal
+# pair pass — the 100 TB corpus is never re-read (its signatures are
+# ~n_bands rows/doc). The union of every batch's pair output provably
+# equals the full-corpus LSH pairs (pinned in tests/test_dedup_index.py).
+
+
+class MinHashIndex:
+    """Persisted LSH signature index for continuous-ingestion dedup.
+
+    Layout: a SnapshotTable (sources/snapshots.py) of rows
+    ``(doc_id, band, sig)``; the shingling parameters are recorded in the
+    first snapshot's summary and every later ``add_batch`` validates
+    against them — two batches signed with different (k, n_bands,
+    hash_fn) would produce silently incomparable signatures.
+
+    Crash contract: signatures are committed AFTER the batch's pairs are
+    computed against the PREVIOUS snapshot; a crash between the two
+    leaves the index without the batch (re-running the batch is
+    idempotent-by-rerun, like the tier pipeline's replay semantics).
+    """
+
+    def __init__(self, spark, root: str, n_bands: int = 4, k: int = 3,
+                 hash_fn: str = "md5"):
+        from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+        self.spark = spark
+        self.table = SnapshotTable(spark, root)
+        self.params = {"n_bands": n_bands, "k": k, "hash_fn": hash_fn}
+        if self.table.current_sequence() > 0:
+            summary = self.table.snapshot(1)["summary"]
+            mismatch = {
+                key: (summary.get(key), val)
+                for key, val in self.params.items()
+                if summary.get(key) is not None and summary.get(key) != val
+            }
+            if mismatch:
+                raise ValueError(
+                    f"index at {root!r} was built with different "
+                    f"parameters (stored, requested): {mismatch}"
+                )
+
+    def signatures(self) -> DataFrame:
+        """The stored (doc_id, band, sig) relation (empty if new)."""
+        if self.table.current_sequence() == 0:
+            return self.spark.createDataFrame(
+                [], "doc_id string, band int, sig long"
+            )
+        return self.table.read()
+
+    def add_batch(
+        self,
+        docs: DataFrame,
+        tokens_col: str = "tokens",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Sign ``docs``, emit every candidate pair the batch introduces,
+        and append the batch's signatures to the index.
+
+        Returns distinct pairs ``(id_a, id_b, is_cross)`` where
+        ``is_cross`` marks new↔existing pairs (id_a = the EXISTING doc)
+        and batch-internal pairs are ordered id_a < id_b. The join
+        against the stored index is the only touch of old data — by
+        (band, sig), after which the (typically small) batch side is the
+        natural broadcast candidate (left to AQE: the stored side's size
+        is unbounded, the batch side is one ingestion unit).
+        """
+        sigs = minhash_signatures_tokens(
+            docs, tokens_col=tokens_col, id_col=id_col,
+            n_bands=self.params["n_bands"], k=self.params["k"],
+            hash_fn=self.params["hash_fn"],
+        ).withColumnRenamed(id_col, "doc_id")
+        old = self.signatures()
+        cross = (
+            old.select(F.col("doc_id").alias("id_a"), "band", "sig")
+            .join(sigs.select(F.col("doc_id").alias("id_b"), "band", "sig"),
+                  ["band", "sig"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .withColumn("is_cross", F.lit(True))
+        )
+        within = (
+            lsh_candidate_pairs(sigs)
+            .withColumn("is_cross", F.lit(False))
+        )
+        pairs = cross.unionByName(within)
+        self.table.commit(
+            sigs, summary=dict(self.params, batch_docs=docs.count())
+        )
+        return pairs
+
+
+def incremental_keep(
+    new_docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Which docs of a new batch survive dedup against pairs from
+    :meth:`MinHashIndex.add_batch`.
+
+    A new doc is dropped when it cross-matches any EXISTING doc (the
+    corpus already has it), or when it is a non-canonical member of a
+    batch-internal near-dup cluster (transitive closure over the
+    within-batch pairs, canonical = min doc_id — the same policy as
+    dedup_canonical). Pure composition: one anti-join + one
+    connected-components pass over the (small) batch pair graph.
+    """
+    from workbook_exporter_fe_spark.operators.components import (
+        connected_components,
+    )
+
+    cross_dupes = (
+        pairs.filter(F.col("is_cross")).select(
+            F.col("id_b").alias(id_col)
+        ).distinct()
+    )
+    fresh = new_docs.join(cross_dupes, id_col, "anti")
+    within = (
+        pairs.filter(~F.col("is_cross"))
+        # only chains among still-fresh docs; a pair into a cross-dropped
+        # doc must not eliminate the survivor
+        .join(fresh.select(F.col(id_col).alias("id_a")), "id_a", "semi")
+        .join(fresh.select(F.col(id_col).alias("id_b")), "id_b", "semi")
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(
+        within, "id_a", "id_b", max_iter=max_iter, dedupe_edges=False
+    )
+    non_canonical = (
+        labels.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+    )
+    return fresh.join(non_canonical, id_col, "anti")
