@@ -309,37 +309,37 @@ class MinHashIndex:
                     f"parameters (stored, requested): {mismatch}"
                 )
 
-    def signatures(self) -> DataFrame:
-        """The stored (doc_id, band, sig) relation (empty if new)."""
-        if self.table.current_sequence() == 0:
+    def signatures(self, sequence: int | None = None) -> DataFrame:
+        """The stored (doc_id, band, sig) relation (empty if new).
+
+        ``sequence`` time-travels (0 = the empty pre-first-commit state),
+        which is what the streaming replay path uses to recompute a
+        batch's pairs against the index as it stood BEFORE that batch."""
+        if sequence == 0 or self.table.current_sequence() == 0:
             return self.spark.createDataFrame(
                 [], "doc_id string, band int, sig long"
             )
-        return self.table.read()
+        return self.table.read(sequence)
 
-    def add_batch(
-        self,
-        docs: DataFrame,
-        tokens_col: str = "tokens",
+    def sign(
+        self, docs: DataFrame, tokens_col: str = "tokens",
         id_col: str = "doc_id",
     ) -> DataFrame:
-        """Sign ``docs``, emit every candidate pair the batch introduces,
-        and append the batch's signatures to the index.
-
-        Returns distinct pairs ``(id_a, id_b, is_cross)`` where
-        ``is_cross`` marks new↔existing pairs (id_a = the EXISTING doc)
-        and batch-internal pairs are ordered id_a < id_b. The join
-        against the stored index is the only touch of old data — by
-        (band, sig), after which the (typically small) batch side is the
-        natural broadcast candidate (left to AQE: the stored side's size
-        is unbounded, the batch side is one ingestion unit).
-        """
-        sigs = minhash_signatures_tokens(
+        """The batch's (doc_id, band, sig) signatures under the index's
+        recorded parameters (no commit — pure computation)."""
+        return minhash_signatures_tokens(
             docs, tokens_col=tokens_col, id_col=id_col,
             n_bands=self.params["n_bands"], k=self.params["k"],
             hash_fn=self.params["hash_fn"],
         ).withColumnRenamed(id_col, "doc_id")
-        old = self.signatures()
+
+    def pairs_against(self, sigs: DataFrame, old: DataFrame) -> DataFrame:
+        """Candidate pairs a signed batch introduces against a stored
+        signature relation: cross (existing id_a ↔ new id_b) tagged
+        ``is_cross=True`` plus batch-internal LSH pairs (id_a < id_b,
+        ``is_cross=False``). No commit — the streaming replay path calls
+        this against a time-traveled ``signatures(seq)`` to rebuild a
+        batch's pairs exactly."""
         cross = (
             old.select(F.col("doc_id").alias("id_a"), "band", "sig")
             .join(sigs.select(F.col("doc_id").alias("id_b"), "band", "sig"),
@@ -353,10 +353,31 @@ class MinHashIndex:
             lsh_candidate_pairs(sigs)
             .withColumn("is_cross", F.lit(False))
         )
-        pairs = cross.unionByName(within)
-        self.table.commit(
-            sigs, summary=dict(self.params, batch_docs=docs.count())
-        )
+        return cross.unionByName(within)
+
+    def add_batch(
+        self,
+        docs: DataFrame,
+        tokens_col: str = "tokens",
+        id_col: str = "doc_id",
+        extra_summary: dict | None = None,
+    ) -> DataFrame:
+        """Sign ``docs``, emit every candidate pair the batch introduces,
+        and append the batch's signatures to the index.
+
+        Returns distinct pairs ``(id_a, id_b, is_cross)`` where
+        ``is_cross`` marks new↔existing pairs (id_a = the EXISTING doc)
+        and batch-internal pairs are ordered id_a < id_b. The join
+        against the stored index is the only touch of old data — by
+        (band, sig), after which the (typically small) batch side is the
+        natural broadcast candidate (left to AQE: the stored side's size
+        is unbounded, the batch side is one ingestion unit).
+        """
+        sigs = self.sign(docs, tokens_col=tokens_col, id_col=id_col)
+        pairs = self.pairs_against(sigs, self.signatures())
+        summary = dict(self.params, batch_docs=docs.count())
+        summary.update(extra_summary or {})
+        self.table.commit(sigs, summary=summary)
         return pairs
 
 

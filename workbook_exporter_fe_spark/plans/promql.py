@@ -46,8 +46,9 @@ Semantics deviations (deliberate, each scale- or exactness-motivated):
    decomposable definition (per-bucket increases re-sum exactly across
    tiers — the same contract as operators/rates.increase_tier1) and is
    reproducible bit-for-bit by any engine.
-3. **1:1 vector matching only** (no group_left/group_right); result
-   labels are the matching keys.
+3. **Vector matching is 1:1 or many-to-one** (``group_left`` /
+   ``group_right``); true many-to-many raises at execution, like
+   Prometheus. 1:1 result labels are the matching keys.
 4. ``stddev_over_time``/``stddev`` are population, matching PromQL.
 
 Scale design: every construct compiles to window frames over
