@@ -158,3 +158,65 @@ def test_stratified_sample_rates_and_determinism(spark, sequences):
     # stable under repartitioning
     s2 = stratified_sample(sequences.repartition(17), fr, default_rate=0.2)
     assert {r.doc_id for r in s.collect()} == {r.doc_id for r in s2.collect()}
+
+
+def test_mixture_budgets_rounding():
+    from workbook_exporter_fe_spark.operators.sampling import mixture_budgets
+
+    b = mixture_budgets(100, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert sum(b.values()) == 100 and sorted(b.values()) == [33, 33, 34]
+    assert mixture_budgets(10, {"a": 3.0, "b": 1.0}) == {"a": 8, "b": 2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_budgets(10, {"a": -1.0})
+    with pytest.raises(ValueError):
+        mixture_budgets(10, {})
+
+
+def test_mixture_sample_matches_reference(spark, sequences):
+    """Exact greedy fill vs a pure-python replay of the md5 order."""
+    import hashlib
+
+    from workbook_exporter_fe_spark.operators.sampling import mixture_sample
+
+    budgets = {"src-00": 4000, "src-05": 1500, "src-09": 0}
+    got = {
+        r.doc_id
+        for r in mixture_sample(sequences, budgets).select("doc_id").collect()
+    }
+    rows = sequences.select("source", "doc_id", "n_tok").collect()
+    want, toks = set(), {}
+    for src in budgets:
+        ordered = sorted(
+            (r for r in rows if r.source == src),
+            key=lambda r: (hashlib.md5(r.doc_id.encode()).hexdigest(), r.doc_id),
+        )
+        cum = 0
+        for r in ordered:
+            if cum < budgets[src]:
+                want.add(r.doc_id)
+                toks[src] = toks.get(src, 0) + r.n_tok
+            cum += r.n_tok
+    assert got == want and len(got) > 0
+    # budget reached (first-crossing inclusive) wherever supply allowed
+    assert toks["src-00"] >= 4000 and toks["src-05"] >= 1500
+    assert "src-09" not in toks
+    # unlisted sources are dropped entirely
+    srcs = {
+        r.source
+        for r in mixture_sample(sequences, budgets)
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert srcs <= {"src-00", "src-05"}
+
+
+def test_mixture_sample_stable_under_repartition(spark, sequences):
+    from workbook_exporter_fe_spark.operators.sampling import mixture_sample
+
+    budgets = {"src-00": 2500, "src-05": 900}
+    a = mixture_sample(sequences, budgets)
+    b = mixture_sample(sequences.repartition(13), budgets)
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}

@@ -237,3 +237,72 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mixture_budgets(
+    total_tokens: int, weights: dict[str, float]
+) -> dict[str, int]:
+    """Turn mixture weights (e.g. DoReMi / manual domain weights) into
+    per-source token budgets for :func:`mixture_sample`. Largest-remainder
+    rounding so the budgets sum exactly to ``total_tokens``."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("negative mixture weight")
+    tot = sum(weights.values())
+    if tot <= 0:
+        raise ValueError("mixture weights must sum > 0")
+    raw = {s: total_tokens * w / tot for s, w in weights.items()}
+    out = {s: int(v) for s, v in raw.items()}
+    short = total_tokens - sum(out.values())
+    for s in sorted(raw, key=lambda s: (out[s] - raw[s], s))[:short]:
+        out[s] += 1
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tok",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a training mixture: per source, greedily take documents
+    in deterministic md5(key) order until the source's token budget is
+    reached.
+
+    The selection rule is *first-crossing inclusive*: a doc is kept iff
+    the token sum of the docs BEFORE it (in md5 order) is still below the
+    budget — so the selected set reaches ≥ budget whenever the source has
+    enough tokens, overshooting by less than one document. Sources absent
+    from ``budgets`` get 0 (dropped). The order key is engine-portable
+    (md5 hex string), so the exact selected set is reproducible on any
+    cluster size, partition layout, or SQL engine — same philosophy as
+    hash_sample/hash_split, but hitting a token *count* target instead of
+    a row *rate*.
+
+    Scale: one RANGE-free running-sum window per source partition — the
+    same class as pack_greedy. The per-source pass is sequential by
+    definition (an exact greedy fill is order-dependent); for a
+    pathological single hot source prefer the approximate path
+    (stratified_sample at rate ≈ budget/source_tokens — zero-shuffle
+    gates) or shard the source key upstream and split its budget.
+    """
+    order_h = F.md5(F.col(key_col).cast("string"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order_h, key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    return (
+        df.withColumn("_cum_before", cum_before)
+        .filter(
+            F.col("_cum_before")
+            < F.coalesce(
+                F.element_at(budget, F.col(source_col)), F.lit(0)
+            ).cast("long")
+        )
+        .drop("_cum_before")
+    )

@@ -953,7 +953,9 @@ def q52_multimodal(spark, sf_dir):
 # pure-integer md5 gates, exact) and the Efraimidis–Spirakis weighted
 # top-k sample (sample_topk, weight = n_chars; selection summarised as
 # count + doc_id sum + min exponential-sort key, the es formula mirrored
-# verbatim in SQL — same IEEE -ln/÷ chain on identical int inputs).
+# verbatim in SQL — same IEEE -ln/÷ chain on identical int inputs), and
+# (folded later in r3) the token-budget mixture fill (mixture_sample —
+# per-split greedy md5-order fill, exact integer count + token sum).
 @query(
     "q54_sample_split",
     """
@@ -988,16 +990,35 @@ def q52_multimodal(spark, sf_dir):
                            WHEN 'val' THEN 16384
                            ELSE 8192 END
       GROUP BY split
+    ),
+    mix AS (
+      SELECT split, COUNT(*) AS mix_n, CAST(SUM(n_chars) AS BIGINT) AS mix_tok
+      FROM (
+        SELECT split, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                 PARTITION BY split
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cb
+        FROM sp
+      )
+      WHERE cb < CASE split WHEN 'train' THEN 20000
+                            WHEN 'val' THEN 2000
+                            ELSE 1000 END
+      GROUP BY split
     )
     SELECT sp.split, COUNT(*) AS n, MIN(sp.doc_id) AS min_id,
            COUNT(*) FILTER (WHERE sp.h < 16384) AS n_sampled,
            COALESCE(ANY_VALUE(strat.n_strat), 0) AS n_strat,
            ANY_VALUE(es_agg.es_n) AS es_n,
            ANY_VALUE(es_agg.es_id_sum) AS es_id_sum,
-           ANY_VALUE(es_agg.es_min) AS es_min
+           ANY_VALUE(es_agg.es_min) AS es_min,
+           COALESCE(ANY_VALUE(mix.mix_n), 0) AS mix_n,
+           COALESCE(ANY_VALUE(mix.mix_tok), 0) AS mix_tok
     FROM sp
     LEFT JOIN strat ON sp.split = strat.split
     LEFT JOIN es_agg ON sp.split = es_agg.split
+    LEFT JOIN mix ON sp.split = mix.split
     GROUP BY sp.split
     """,
 )
@@ -1005,6 +1026,7 @@ def q54_sample_split(spark, sf_dir):
     from workbook_exporter_fe_spark.operators.sampling import (
         hash_sample,
         hash_split,
+        mixture_sample,
         sample_topk,
         stratified_sample,
     )
@@ -1042,12 +1064,29 @@ def q54_sample_split(spark, sf_dir):
             F.round(F.min("_es"), 6).alias("es_min"),
         )
     )
+    # token-budget mixture fill (mixture_sample) with split as the
+    # mixture stratum: exact greedy md5-order fill to per-split char
+    # budgets, summarized as selected-count + selected-token-sum
+    mix = (
+        mixture_sample(
+            sp, {"train": 20000, "val": 2000, "test": 1000},
+            token_col="n_chars", source_col="split",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("mix_n"),
+            F.sum("n_chars").alias("mix_tok"),
+        )
+    )
     return (
         totals.join(sampled, "split", "left")
         .join(strat, "split", "left")
         .join(es_agg, "split", "left")
+        .join(mix, "split", "left")
         .withColumn("n_sampled", F.coalesce(F.col("n_sampled"), F.lit(0)))
         .withColumn("n_strat", F.coalesce(F.col("n_strat"), F.lit(0)))
+        .withColumn("mix_n", F.coalesce(F.col("mix_n"), F.lit(0)))
+        .withColumn("mix_tok", F.coalesce(F.col("mix_tok"), F.lit(0)))
     )
 
 
