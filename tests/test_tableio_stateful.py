@@ -132,3 +132,43 @@ def test_write_shards_bounds_and_roundtrip(spark, sequences, tmp_path):
     assert {d for d in os.listdir(out2) if d.startswith("split=")} == {
         "split=train", "split=val", "split=test",
     }
+
+
+def test_write_shards_deterministic_shuffle(spark, sequences, tmp_path):
+    """shuffle_seed: a reproducible global permutation — identical file
+    contents regardless of upstream partitioning, pseudo-random order
+    (not the input order), different seed -> different permutation."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from workbook_exporter_fe_spark.sources.tableio import write_shards
+
+    df = sequences.select("source", "doc_id", "n_tok")
+
+    def run(src, out, seed):
+        write_shards(src, out, max_records_per_file=10_000,
+                     target_files=4, shuffle_seed=seed)
+        order = []
+        for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+            order.append(tuple(pq.read_table(f, columns=["doc_id"])
+                               .column("doc_id").to_pylist()))
+        return order
+
+    a = run(df, str(tmp_path / "a"), seed=7)
+    b = run(df.repartition(23), str(tmp_path / "b"), seed=7)
+    assert a == b  # permutation is a pure function of (key, seed, n)
+    assert len(a) == 4
+    flat = [d for shard in a for d in shard]
+    assert sorted(flat) == sorted(r.doc_id for r in df.select("doc_id").collect())
+    assert flat != sorted(flat)  # actually shuffled
+    c = run(df, str(tmp_path / "c"), seed=8)
+    assert c != a  # new seed, new permutation
+
+    import pytest
+
+    with pytest.raises(ValueError, match="target_files"):
+        write_shards(df, str(tmp_path / "d"), 100, shuffle_seed=1)
+    with pytest.raises(ValueError, match="exclusive"):
+        write_shards(df, str(tmp_path / "d"), 100, target_files=2,
+                     shuffle_seed=1, sort_within=["doc_id"])
