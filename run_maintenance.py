@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""CLI entry point: the store's periodic maintenance pass in one command.
+
+A continuously-ingesting tier store accumulates three kinds of debt, each
+with an existing engine operator; this CLI is the cron-able wrapper that
+applies them together and prints one JSON report:
+
+- **small files** in hive-partitioned tier tables (every incremental
+  merge adds a file per touched partition) → `compact_partitions`
+  (sources/tableio.py) rewrites only partitions holding >= min-files.
+- **snapshot-log growth** in SnapshotTable roots (one manifest + commit
+  dir per micro-batch; footer-dominated scans, unbounded time travel) →
+  `SnapshotTable.compact()` (REPLACE snapshot, optional sort for stats
+  pruning) + `expire_snapshots(keep_last)`.
+- **aged-out buckets** past their tier's TTL → `expire_tiers`
+  (operators/retention.py), downsample-before-expire with recorded
+  cutoffs so a later `--verify` stays scoped to retained ranges.
+
+Usage:
+
+    python run_maintenance.py --tiers /tmp/t --compact
+    python run_maintenance.py --tiers /tmp/t \
+        --retention tier1='30 days',tier2='180 days',tier3='720 days' --verify
+    python run_maintenance.py --snapshot-table /tmp/tbl \
+        --compact-snapshots --sort-by source,event_ts --expire --keep-last 3
+
+Every action is itself crash-safe (staged swaps / manifest-last commits),
+so a maintenance run interrupted at any point leaves a readable store and
+can simply be re-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TIER_DIRS = ("tier1", "tier2", "tier3")
+
+
+def _parse_policies(text: str) -> dict[str, str]:
+    """tier1='30 days',tier2='180 days' → {'tier1': '30 days', ...}."""
+    out: dict[str, str] = {}
+    for part in text.split(","):
+        name, _, ttl = part.partition("=")
+        name, ttl = name.strip(), ttl.strip().strip("'\"")
+        if not name or not ttl:
+            raise ValueError(f"bad retention spec {part!r}")
+        if not ttl.lower().startswith("interval"):
+            ttl = f"interval {ttl}"
+        out[name] = ttl
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiers", help="tier-store out dir (tier1/tier2/tier3)")
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="compact multi-file partitions of each tier table",
+    )
+    ap.add_argument("--target-rows", type=int, default=1_000_000)
+    ap.add_argument("--min-files", type=int, default=2)
+    ap.add_argument(
+        "--retention",
+        help="tier TTLs, e.g. tier1='30 days',tier2='180 days',tier3='720 days'",
+    )
+    ap.add_argument(
+        "--verify", action="store_true",
+        help="after maintenance, run the cross-tier invariant audit "
+        "(scoped to retained ranges); non-zero exit on failure",
+    )
+    ap.add_argument(
+        "--snapshot-table", action="append", default=[],
+        help="SnapshotTable root to maintain (repeatable)",
+    )
+    ap.add_argument(
+        "--compact-snapshots", action="store_true",
+        help="rewrite each snapshot table's live files (REPLACE snapshot)",
+    )
+    ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument(
+        "--sort-by", help="comma-separated sort for snapshot compaction "
+        "(restores min/max-stats file pruning)",
+    )
+    ap.add_argument(
+        "--expire", action="store_true",
+        help="expire snapshot manifests + unreferenced commit dirs",
+    )
+    ap.add_argument("--keep-last", type=int, default=3)
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    args = ap.parse_args()
+    if not args.tiers and not args.snapshot_table:
+        ap.error("nothing to do: pass --tiers and/or --snapshot-table")
+
+    from workbook_exporter_fe_spark.session import get_spark
+
+    spark = get_spark(app_name="run_maintenance", cores=args.cores)
+    report: dict = {}
+
+    if args.tiers:
+        tier_report: dict = {}
+        if args.compact:
+            from workbook_exporter_fe_spark.sources.tableio import (
+                compact_partitions,
+            )
+
+            tier_report["compacted"] = {
+                t: compact_partitions(
+                    spark, f"{args.tiers}/{t}",
+                    target_rows_per_file=args.target_rows,
+                    min_files=args.min_files,
+                )
+                for t in TIER_DIRS
+                if os.path.isdir(f"{args.tiers}/{t}")
+            }
+        if args.retention:
+            from workbook_exporter_fe_spark.operators.retention import (
+                expire_tiers,
+            )
+
+            tier_report["retention"] = expire_tiers(
+                spark, args.tiers, policies=_parse_policies(args.retention)
+            )
+        if args.verify:
+            from workbook_exporter_fe_spark.plans.pipeline import TierPipeline
+
+            checks = TierPipeline(spark, args.tiers).verify()
+            tier_report["verify"] = checks
+            if not checks["ok"]:
+                print(json.dumps({"tiers": tier_report}, default=str))
+                sys.exit(1)
+        report["tiers"] = tier_report
+
+    if args.snapshot_table:
+        from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+        snap_report: dict = {}
+        for root in args.snapshot_table:
+            table = SnapshotTable(spark, root)
+            entry: dict = {"sequence": table.current_sequence()}
+            if args.compact_snapshots:
+                entry["compacted_to"] = table.compact(
+                    target_file_bytes=args.target_file_mb << 20,
+                    sort_by=args.sort_by.split(",") if args.sort_by else None,
+                )
+            if args.expire:
+                entry["expire"] = table.expire_snapshots(
+                    keep_last=args.keep_last
+                )
+            snap_report[root] = entry
+        report["snapshot_tables"] = snap_report
+
+    print(json.dumps(report, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""run_maintenance.py: policy parsing + the wired maintenance pass."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+
+def _mod():
+    sys.path.insert(0, "/root/repo")
+    import run_maintenance
+
+    return run_maintenance
+
+
+def test_parse_policies():
+    m = _mod()
+    assert m._parse_policies("tier1='30 days',tier2=interval 60 days") == {
+        "tier1": "interval 30 days",
+        "tier2": "interval 60 days",
+    }
+    with pytest.raises(ValueError):
+        m._parse_policies("tier1")
+
+
+def test_maintenance_pass_over_store(spark, sequences, tmp_path, capsys,
+                                     monkeypatch):
+    """Build a small tier store + snapshot table, run the CLI main()
+    in-process (shared session), check the report and the side effects."""
+    from workbook_exporter_fe_spark.plans.pipeline import TierPipeline
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    out = str(tmp_path / "store")
+    TierPipeline(spark, out).run(sequences.limit(2000), "maint-test")
+    snap_root = str(tmp_path / "snap")
+    st = SnapshotTable(spark, snap_root)
+    for i in range(3):
+        st.commit(spark.range(i * 10, (i + 1) * 10).selectExpr("id"))
+
+    m = _mod()
+    monkeypatch.setattr(sys, "argv", [
+        "run_maintenance.py",
+        "--tiers", out,
+        "--retention", "tier1='3650 days',tier2='3651 days',tier3='3652 days'",
+        "--verify",
+        "--snapshot-table", snap_root,
+        "--compact-snapshots", "--expire", "--keep-last", "1",
+    ])
+    m.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["tiers"]["verify"]["ok"] is True
+    assert report["tiers"]["retention"]["tier1"]["dropped"] == 0
+    snap = report["snapshot_tables"][snap_root]
+    assert snap["sequence"] == 3
+    # compaction committed a replace snapshot; expiry kept only its head
+    assert snap["compacted_to"] == 4
+    assert snap["expire"]["expired_snapshots"] == 3
+    st2 = SnapshotTable(spark, snap_root)
+    assert st2.read().count() == 30
+
+    # a non-decreasing-TTL violation surfaces as the operator's error
+    monkeypatch.setattr(sys, "argv", [
+        "run_maintenance.py", "--tiers", out,
+        "--retention", "tier1='10 days',tier2='5 days',tier3='20 days'",
+    ])
+    with pytest.raises(ValueError, match="non-decreasing"):
+        m.main()
