@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""CLI entry point: the corpus curation chain (training-data user story).
+
+Runs plans/corpus_pipeline.curate_corpus over a documents parquet table
+(columns: id, text, and — for mixture budgets — a source and a token
+count) and prints the stage-metrics JSON. Every gate is a deterministic
+function of the data, so reruns and cluster-size changes produce
+byte-identical curation decisions.
+
+Usage (local or spark-submit --py-files engine.zip run_corpus.py ...):
+
+    python run_corpus.py --input docs.parquet --out /tmp/shards
+    python run_corpus.py --input docs.parquet --out /tmp/shards \
+        --langs en,de --quality-min 0.3 --sample-rate 0.5 \
+        --splits train=0.9,val=0.05,test=0.05
+    python run_corpus.py --input docs.parquet --out /tmp/shards \
+        --mixture src-00=2000000,src-01=500000 --mixture-token-col n_chars \
+        --shuffle-seed 7 --target-files 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _kv_floats(text: str) -> dict[str, float]:
+    out = {}
+    for part in text.split(","):
+        k, _, v = part.partition("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def _kv_ints(text: str) -> dict[str, int]:
+    return {k: int(v) for k, v in _kv_floats(text).items()}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--out", help="shard output dir (omit for a dry run)")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--langs", help="comma-separated lang_pred allowlist")
+    ap.add_argument("--quality-min", type=float, default=0.0)
+    ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument(
+        "--splits", default="train=0.9,val=0.05,test=0.05",
+        help="name=weight,... (weights sum to 1)",
+    )
+    ap.add_argument("--max-records-per-file", type=int, default=100_000)
+    ap.add_argument(
+        "--mixture", help="per-source token budgets, e.g. web=2000000,code=500000",
+    )
+    ap.add_argument("--mixture-token-col", default="n_chars")
+    ap.add_argument("--mixture-source-col", default="source")
+    ap.add_argument(
+        "--shuffle-seed", type=int,
+        help="deterministic global shard shuffle (requires --target-files)",
+    )
+    ap.add_argument("--target-files", type=int)
+    ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    args = ap.parse_args()
+
+    from workbook_exporter_fe_spark.plans.corpus_pipeline import curate_corpus
+    from workbook_exporter_fe_spark.session import get_spark
+
+    spark = get_spark(app_name="run_corpus", cores=args.cores)
+    docs = spark.read.parquet(args.input)
+    _, metrics = curate_corpus(
+        docs,
+        args.out,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        quality_min=args.quality_min,
+        sample_rate=args.sample_rate,
+        splits=_kv_floats(args.splits),
+        max_records_per_file=args.max_records_per_file,
+        mixture=_kv_ints(args.mixture) if args.mixture else None,
+        mixture_token_col=args.mixture_token_col,
+        mixture_source_col=args.mixture_source_col,
+        shuffle_seed=args.shuffle_seed,
+        target_files=args.target_files,
+    )
+    print(json.dumps(metrics, default=str))
+
+
+if __name__ == "__main__":
+    main()

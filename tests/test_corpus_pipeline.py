@@ -111,3 +111,43 @@ def test_curation_is_repartition_stable(spark, docs_with_dups):
     ka = {(r["doc_id"], r["split"]) for r in a.select("doc_id", "split").collect()}
     kb = {(r["doc_id"], r["split"]) for r in b.select("doc_id", "split").collect()}
     assert ka == kb
+
+
+def test_curate_corpus_mixture_and_shuffled_shards(spark, docs_with_dups,
+                                                  tmp_path):
+    """Optional stages: per-source token-budget fill + deterministic
+    global shard shuffle; metrics carry the mixture boundary."""
+    import glob
+
+    out = str(tmp_path / "curated_mix")
+    budgets = {"src0": 5_000, "src1": 2_000}
+    final, m = curate_corpus(
+        docs_with_dups,
+        out,
+        mixture=budgets,
+        shuffle_seed=11,
+        target_files=3,
+        max_records_per_file=10_000,
+    )
+    assert m["after_mixture"] <= m["after_filter"]
+    assert m["after_mixture"] > 0
+    # budgets were reached (first-crossing inclusive; supply sufficient)
+    assert m["mixture_tokens"] >= sum(budgets.values())
+    assert sum(m["split_rows"].values()) == m["after_mixture"]
+    srcs = {r.source for r in final.select("source").distinct().collect()}
+    assert srcs <= set(budgets)
+    files = glob.glob(f"{out}/split=*/part-*.parquet")
+    assert files
+    # same seed+input -> identical shard contents on rerun
+    out2 = str(tmp_path / "curated_mix2")
+    curate_corpus(docs_with_dups, out2, mixture=budgets, shuffle_seed=11,
+                  target_files=3, max_records_per_file=10_000)
+    import pyarrow.parquet as pq
+
+    def contents(d):
+        return [
+            tuple(pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist())
+            for f in sorted(glob.glob(f"{d}/split=*/part-*.parquet"))
+        ]
+
+    assert contents(out) == contents(out2)

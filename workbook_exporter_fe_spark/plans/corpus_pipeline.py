@@ -72,6 +72,11 @@ def curate_corpus(
     sample_rate: float = 1.0,
     splits: dict[str, float] | None = None,
     max_records_per_file: int = 100_000,
+    mixture: dict[str, int] | None = None,
+    mixture_token_col: str = "n_chars",
+    mixture_source_col: str = "source",
+    shuffle_seed: int | None = None,
+    target_files: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation chain; returns (final DataFrame, stage metrics).
 
@@ -85,7 +90,14 @@ def curate_corpus(
     (a CollectMetrics node in the lineage), all collected by ONE action —
     the shard write itself (or one count when ``out_dir`` is None). No
     per-stage .count() actions, no cache, no re-execution of the dedup
-    shuffle (tests pin zero extra actions)."""
+    shuffle (tests pin zero extra actions).
+
+    Two optional stages extend the chain past the map-side gates:
+    ``mixture`` (per-``mixture_source_col`` token budgets applied after
+    the filters via :func:`mixture_sample` — adds the one per-source
+    window exchange that an exact greedy fill requires) and
+    ``shuffle_seed`` (+ ``target_files``: the shard export becomes the
+    deterministic global shuffle instead of id-sorted shards)."""
     from pyspark.sql import Observation
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -93,8 +105,8 @@ def curate_corpus(
 
     # unnamed observations get unique auto-names — curate_corpus may run
     # several times per session and named observations would cross-match
-    obs_in, obs_dedup, obs_filter, obs_sample, obs_split = (
-        Observation() for _ in range(5)
+    obs_in, obs_dedup, obs_filter, obs_sample, obs_mix, obs_split = (
+        Observation() for _ in range(6)
     )
 
     ann = annotate_documents(docs.observe(obs_in, n), text_col)
@@ -111,6 +123,16 @@ def curate_corpus(
     if sampled:
         kept = hash_sample(kept, sample_rate, key_col=id_col).observe(obs_sample, n)
 
+    if mixture is not None:
+        from workbook_exporter_fe_spark.operators.sampling import mixture_sample
+
+        kept = mixture_sample(
+            kept, mixture, token_col=mixture_token_col,
+            source_col=mixture_source_col, key_col=id_col,
+        ).observe(
+            obs_mix, n, F.sum(mixture_token_col).alias("tokens")
+        )
+
     final = hash_split(kept, splits, key_col=id_col).observe(
         obs_split,
         n,
@@ -126,7 +148,10 @@ def curate_corpus(
             out_dir,
             max_records_per_file=max_records_per_file,
             partition_by=["split"],
-            sort_within=[id_col],
+            sort_within=None if shuffle_seed is not None else [id_col],
+            shuffle_seed=shuffle_seed,
+            shuffle_key=id_col,
+            target_files=target_files,
         )
     else:
         final.write.mode("overwrite").format("noop").save()
@@ -143,6 +168,9 @@ def curate_corpus(
             if (split_obs[f"n_{s}"] or 0) > 0
         },
     }
+    if mixture is not None:
+        metrics["after_mixture"] = obs_mix.get["rows"]
+        metrics["mixture_tokens"] = obs_mix.get["tokens"]
     metrics["dup_rows_removed"] = metrics["input_rows"] - metrics["after_dedup"]
     if out_dir is not None:
         metrics["out_dir"] = out_dir
