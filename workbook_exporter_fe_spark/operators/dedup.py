@@ -373,9 +373,17 @@ class MinHashIndex:
         natural broadcast candidate (left to AQE: the stored side's size
         is unbounded, the batch side is one ingestion unit).
         """
-        sigs = self.sign(docs, tokens_col=tokens_col, id_col=id_col)
+        # one shingling pass: without the checkpoint the signature
+        # lineage re-executes for the commit write, the cross join, and
+        # BOTH sides of the within-batch self-join (~4 shingle passes per
+        # batch, measured in scripts/bench_dedup_index.py)
+        sigs = self.sign(docs, tokens_col=tokens_col, id_col=id_col
+                         ).localCheckpoint(eager=True)
         pairs = self.pairs_against(sigs, self.signatures())
-        summary = dict(self.params, batch_docs=docs.count())
+        summary = dict(
+            self.params,
+            batch_docs=sigs.select("doc_id").distinct().count(),
+        )
         summary.update(extra_summary or {})
         self.table.commit(sigs, summary=summary)
         return pairs
