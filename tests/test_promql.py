@@ -588,3 +588,60 @@ def test_subquery_parse_errors():
         promql(MetricStore(), "rate(x[5m])[30m:]")
     with pytest.raises(PromQLError, match="instant selectors"):
         parse("max_over_time(rate(x[5m])[30m])")
+
+
+# ------------------------------------------------------------ query_range
+
+
+def _qr_reference(series: dict[int, float], t0, t1, step, look):
+    """Pure-python as-of resample with staleness lookback."""
+    out = {}
+    ts = sorted(series)
+    for t in range(t0, t1 + 1, step):
+        past = [tt for tt in ts if tt <= t and tt > t - look]
+        if past:
+            out[t] = series[max(past)]
+    return out
+
+
+def test_query_range_resamples_with_staleness(store):
+    from workbook_exporter_fe_spark.plans.promql import query_range
+
+    # off-grid step (90s over a 60s-native gauge) + tight lookback that
+    # the s1 gaps (every i%7==3 missing) actually exceed
+    t0, t1, step, look = T0 + 45, T0 + 39 * 60, 90, 90
+    got = _collect(query_range(store, "mem_bytes", t0, t1, "90s", "90s"))
+    for src in ("s0", "s1"):
+        want = _qr_reference(_series(src, "g"), t0, t1, step, look)
+        mine = {t: v for (s, t), v in got.items() if s == src}
+        assert mine == pytest.approx(want), src
+        # staleness actually dropped something for the gappy series
+    s1_grid = len(range(t0, t1 + 1, step))
+    assert len([1 for (s, _) in got if s == "s1"]) < s1_grid
+
+
+def test_query_range_over_expression(store):
+    """Resampling composes with a real expression (rate over counter)."""
+    from workbook_exporter_fe_spark.plans.promql import query_range
+
+    native = _collect(promql(store, "rate(tokens_total[5m])"))
+    got = _collect(
+        query_range(store, "rate(tokens_total[5m])", T0, T0 + 39 * 60, "60s")
+    )
+    # on the shared grid, query_range == native evaluation wherever the
+    # native grid has a sample (lookback 5m > native step 60s)
+    for (src, t), v in native.items():
+        assert got[(src, t)] == pytest.approx(v), (src, t)
+
+
+def test_query_range_exact_grid_hit_and_errors(store):
+    from workbook_exporter_fe_spark.plans.promql import query_range
+
+    # a grid point exactly ON a sample sees that sample (t inclusive)
+    got = _collect(query_range(store, "mem_bytes", T0, T0, "60s"))
+    for src in ("s0", "s1"):
+        assert got[(src, T0)] == pytest.approx(_series(src, "g")[T0])
+    with pytest.raises(PromQLError, match="step"):
+        query_range(store, "mem_bytes", T0, T0 - 60, "60s")
+    with pytest.raises(PromQLError, match="epoch"):
+        query_range(store, "mem_bytes", "yesterday", T0, "60s")

@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
@@ -338,4 +338,62 @@ def rollup_at(spark, out_dir: str, gran: str) -> DataFrame:
             return _finalize(out)
     raise ValueError(
         f"{gran!r} ({want}s) is not derivable from stored tiers (finest: 60s)"
+    )
+
+
+def tier_over_time(
+    tiers: dict[int, DataFrame],
+    func: str,
+    range_s: int,
+    key: str = "source",
+) -> DataFrame:
+    """PromQL-style trailing-window aggregate answered from the COARSEST
+    tier that can answer it exactly — the continuous-aggregate router for
+    range windows.
+
+    ``tiers`` maps bucket step seconds → tier table (the standard
+    (source, bucket_ts, sum_v, min_v, max_v, cnt) relation);
+    ``func`` ∈ sum/count/min/max/avg — the decomposable family, so a
+    window that is a whole number of coarse buckets computes IDENTICAL
+    values from the coarse tier while scanning step-ratio× fewer rows
+    (e.g. avg_over_time[1d] over tier-1h reads 1/60th of tier-1m, and
+    never touches tier-0). The chosen tier's bucket timestamps are the
+    evaluation grid (engine deviation 1); the exactness contract — the
+    value at coarse bucket T equals the fine-tier evaluation at the LAST
+    fine bucket inside T — is pinned in tests/test_tiers_router.py.
+
+    The frame is ``RANGE (range_s - step) PRECEDING .. CURRENT ROW`` over
+    epoch seconds of the bucket START: a window of range_s seconds worth
+    of buckets ending with the current bucket, sparse-series safe (no
+    densify needed). One Exchange on the series key, one WindowExec.
+    """
+    aggs = {
+        "sum": lambda: F.sum("sum_v"),
+        "count": lambda: F.sum("cnt"),
+        "min": lambda: F.min("min_v"),
+        "max": lambda: F.max("max_v"),
+        "avg": None,  # sum/cnt pair, finalized below
+    }
+    if func not in aggs:
+        raise ValueError(f"non-decomposable func {func!r}; use promql() "
+                         "over the fine tier for rate/quantile/stddev")
+    candidates = [s for s in tiers if s <= range_s and range_s % s == 0]
+    if not candidates:
+        raise ValueError(
+            f"no registered tier divides range {range_s}s: {sorted(tiers)}"
+        )
+    step = max(candidates)
+    t = tiers[step]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("bucket_ts").cast("timestamp").cast("double"))
+        .rangeBetween(-(range_s - step), 0)
+    )
+    if func == "avg":
+        val = F.sum("sum_v").over(w) / F.sum("cnt").over(w)
+    else:
+        val = aggs[func]().over(w)
+    return t.select(
+        key, "bucket_ts", val.alias("value"),
+        F.lit(step).alias("tier_step_s"),
     )

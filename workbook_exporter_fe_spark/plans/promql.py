@@ -1001,3 +1001,102 @@ class PromQL:
 def promql(store: MetricStore, query: str) -> DataFrame:
     """One-shot: parse + compile + return DataFrame(labels..., ts, value)."""
     return PromQL(store).eval(query)
+
+
+def query_range(
+    store: MetricStore,
+    query: str,
+    start,
+    end,
+    step: str = "1m",
+    lookback: str = "5m",
+) -> DataFrame:
+    """Prometheus ``/api/v1/query_range`` evaluation shape: the expression
+    resampled onto an explicit ``[start, end]`` grid with ``step`` spacing
+    and staleness ``lookback``.
+
+    Composition, consistent with the engine's documented deviation 1: the
+    expression first evaluates on its NATIVE grid (the stored bucket
+    timestamps — range/window semantics computed over real samples), then
+    each series is as-of joined onto the step grid: grid point t takes the
+    last native sample with ``sample_ts ∈ (t - lookback, t]`` (exactly
+    Prometheus's instant-vector staleness rule, default 5m). Prometheus
+    instead evaluates the whole expression AT each step; on a shared
+    grid the two agree, and off-grid steps get the nearest-past value
+    rather than a re-windowed one — the decomposable choice, since a
+    tier point never changes retroactively.
+
+    ``start``/``end`` accept epoch seconds or any Column-castable
+    timestamp string. Output: (labels..., ts, value) with one row per
+    (series, grid point) that has a non-stale sample — dense output is
+    one gap-fill away (operators/gapfill.py) by design.
+
+    Scale: the spine is |series| × |grid| rows built from a distinct +
+    one ``sequence`` explode, and the as-of resolution is the marker
+    trick — union samples with spine markers, ONE last_value window over
+    the same (labels, ts) sort the native evaluation already used. No
+    joins against the sample relation, no per-grid-point scans.
+    """
+    import datetime as _dt
+
+    def _secs(x) -> int:
+        if isinstance(x, (int, float)):
+            return int(x)
+        if isinstance(x, _dt.datetime):
+            return int(x.timestamp())
+        raise PromQLError(f"start/end must be epoch seconds or datetime, got {x!r}")
+
+    t0, t1 = _secs(start), _secs(end)
+    step_s = int(duration_seconds(step) if isinstance(step, str) else step)
+    look_s = int(duration_seconds(lookback) if isinstance(lookback, str) else lookback)
+    if step_s <= 0 or t1 < t0:
+        raise PromQLError("need end >= start and step > 0")
+
+    df = promql(store, query)
+    labels = [c for c in df.columns if c not in ("ts", "value")]
+
+    samples = df.select(
+        *labels,
+        F.unix_timestamp("ts").alias("_t"),
+        F.unix_timestamp("ts").alias("_sample_t"),
+        "value",
+        F.lit(0).alias("_marker"),
+    )
+    spine = (
+        df.select(*labels).distinct()
+        .select(
+            *labels,
+            F.explode(
+                F.sequence(F.lit(t0), F.lit(t1), F.lit(step_s))
+            ).alias("_t"),
+        )
+        .select(
+            *labels, "_t",
+            F.lit(None).cast("long").alias("_sample_t"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("_marker"),
+        )
+    )
+    # at equal timestamps the sample sorts BEFORE the marker, so a grid
+    # point sees a sample landing exactly on it (Prometheus: t inclusive)
+    w = (
+        Window.partitionBy(*labels)
+        .orderBy("_t", "_marker")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        samples.unionByName(spine)
+        .withColumn("_lv", F.last("value", ignorenulls=True).over(w))
+        .withColumn("_lt", F.last("_sample_t", ignorenulls=True).over(w))
+        .filter(
+            (F.col("_marker") == 1)
+            & F.col("_lv").isNotNull()
+            & (F.col("_lt") > F.col("_t") - F.lit(look_s))
+        )
+        .select(
+            *labels,
+            F.timestamp_seconds("_t").alias("ts"),
+            F.col("_lv").alias("value"),
+        )
+    )
+    return out
