@@ -111,3 +111,32 @@ def test_param_mismatch_raises(spark, tmp_path):
         MinHashIndex(spark, str(tmp_path / "idx"), n_bands=8)
     with pytest.raises(ValueError, match="different"):
         MinHashIndex(spark, str(tmp_path / "idx"), k=5)
+
+
+def test_match_is_query_only_and_fuzzy_decontaminate(spark, tmp_path):
+    """match() finds cross pairs without committing; fuzzy_decontaminate
+    drops exactly the LSH-matching docs."""
+    from workbook_exporter_fe_spark.operators.decontam import (
+        fuzzy_decontaminate,
+    )
+
+    base = list(range(300, 350))
+    bench = _docs(spark, [("bench1", base), ("bench2", [7, 8, 9, 10, 11])])
+    idx = MinHashIndex(spark, str(tmp_path / "bench_idx"))
+    idx.add_batch(bench)
+    seq_before = idx.table.current_sequence()
+
+    train = _docs(
+        spark,
+        [("t1", base),                      # leaks bench1
+         ("t2", [7, 8, 9, 10, 11]),         # leaks bench2
+         ("t3", [1000 + i * 3 for i in range(30)])],  # clean
+    )
+    hits = idx.match(train)
+    assert {(r.id_a, r.id_b) for r in hits.collect()} == {
+        ("bench1", "t1"), ("bench2", "t2")
+    }
+    assert idx.table.current_sequence() == seq_before  # nothing committed
+
+    kept = fuzzy_decontaminate(train, idx)
+    assert {r.doc_id for r in kept.collect()} == {"t3"}

@@ -598,7 +598,7 @@ def _qr_reference(series: dict[int, float], t0, t1, step, look):
     out = {}
     ts = sorted(series)
     for t in range(t0, t1 + 1, step):
-        past = [tt for tt in ts if tt <= t and tt > t - look]
+        past = [tt for tt in ts if tt <= t and tt >= t - look]
         if past:
             out[t] = series[max(past)]
     return out
@@ -645,3 +645,22 @@ def test_query_range_exact_grid_hit_and_errors(store):
         query_range(store, "mem_bytes", T0, T0 - 60, "60s")
     with pytest.raises(PromQLError, match="epoch"):
         query_range(store, "mem_bytes", "yesterday", T0, "60s")
+
+
+def test_absent_range(store):
+    from workbook_exporter_fe_spark.plans.promql import absent_range
+
+    # beyond the last sample + lookback, the metric goes absent
+    t_last = T0 + 39 * 60
+    got = _collect(
+        absent_range(store, "mem_bytes", T0, t_last + 20 * 60, "60s", "5m")
+    )
+    # absent exactly where BOTH series are stale: after t_last + 5m
+    want = {
+        (t,): 1.0
+        for t in range(T0, t_last + 20 * 60 + 1, 60)
+        if t > t_last + 300
+    }
+    assert got == want
+    # a metric alive through the whole window is never absent
+    assert _collect(absent_range(store, "mem_bytes", T0, t_last, "60s")) == {}

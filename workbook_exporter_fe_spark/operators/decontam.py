@@ -88,3 +88,29 @@ def decontaminate(
         docs, bench, k, id_col, text_col, bench_text_col, hash_fn
     ).select(id_col)
     return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark_index,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: drop training docs that
+    LSH-match any document in a prebuilt benchmark MinHashIndex
+    (operators/dedup.MinHashIndex — built once from the eval sets, then
+    queried read-only by every training batch).
+
+    The exact n-gram pass (:func:`decontaminate`) catches verbatim
+    leakage; this catches paraphrased/reformatted leakage the way the
+    near-dup dedup family catches it — token-shingle MinHash bands — at
+    the cost of the benchmark signature relation only (~n_bands rows per
+    benchmark doc; the benchmark corpus itself is never reread). Pure
+    composition: index.match() + one anti-join.
+    """
+    from pyspark.sql import functions as F
+
+    hits = benchmark_index.match(
+        docs, tokens_col=tokens_col, id_col=id_col
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(hits, id_col, "anti")

@@ -355,6 +355,23 @@ class MinHashIndex:
         )
         return cross.unionByName(within)
 
+    def match(
+        self,
+        docs: DataFrame,
+        tokens_col: str = "tokens",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Query-only cross matches: ``(id_a, id_b)`` where id_a is an
+        INDEXED doc LSH-matching incoming doc id_b. Nothing is committed
+        and no within-batch pairs are computed — the shape for checking a
+        corpus against a static reference index (fuzzy benchmark
+        decontamination, eval-set leakage, near-dup blocklists) where
+        the reference must not absorb the probes."""
+        sigs = self.sign(docs, tokens_col=tokens_col, id_col=id_col)
+        return self.pairs_against(sigs, self.signatures()).filter(
+            F.col("is_cross")
+        ).drop("is_cross")
+
     def add_batch(
         self,
         docs: DataFrame,

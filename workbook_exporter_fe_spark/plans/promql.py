@@ -1091,7 +1091,9 @@ def query_range(
         .filter(
             (F.col("_marker") == 1)
             & F.col("_lv").isNotNull()
-            & (F.col("_lt") > F.col("_t") - F.lit(look_s))
+            # Prometheus staleness: a sample exactly lookback old is
+            # still returned (stale only if strictly older)
+            & (F.col("_lt") >= F.col("_t") - F.lit(look_s))
         )
         .select(
             *labels,
@@ -1100,3 +1102,46 @@ def query_range(
         )
     )
     return out
+
+
+def absent_range(
+    store: MetricStore,
+    query: str,
+    start,
+    end,
+    step: str = "1m",
+    lookback: str = "5m",
+) -> DataFrame:
+    """PromQL ``absent()`` over a query_range grid: one row
+    ``(ts, value=1.0)`` for every grid point where the expression yields
+    NO non-stale sample from ANY series — the alerting primitive for
+    "this metric stopped existing" (scrape death, dropped tier
+    partition). Well-defined here precisely because query_range supplies
+    an explicit evaluation grid; on the native-grid path absence is
+    unobservable (the grid IS the data). Label-less, like Prometheus's
+    absent() on a selector with no matchers."""
+    present = query_range(store, query, start, end, step, lookback).select(
+        F.unix_timestamp("ts").alias("_t")
+    ).distinct()
+    import datetime as _dt
+
+    def _secs(x) -> int:
+        if isinstance(x, (int, float)):
+            return int(x)
+        if isinstance(x, _dt.datetime):
+            return int(x.timestamp())
+        raise PromQLError(f"start/end must be epoch seconds or datetime, got {x!r}")
+
+    t0, t1 = _secs(start), _secs(end)
+    step_s = int(duration_seconds(step) if isinstance(step, str) else step)
+    spark = present.sparkSession
+    grid = spark.range(1).select(
+        F.explode(F.sequence(F.lit(t0), F.lit(t1), F.lit(step_s))).alias("_t")
+    )
+    return (
+        grid.join(present, "_t", "anti")
+        .select(
+            F.timestamp_seconds("_t").alias("ts"),
+            F.lit(1.0).alias("value"),
+        )
+    )
