@@ -193,21 +193,35 @@ def q20_tier1_1m(spark, sf_dir):
 @query(
     "q21_tier23_reagg",
     f"""
-    WITH t1 AS ({_T1_SQL})
-    SELECT '1h' AS tier, source, date_trunc('hour', bucket_ts) AS bucket_ts,
-           CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_v,
-           MIN(min_v) AS min_v, MAX(max_v) AS max_v, CAST(SUM(cnt) AS BIGINT) AS cnt,
-           ROUND(CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) / SUM(cnt), 6) AS avg_v
-    FROM t1 GROUP BY 2, 3
+    WITH t1 AS ({_T1_SQL}),
+    h AS (
+      SELECT source, date_trunc('hour', bucket_ts) AS bucket_ts,
+             CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) AS sum_v,
+             MIN(min_v) AS min_v, MAX(max_v) AS max_v, CAST(SUM(cnt) AS BIGINT) AS cnt,
+             ROUND(CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) / SUM(cnt), 6) AS avg_v
+      FROM t1 GROUP BY 1, 2
+    )
+    -- win6h_*: the tier router's 6h trailing window answered FROM the 1h
+    -- tier (RANGE 18000s = 6h minus one 1h bucket, over bucket starts);
+    -- count/max only — order-independent, so exact cross-engine
+    SELECT '1h' AS tier, source, bucket_ts, sum_v, min_v, max_v, cnt, avg_v,
+           CAST(SUM(cnt) OVER w6 AS BIGINT) AS win6h_cnt,
+           MAX(max_v) OVER w6 AS win6h_max
+    FROM h
+    WINDOW w6 AS (PARTITION BY source ORDER BY epoch(bucket_ts)
+                  RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
     UNION ALL
     SELECT '1d', source, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP),
            CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE),
            MIN(min_v), MAX(max_v), CAST(SUM(cnt) AS BIGINT),
-           ROUND(CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) / SUM(cnt), 6)
+           ROUND(CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) / SUM(cnt), 6),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
     FROM t1 GROUP BY 2, 3
     """,
 )
 def q21_tier23_reagg(spark, sf_dir):
+    from workbook_exporter_fe_spark.operators.tiers import tier_over_time
+
     t1 = _tier1(spark, sf_dir)
 
     def reagg(to: str, tag: str):
@@ -230,7 +244,23 @@ def q21_tier23_reagg(spark, sf_dir):
             F.round(F.col("sum_v") / F.col("cnt"), 6).alias("avg_v"),
         )
 
-    return reagg("hour", "1h").unionByName(reagg("day", "1d"))
+    hourly = reagg("hour", "1h")
+    # the REAL router (tier_over_time) answers the 6h trailing window
+    # from the 1h tier; count/max are the order-independent exact pair
+    tiers = {3600: hourly.drop("tier", "avg_v")}
+    wcnt = tier_over_time(tiers, "count", 6 * 3600).withColumnRenamed(
+        "value", "win6h_cnt"
+    ).drop("tier_step_s")
+    wmax = tier_over_time(tiers, "max", 6 * 3600).withColumnRenamed(
+        "value", "win6h_max"
+    ).drop("tier_step_s")
+    hourly = hourly.join(wcnt, ["source", "bucket_ts"]).join(
+        wmax, ["source", "bucket_ts"]
+    )
+    daily = reagg("day", "1d").withColumn(
+        "win6h_cnt", F.lit(None).cast("long")
+    ).withColumn("win6h_max", F.lit(None).cast("double"))
+    return hourly.unionByName(daily)
 
 
 _DENSE_SQL = f"""
