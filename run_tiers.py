@@ -61,6 +61,13 @@ def main() -> None:
     )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
+        "--backfill",
+        help="correction window 'START..END' (ISO, end-exclusive): REPLACE "
+        "every tier bucket in the window with a recompute from the given "
+        "events/sequences; coarse buckets covering the window are rebuilt "
+        "from the merged tier-1 (use with --events or --input)",
+    )
+    ap.add_argument(
         "--verify",
         action="store_true",
         help="after the run, audit cross-tier invariants (tier2==reagg(t1), "
@@ -92,6 +99,7 @@ def main() -> None:
         not args.resume
         and not args.events
         and not args.from_snapshots
+        and not args.backfill
         and os.path.exists(f"{args.out}/_manifest/manifest.jsonl")
     ):
         os.remove(f"{args.out}/_manifest/manifest.jsonl")
@@ -104,6 +112,19 @@ def main() -> None:
         late_delay=args.late_delay,
         with_anomaly=args.anomaly,
     )
+    if args.backfill:
+        from workbook_exporter_fe_spark.operators.eventize import eventize
+
+        start, _, end = args.backfill.partition("..")
+        if not end:
+            ap.error("--backfill needs 'START..END'")
+        ev = batch if args.events else eventize(seq).select(
+            "source", "event_ts", "v", "doc_id"
+        )
+        stats = pipe.backfill(ev, start, end, run_fp or "backfill")
+        print(json.dumps({"out": args.out, "backfill": [start, end],
+                          "replaced": stats}))
+        return
     if args.from_snapshots:
         from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
 

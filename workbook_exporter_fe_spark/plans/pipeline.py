@@ -266,6 +266,118 @@ class TierPipeline:
         self._write_metrics_table()
         return out
 
+    def backfill(self, events: DataFrame, start, end, run_fp: str) -> dict:
+        """Correction backfill: REPLACE every tier bucket in [start, end)
+        with a recompute from the supplied events.
+
+        This is the repair path the additive refresh (`run_incremental`)
+        cannot express: additive merges can only ADD partial aggregates,
+        but a correction (bad scrape, re-ingested day, retracted docs)
+        must also delete what is no longer there. Semantics: within the
+        window the tables become exactly what a from-scratch run over
+        ``events`` would produce — tier-1 buckets in the minute-aligned
+        window are replaced wholesale; the hour/day buckets COVERING the
+        window are recomputed from the post-merge tier-1 over their full
+        extent (so a partial-hour backfill still yields exact hours); the
+        (source, day) chunk segments overlapping the window are
+        re-encoded the same way. Outside the window nothing changes, and
+        backfilling with identical data is a bit-exact no-op (pinned in
+        tests). Each table swap is the recoverable staged pattern; at
+        100 TB with day-partitioned tiers every window replace becomes a
+        partition DELETE+INSERT instead of the table rewrite here.
+
+        ``start``/``end``: ISO strings or datetimes, inclusive/exclusive.
+        Returns per-table replaced-row counts for the manifest.
+        """
+        import datetime as _dt
+
+        def _parse(x) -> _dt.datetime:
+            return _dt.datetime.fromisoformat(x) if isinstance(x, str) else x
+
+        def _floor(ts: _dt.datetime, sec: int) -> _dt.datetime:
+            e = int(ts.timestamp())
+            return _dt.datetime.utcfromtimestamp(e - e % sec)
+
+        def _ceil(ts: _dt.datetime, sec: int) -> _dt.datetime:
+            e = int(ts.timestamp())
+            return _dt.datetime.utcfromtimestamp(e + (-e) % sec)
+
+        lo, hi = _parse(start), _parse(end)
+        if hi <= lo:
+            raise ValueError("backfill needs end > start")
+        t0 = time.perf_counter()
+
+        def _win(df, ts_col, a, b):
+            c = F.col(ts_col).cast("timestamp")
+            return df.filter((c >= F.lit(a)) & (c < F.lit(b)))
+
+        def _replace_window(path: str, new_rows: DataFrame, ts_col: str,
+                            a, b) -> int:
+            import shutil
+
+            if os.path.exists(path):
+                c = F.col(ts_col).cast("timestamp")
+                keep = self.spark.read.parquet(path).filter(
+                    ~((c >= F.lit(a)) & (c < F.lit(b)))
+                )
+                merged = keep.unionByName(new_rows.select(*keep.columns))
+            else:
+                merged = new_rows
+            n_new = new_rows.count()
+            staging = path + ".staging"
+            merged.write.mode("overwrite").parquet(staging)
+            if os.path.exists(path):
+                os.rename(path, path + "__old")
+                os.rename(staging, path)
+                shutil.rmtree(path + "__old")
+            else:
+                os.rename(staging, path)
+            return n_new
+
+        stats: dict = {}
+        lo_m, hi_m = _floor(lo, 60), _ceil(hi, 60)
+        t1_slice = rollup_tier1(
+            _win(events, "event_ts", lo_m, hi_m),
+            salt_buckets=self.salt_buckets,
+        )
+        stats["tier1"] = _replace_window(
+            f"{self.out}/tier1", t1_slice, "bucket_ts", lo_m, hi_m
+        )
+        t1 = self.spark.read.parquet(f"{self.out}/tier1")
+
+        lo_h, hi_h = _floor(lo, 3600), _ceil(hi, 3600)
+        t2_slice = reaggregate(_win(t1, "bucket_ts", lo_h, hi_h), "1h")
+        stats["tier2"] = _replace_window(
+            f"{self.out}/tier2", t2_slice, "bucket_ts", lo_h, hi_h
+        )
+        t2 = self.spark.read.parquet(f"{self.out}/tier2")
+
+        lo_d, hi_d = _floor(lo, 86400), _ceil(hi, 86400)
+        t3_slice = reaggregate(_win(t2, "bucket_ts", lo_d, hi_d), "1d")
+        stats["tier3"] = _replace_window(
+            f"{self.out}/tier3", t3_slice, "bucket_ts", lo_d, hi_d
+        )
+
+        chunks_path = f"{self.out}/chunks"
+        if os.path.exists(chunks_path):
+            ch_slice = compress_tier(
+                _win(t1, "bucket_ts", lo_d, hi_d), value_col=self.value_col
+            )
+            stats["chunks"] = _replace_window(
+                chunks_path, ch_slice, "segment_start", lo_d, hi_d
+            )
+
+        self.manifest.record(
+            run_fp=run_fp,
+            stage="backfill",
+            status="done",
+            window=[str(lo), str(hi)],
+            rows_out=sum(stats.values()),
+            partitions=stats,
+            wall_sec=round(time.perf_counter() - t0, 3),
+        )
+        return stats
+
     def verify(self) -> dict:
         """Cross-tier invariant audit over the STORED tables; records a
         `verify` row in the manifest and returns the check dict.
