@@ -336,3 +336,59 @@ def test_evolve_is_metadata_only_for_consumers(spark, table):
     assert table.changes(seen).count() == 0  # nothing new, no break
     table.commit(_df(spark, 10, 15, "b"))
     assert table.changes(seen).count() == 5
+
+
+# ------------------------------------------------------------- tags + CDC
+
+
+def test_tags_pin_read_and_survive_expiry(spark, tmp_path):
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    st = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        st.commit(spark.range(i * 10, (i + 1) * 10).selectExpr("id"))
+    st.tag("v1", 2)
+    assert st.tags() == {"v1": 2}
+    assert st.resolve("v1") == 2
+    assert st.read("v1").count() == 20  # tag resolves through snapshot()
+    # expiry keeps the tagged snapshot readable
+    rep = st.expire_snapshots(keep_last=1)
+    assert rep["expired_snapshots"] == 2  # seqs 1 and 3; 2 is tagged, 4 head
+    assert st.read("v1").count() == 20
+    assert st.read().count() == 40
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown tag"):
+        st.resolve("nope")
+    with pytest.raises(ValueError, match="no snapshot"):
+        st.tag("bad", 99)
+    st.delete_tag("v1")
+    assert st.tags() == {}
+    # retag a now-expired sequence fails loudly
+    with pytest.raises(ValueError, match="expired"):
+        st.tag("late", 1)
+
+
+def test_row_diff_states(spark, tmp_path):
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    st = SnapshotTable(spark, str(tmp_path / "t"))
+    st.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+    )
+    st.tag("base")
+    # overwrite: 1 unchanged, 2 updated, 3 deleted, 4 inserted
+    st.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "id long, v string"
+        ),
+        mode="overwrite",
+    )
+    diff = {
+        (r.id, r.v, r._op)
+        for r in st.row_diff("base", keys=["id"]).collect()
+    }
+    assert diff == {(2, "B", "update_post"), (3, "c", "delete"),
+                    (4, "d", "insert")}

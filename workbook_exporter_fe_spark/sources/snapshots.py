@@ -271,7 +271,9 @@ class SnapshotTable:
     def _load(self, seq: int) -> dict:
         return load_manifest(self.root, seq)
 
-    def snapshot(self, sequence: int | None = None) -> dict:
+    def snapshot(self, sequence: int | str | None = None) -> dict:
+        if isinstance(sequence, str):  # tag name → pinned sequence
+            sequence = self.resolve(sequence)
         seq = self.current_sequence() if sequence is None else sequence
         if seq == 0:
             raise ValueError("table has no snapshots")
@@ -696,6 +698,97 @@ class SnapshotTable:
         )
 
     # ------------------------------------------------------------------ GC
+    def row_diff(
+        self, from_sequence: int | str, to_sequence: int | str | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level CDC between two snapshots: the change feed `changes()`
+        cannot give (that one covers append-only histories; this one works
+        across overwrites, compactions, and corrections by comparing
+        STATES). Returns ``to``'s schema plus ``_op`` ∈
+        insert / delete / update_post, with deletes carrying the OLD row.
+
+        ``keys`` identifies rows; non-key columns are compared for the
+        update classification. Cost: one full outer join of the two
+        snapshots on the keys — the state-diff floor; for append-only
+        consumption use ``changes()`` (file-level, no join). Accepts tag
+        names anywhere a sequence is accepted, so
+        ``row_diff("v1", "v2", keys=…)`` is the audit "what changed
+        between the corpus my model trained on and today's".
+        """
+        if not keys:
+            raise ValueError("row_diff needs key columns")
+        from pyspark.sql import functions as F
+
+        old = self.read(from_sequence)
+        new = self.read(to_sequence)
+        cols = new.columns
+        non_keys = [c for c in cols if c not in keys]
+        o = old.select([F.col(c).alias(f"_o_{c}") for c in cols])
+        n = new.select(cols)
+        cond = [n[k].eqNullSafe(o[f"_o_{k}"]) for k in keys]
+        j = n.join(o, cond, "full_outer")
+        changed = F.lit(False)
+        for c in non_keys:
+            e = ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+            changed = e if c == non_keys[0] else (changed | e)
+        op = (
+            F.when(F.col(f"_o_{keys[0]}").isNull(), F.lit("insert"))
+            .when(F.col(keys[0]).isNull(), F.lit("delete"))
+            .when(changed, F.lit("update_post"))
+        )
+        out = j.withColumn("_op", op).filter(F.col("_op").isNotNull())
+        # deletes only exist on the old side; surface them in new-schema
+        # columns so the feed has ONE shape
+        sel = [
+            F.when(F.col("_op") == "delete", F.col(f"_o_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in cols
+        ]
+        return out.select(*sel, "_op")
+
+    # ---------------------------------------------------------------- tags
+    def _tags_path(self) -> str:
+        return os.path.join(self.meta, "refs.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named refs: tag name → snapshot sequence."""
+        p = self._tags_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tag(self, name: str, sequence: int | None = None) -> int:
+        """Pin a name to a snapshot (default: the current one) — the data
+        version a training run can cite and re-read forever: tagged
+        snapshots are PROTECTED from expire_snapshots, so `read(tag=…)`
+        reproduces the exact corpus later runs trained on, regardless of
+        log maintenance. Re-tagging an existing name moves it (the tag is
+        a ref, not a snapshot property)."""
+        seq = self.current_sequence() if sequence is None else int(sequence)
+        if seq < 1 or seq > self.current_sequence():
+            raise ValueError(f"no snapshot {seq} to tag")
+        if not os.path.exists(self._manifest_path(seq)):
+            raise ValueError(f"snapshot {seq} is expired")
+        refs = self.tags()
+        refs[name] = seq
+        _atomic_write(self._tags_path(), json.dumps(refs, sort_keys=True))
+        return seq
+
+    def delete_tag(self, name: str) -> None:
+        refs = self.tags()
+        refs.pop(name, None)
+        _atomic_write(self._tags_path(), json.dumps(refs, sort_keys=True))
+
+    def resolve(self, ref: str) -> int:
+        """Tag name → sequence (error on unknown)."""
+        refs = self.tags()
+        if ref not in refs:
+            raise ValueError(f"unknown tag {ref!r}; have {sorted(refs)}")
+        return refs[ref]
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop manifests older than the kept window and delete any commit
         directory no retained snapshot references. Time travel shrinks to
@@ -706,12 +799,16 @@ class SnapshotTable:
         if cur == 0:
             return {"expired_snapshots": 0, "deleted_dirs": 0}
         keep_from = max(1, cur - keep_last + 1)
+        tagged = set(self.tags().values())  # named refs never expire
+        keep_seqs = set(range(keep_from, cur + 1)) | tagged
         live_dirs: set[str] = set()
-        for seq in range(keep_from, cur + 1):
+        for seq in keep_seqs:
             for f in self._load(seq)["files"]:
                 live_dirs.add(os.path.dirname(f["path"]))
         expired = 0
         for seq in range(1, keep_from):
+            if seq in tagged:
+                continue
             p = self._manifest_path(seq)
             if os.path.exists(p):
                 os.remove(p)
