@@ -478,3 +478,103 @@ def semantic_dedup(
         embeddings, centroids, k, iters, threshold, vec_id_col, vec_col
     )
     return dedup_canonical(docs, pairs, id_col=doc_id_col)
+
+
+# ----------------------------------------------------------- quantization
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``(id, qv:
+    array<tinyint>, scale: double)`` with ``x ≈ qv * scale``.
+
+    The memory-scale path for ANN at 100 TB: the stored/scanned vector
+    bytes drop 4× vs float32 (8× vs the raw float64 arrays), which is
+    exactly the resource the brute/IVF candidate scans are bound by.
+    Cosine needs no dequantization at all — the per-vector scales cancel
+    in dot/(|a||b|) — so search touches ONLY the int8 arrays; ``scale``
+    is kept for dot-product/reconstruction uses.
+
+    (The scale expression is referenced inside the transform lambda;
+    CollapseProject re-evaluates it per element, which is fine HERE
+    because the array length is the embedding dim — a small constant —
+    not a vocabulary; see operators/drift.py for the case where that
+    same shape is fatal.)
+    """
+    x = F.col(vec_col)
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            x, lambda v: F.round(v / scale).cast("tinyint")
+        ).alias("qv"),
+        scale.alias("scale"),
+    )
+
+
+def _qdot(a, b):
+    """Exact int64 dot of two int8 arrays (promote before multiply)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("int") * y.cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_quantized(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over INT8-quantized vectors with exact
+    re-rank: score every candidate on the quantized arrays (4× less
+    memory traffic than the float scan), keep the top
+    ``rerank_factor * k`` by approximate cosine, re-score only those on
+    the exact integer-scaled vectors, return the exact top-k.
+
+    With symmetric int8 the approximate cosine errs by O(1/127) per
+    term, so the true top-k sits inside a modest re-rank margin;
+    tests/test_quantized.py pins recall == 1.0 at rerank_factor=4 on the
+    driver embeddings. Composes with the IVF probe filter (the candidate
+    relation here is the full corpus; swap in the probed cells for
+    IVF-quantized search — same seam as ivf_topk).
+    """
+    qt = quantize_embeddings(embeddings, vec_col=vec_col, id_col=id_col)
+    qn = qt.select(
+        id_col, "qv", _qdot(F.col("qv"), F.col("qv")).alias("qn")
+    )
+    qq = qn.filter(F.col(id_col) == query_vec_id).select(
+        F.col("qv").alias("qqv"), F.col("qn").alias("qqn")
+    )
+    approx = (
+        qn.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qq))
+        .select(
+            id_col,
+            _cos(
+                _qdot(F.col("qv"), F.col("qqv")), F.col("qn"), F.col("qqn")
+            ).alias("acos_"),
+        )
+        .orderBy(F.desc("acos_"), F.asc(id_col))
+        .limit(rerank_factor * k)
+    )
+    v = embeddings.select(F.col(id_col), _ivec(F.col(vec_col)).alias("iv")).select(
+        id_col, "iv", _idot(F.col("iv"), F.col("iv")).alias("n")
+    )
+    q = v.filter(F.col(id_col) == query_vec_id).select(
+        F.col("iv").alias("qv_"), F.col("n").alias("nq")
+    )
+    exact = (
+        v.join(F.broadcast(approx.select(id_col)), id_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            _cos(_idot(F.col("iv"), F.col("qv_")), F.col("n"), F.col("nq")).alias("cos"),
+        )
+    )
+    return exact.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
