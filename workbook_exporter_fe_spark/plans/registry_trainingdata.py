@@ -322,14 +322,21 @@ _IVEC = "CAST(ROUND(CAST({x} AS DOUBLE) * 10000000) AS BIGINT)"
       JOIN cells c ON c.vec_id = d.vec_id
       JOIN probed p ON p.cell = c.cell
       ORDER BY cos DESC, d.vec_id LIMIT 10
-    )
+    ),
+    -- q8: the int8-quantized scan + exact re-rank is PINNED to reproduce
+    -- the exact brute ordering, so its oracle is brute's top 10
+    q8 AS (SELECT vec_id, cos FROM brute ORDER BY cos DESC, vec_id LIMIT 10)
     SELECT 'brute' AS method, vec_id, cos FROM brute
     UNION ALL SELECT 'lsh', vec_id, cos FROM lsh
     UNION ALL SELECT 'ivf', vec_id, cos FROM ivf
+    UNION ALL SELECT 'q8', vec_id, cos FROM q8
     """,
 )
 def q34_ann_topk(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.similarity import lsh_topk
+    from workbook_exporter_fe_spark.operators.similarity import (
+        cosine_topk_quantized,
+        lsh_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     brute = cosine_topk(emb, query_vec_id=0, k=20).select(
@@ -341,7 +348,10 @@ def q34_ann_topk(spark, sf_dir):
     ivf = ivf_topk(
         emb, centroid_ids=(1, 2, 3, 4, 5, 6, 7, 8), query_vec_id=0, nprobe=2, k=10
     ).select(F.lit("ivf").alias("method"), "vec_id", "cos")
-    return brute.unionByName(lsh).unionByName(ivf)
+    q8 = cosine_topk_quantized(emb, query_vec_id=0, k=10).select(
+        F.lit("q8").alias("method"), "vec_id", "cos"
+    )
+    return brute.unionByName(lsh).unionByName(ivf).unionByName(q8)
 
 
 _BUCKET_SQL = f"""
