@@ -99,6 +99,17 @@ def main() -> None:
     ap.add_argument("--config", required=True, help="rules YAML")
     ap.add_argument("--out", required=True, help="rule-output snapshot root")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    ap.add_argument(
+        "--follow", type=float, metavar="SECONDS",
+        help="re-evaluate every SECONDS (the prometheus evaluation_interval "
+        "loop): each pass re-resolves the metric tables, so appends and new "
+        "snapshots become visible, and the lookback-restricted refresh makes "
+        "every pass incremental. Ctrl-C to stop.",
+    )
+    ap.add_argument(
+        "--max-evals", type=int, default=0,
+        help="with --follow: stop after N evaluation passes (0 = forever)",
+    )
     args = ap.parse_args()
 
     import yaml
@@ -109,10 +120,30 @@ def main() -> None:
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
     spark = get_spark(app_name="run_rules", cores=int(args.cpus))
-    store = build_store(spark, cfg)
     rules = build_rules(cfg)
-    stats = RuleMaterializer(spark, args.out).refresh(store, rules)
-    print(json.dumps({"rules": stats, "out": args.out}))
+    mat = RuleMaterializer(spark, args.out)
+
+    def one_pass():
+        # rebuild the store each pass: tables re-resolve, so producer
+        # appends / new snapshots are visible to this evaluation
+        stats = mat.refresh(build_store(spark, cfg), rules)
+        print(json.dumps({"rules": stats, "out": args.out}), flush=True)
+
+    if args.follow:
+        import time as _time
+
+        n = 0
+        try:
+            while True:
+                one_pass()
+                n += 1
+                if args.max_evals and n >= args.max_evals:
+                    break
+                _time.sleep(args.follow)
+        except KeyboardInterrupt:
+            pass
+    else:
+        one_pass()
     spark.stop()
 
 
