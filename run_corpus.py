@@ -64,6 +64,13 @@ def main() -> None:
         help="deterministic global shard shuffle (requires --target-files)",
     )
     ap.add_argument("--target-files", type=int)
+    ap.add_argument(
+        "--decontam-index",
+        help="MinHashIndex root built from benchmark/eval docs: training "
+        "docs LSH-matching any indexed doc are dropped BEFORE curation "
+        "(near-dup leakage removal; the exact n-gram pass lives in "
+        "operators/decontam.py)",
+    )
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
 
@@ -72,6 +79,22 @@ def main() -> None:
 
     spark = get_spark(app_name="run_corpus", cores=args.cores)
     docs = spark.read.parquet(args.input)
+    pre_metrics = {}
+    if args.decontam_index:
+        from pyspark.sql import functions as F
+
+        from workbook_exporter_fe_spark.operators.decontam import (
+            fuzzy_decontaminate,
+        )
+        from workbook_exporter_fe_spark.operators.dedup import MinHashIndex
+
+        idx = MinHashIndex(spark, args.decontam_index)
+        toked = docs.withColumn("_toks", F.split(F.col(args.text_col), " "))
+        before = docs.count()
+        docs = fuzzy_decontaminate(
+            toked, idx, tokens_col="_toks", id_col=args.id_col
+        ).drop("_toks")
+        pre_metrics["decontam_dropped"] = before - docs.count()
     _, metrics = curate_corpus(
         docs,
         args.out,
@@ -88,7 +111,7 @@ def main() -> None:
         shuffle_seed=args.shuffle_seed,
         target_files=args.target_files,
     )
-    print(json.dumps(metrics, default=str))
+    print(json.dumps({**pre_metrics, **metrics}, default=str))
 
 
 if __name__ == "__main__":

@@ -140,3 +140,29 @@ def test_match_is_query_only_and_fuzzy_decontaminate(spark, tmp_path):
 
     kept = fuzzy_decontaminate(train, idx)
     assert {r.doc_id for r in kept.collect()} == {"t3"}
+
+
+def test_exact_hash_index_incremental(spark, tmp_path):
+    from workbook_exporter_fe_spark.operators.dedup import ExactHashIndex
+
+    b1, b2, b3 = _batches(spark)
+    idx = ExactHashIndex(spark, str(tmp_path / "eidx"))
+    k1 = {r.doc_id for r in idx.add_batch(b1).collect()}
+    assert k1 == {"d01", "d03"}          # d02 == d01 within the batch
+    k2 = {r.doc_id for r in idx.add_batch(b2).collect()}
+    assert k2 == {"d12"}                 # d11 == indexed d01
+    k3 = {r.doc_id for r in idx.add_batch(b3).collect()}
+    assert k3 == {"d21"}                 # d22==d21 within; d23==indexed d12
+    # registry holds exactly one row per distinct content
+    hashes = idx.hashes().collect()
+    assert len(hashes) == len({r.content_hash for r in hashes}) == 4
+    # equals the batch-at-once truth
+    idx2 = ExactHashIndex(spark, str(tmp_path / "eidx2"))
+    all_docs = b1.unionByName(b2).unionByName(b3)
+    assert {r.doc_id for r in idx2.add_batch(all_docs).collect()} == (
+        k1 | k2 | k3
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        ExactHashIndex(spark, str(tmp_path / "eidx"), hash_fn="md5")

@@ -26,7 +26,7 @@ reduces via partial aggregation (hash, min-id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from workbook_exporter_fe_spark.functions.textops import word_shingles
@@ -327,11 +327,16 @@ class MinHashIndex:
     ) -> DataFrame:
         """The batch's (doc_id, band, sig) signatures under the index's
         recorded parameters (no commit — pure computation)."""
-        return minhash_signatures_tokens(
+        sigs = minhash_signatures_tokens(
             docs, tokens_col=tokens_col, id_col=id_col,
             n_bands=self.params["n_bands"], k=self.params["k"],
             hash_fn=self.params["hash_fn"],
-        ).withColumnRenamed(id_col, "doc_id")
+        )
+        # ids normalize to string: the stored relation is one schema
+        # forever, while probe batches may carry numeric id columns
+        return sigs.select(
+            F.col(id_col).cast("string").alias("doc_id"), "band", "sig"
+        )
 
     def pairs_against(self, sigs: DataFrame, old: DataFrame) -> DataFrame:
         """Candidate pairs a signed batch introduces against a stored
@@ -448,3 +453,72 @@ def incremental_keep(
         .select(F.col("id").alias(id_col))
     )
     return fresh.join(non_canonical, id_col, "anti")
+
+
+class ExactHashIndex:
+    """Persisted content-hash registry for incremental EXACT dedup — the
+    companion to :class:`MinHashIndex` for the verbatim-duplicate case.
+
+    State per indexed doc is ONE (content_hash, doc_id) row (the hash of
+    the token array, not the tokens), so deduplicating a batch against a
+    100 TB corpus touches a relation ~1e-4 its size: one anti-join for
+    the survivors, one within-batch keep-min pass, one append commit.
+    Same crash contract and epoch-summary hooks as MinHashIndex.
+    """
+
+    def __init__(self, spark, root: str, hash_fn: str = "xxhash64"):
+        from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+        if hash_fn not in ("xxhash64", "md5"):
+            raise ValueError(hash_fn)
+        self.spark = spark
+        self.hash_fn = hash_fn
+        self.table = SnapshotTable(spark, root)
+        if self.table.current_sequence() > 0:
+            stored = self.table.snapshot(1)["summary"].get("hash_fn")
+            if stored is not None and stored != hash_fn:
+                raise ValueError(
+                    f"index at {root!r} uses hash_fn={stored!r}"
+                )
+
+    def _hash(self, tokens_col: str):
+        c = F.col(tokens_col)
+        if self.hash_fn == "xxhash64":
+            return F.xxhash64(c).cast("string")
+        return F.md5(F.to_json(c))
+
+    def hashes(self) -> DataFrame:
+        if self.table.current_sequence() == 0:
+            return self.spark.createDataFrame(
+                [], "content_hash string, doc_id string"
+            )
+        return self.table.read()
+
+    def add_batch(
+        self,
+        docs: DataFrame,
+        tokens_col: str = "tokens",
+        id_col: str = "doc_id",
+        extra_summary: dict | None = None,
+    ) -> DataFrame:
+        """Returns the batch's SURVIVORS (first-seen-corpus-wide wins;
+        min id within the batch) and appends their hashes to the index.
+        Committing only survivors keeps the registry one-row-per-content
+        forever, so the anti-join side never accumulates duplicates."""
+        hashed = docs.withColumn("content_hash", self._hash(tokens_col))
+        fresh = hashed.join(
+            self.hashes().select("content_hash"), "content_hash", "anti"
+        )
+        w = Window.partitionBy("content_hash").orderBy(id_col)
+        kept = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        ).localCheckpoint(eager=True)
+        summary = {"hash_fn": self.hash_fn, "batch_docs": kept.count()}
+        summary.update(extra_summary or {})
+        self.table.commit(
+            kept.select("content_hash", F.col(id_col).alias("doc_id")),
+            summary=summary,
+        )
+        return kept.drop("content_hash")
