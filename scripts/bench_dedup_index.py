@@ -117,14 +117,14 @@ incremental_keep materialization.
   of ~{4 * args.batch_docs:,} signature rows per indexed {args.batch_docs:,} docs.
 - full-corpus recompute at {total:,} docs (sign + pair, what every
   batch would cost WITHOUT the index): **{full:.2f}s**. At this toy
-  scale the incremental batch is WALL-SLOWER than one full recompute —
-  its ~10 s floor is fixed job overhead (the connected-components
-  rounds inside incremental_keep plus two snapshot commits), not data
-  work. The evidence is the SHAPE: full-recompute cost grows linearly
-  with corpus size (every 8× more corpus ⇒ 8× the {full:.0f}s), the
+  scale the incremental batch is still wall-comparable to one full
+  recompute — its floor is the batch's own shingle/sign work plus two
+  snapshot commits (the former components-loop overhead is gone: empty
+  within-batch pair graphs now short-circuit the iterative closure).
+  The evidence is the SHAPE: full-recompute cost grows linearly with
+  corpus size (every 8× more corpus ⇒ 8× the {full:.0f}s), the
   incremental batch does not grow at all — the crossover is immediate at
-  any real corpus:batch ratio, and the fixed floor amortizes into the
-  data term as batches grow.
+  any real corpus:batch ratio.
 - at 100 TB the stored side stays scan-only (no shuffle of the index:
   the batch side is the small side of the equi-join; AQE picks the
   broadcast). Signature volume is n_bands rows/doc ≈ {4 * total:,} rows

@@ -445,6 +445,14 @@ def incremental_keep(
         .join(fresh.select(F.col(id_col).alias("id_b")), "id_b", "semi")
         .select("id_a", "id_b")
     )
+    # fast path: batches with no within-batch near-dup chains (the common
+    # steady-state) skip the iterative components loop entirely — the
+    # loop's per-round jobs were most of the ~10 s per-batch fixed floor
+    # measured in scripts/bench_dedup_index.py; one localCheckpoint here
+    # both answers the emptiness probe and feeds the loop when non-empty
+    within = within.localCheckpoint(eager=True)
+    if within.isEmpty():
+        return fresh
     labels = connected_components(
         within, "id_a", "id_b", max_iter=max_iter, dedupe_edges=False
     )
