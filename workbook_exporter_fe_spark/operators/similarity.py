@@ -489,12 +489,17 @@ def quantize_embeddings(
     """Symmetric per-vector int8 scalar quantization: ``(id, qv:
     array<tinyint>, scale: double)`` with ``x ≈ qv * scale``.
 
-    The memory-scale path for ANN at 100 TB: the stored/scanned vector
-    bytes drop 4× vs float32 (8× vs the raw float64 arrays), which is
-    exactly the resource the brute/IVF candidate scans are bound by.
-    Cosine needs no dequantization at all — the per-vector scales cancel
-    in dot/(|a||b|) — so search touches ONLY the int8 arrays; ``scale``
-    is kept for dot-product/reconstruction uses.
+    In-memory ANN systems get 4× less vector traffic from int8 vs
+    float32; MEASURED in this parquet-backed engine the effect is more
+    modest and honest numbers are in BENCH/BASELINE.md ("int8
+    quantization: measured effect"): zstd-parquet already bit-packs the
+    integer-scaled vectors (stored ratio 1.41×), and at bench scale the
+    interpreted higher-order-function dot product — not memory
+    bandwidth — bounds the scan, so wall is unchanged. The durable wins
+    are the smaller representation for in-memory/broadcast use and the
+    exact-re-rank contract below. Cosine needs no dequantization — the
+    per-vector scales cancel in dot/(|a||b|) — so search touches ONLY
+    the int8 arrays; ``scale`` is kept for dot/reconstruction uses.
 
     (The scale expression is referenced inside the transform lambda;
     CollapseProject re-evaluates it per element, which is fine HERE
