@@ -151,3 +151,36 @@ def test_curate_corpus_mixture_and_shuffled_shards(spark, docs_with_dups,
         ]
 
     assert contents(out) == contents(out2)
+
+
+def test_run_corpus_cli_decontam_path(spark, tmp_path, monkeypatch, capsys):
+    """run_corpus.py main() with --decontam-index: benchmark-matching docs
+    drop before curation and the metric surfaces in the report."""
+    import json
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from workbook_exporter_fe_spark.operators.dedup import MinHashIndex
+
+    sys.path.insert(0, "/root/repo")
+    import run_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    bench = docs.orderBy("doc_id").limit(10).select(
+        F.concat(F.lit("bench-"), F.col("doc_id")).alias("doc_id"),
+        F.split("text", " ").alias("tokens"),
+    )
+    idx_root = str(tmp_path / "idx")
+    MinHashIndex(spark, idx_root).add_batch(bench)
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_corpus.py", "--input", src, "--out", str(tmp_path / "out"),
+        "--decontam-index", idx_root,
+    ])
+    run_corpus.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["decontam_dropped"] >= 10
+    assert report["input_rows"] == docs.count() - report["decontam_dropped"]
