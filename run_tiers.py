@@ -75,6 +75,9 @@ def main() -> None:
         "verify row in the manifest; non-zero exit on failure",
     )
     args = ap.parse_args()
+    if args.backfill and args.from_snapshots:
+        ap.error("--backfill needs explicit events (use --events or "
+                 "--input), not --from-snapshots")
 
     from workbook_exporter_fe_spark.plans.pipeline import TierPipeline
     from workbook_exporter_fe_spark.session import get_spark

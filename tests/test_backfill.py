@@ -90,3 +90,56 @@ def test_backfill_correction_replaces_window_and_verifies(spark, store):
     # cross-tier invariants hold after the repair
     checks = pipe.verify()
     assert checks["ok"], checks
+
+
+def test_window_alignment_is_timezone_independent(monkeypatch):
+    """_floor/_ceil must read the naive window bounds as UTC the way the
+    Spark session does — datetime.timestamp() reads them in the host's
+    LOCAL zone, shifting the replaced window (and its minute/hour/day
+    alignment) by the UTC offset on any non-UTC host. Pin the helpers
+    under a non-UTC, non-whole-hour TZ."""
+    import os
+    import time
+    import datetime as dt
+
+    from workbook_exporter_fe_spark.plans.pipeline import _ceil, _floor
+
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "Asia/Kathmandu"  # UTC+5:45 — catches sub-hour bugs
+    time.tzset()
+    try:
+        ts = dt.datetime(2024, 3, 5, 10, 17, 43)
+        assert _floor(ts, 60) == dt.datetime(2024, 3, 5, 10, 17, 0)
+        assert _ceil(ts, 60) == dt.datetime(2024, 3, 5, 10, 18, 0)
+        assert _floor(ts, 3600) == dt.datetime(2024, 3, 5, 10, 0, 0)
+        assert _ceil(ts, 3600) == dt.datetime(2024, 3, 5, 11, 0, 0)
+        assert _floor(ts, 86400) == dt.datetime(2024, 3, 5)
+        assert _ceil(ts, 86400) == dt.datetime(2024, 3, 6)
+        # already-aligned bounds are fixpoints
+        assert _floor(dt.datetime(2024, 3, 5, 10), 3600) == dt.datetime(
+            2024, 3, 5, 10
+        )
+        assert _ceil(dt.datetime(2024, 3, 5, 10), 3600) == dt.datetime(
+            2024, 3, 5, 10
+        )
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+
+
+def test_run_tiers_rejects_backfill_with_from_snapshots(tmp_path):
+    """--backfill --from-snapshots used to die with a NameError deep in
+    the run; it must be a usage error up front."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "run_tiers.py", "--from-snapshots", str(tmp_path),
+         "--backfill", "2024-01-01..2024-01-02", "--out", str(tmp_path / "o")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2
+    assert "--backfill needs explicit events" in r.stderr

@@ -166,3 +166,74 @@ def test_exact_hash_index_incremental(spark, tmp_path):
 
     with pytest.raises(ValueError, match="hash_fn"):
         ExactHashIndex(spark, str(tmp_path / "eidx"), hash_fn="md5")
+
+
+def test_numeric_64bit_ids_stay_exact(spark, tmp_path):
+    """The index stores ids as STRING; probe-side joins must compare on
+    string too. Joining a bigint id column straight against the string
+    pairs coerces both sides to double — ids above 2^53 that differ by 1
+    become EQUAL and the wrong doc is dropped. Adjacent huge ids with
+    identical content must still dedup to exactly one survivor, and the
+    survivor set must be exact."""
+    base = list(range(100, 150))
+    hi = (1 << 60) + 12345678901  # far above 2^53
+    docs = spark.createDataFrame(
+        [(hi, base), (hi + 1, base), (hi + 2, [9, 9, 9, 8, 7, 6, 5, 4])],
+        "doc_id long, tokens array<int>",
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    kept = incremental_keep(docs, idx.add_batch(docs))
+    assert kept.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert sorted(r.doc_id for r in kept.collect()) == [hi, hi + 2]
+    # cross-batch: a later batch re-sending the canonical's content under
+    # an adjacent huge id must be dropped, not confused with it
+    b2 = spark.createDataFrame(
+        [(hi + 3, base)], "doc_id long, tokens array<int>"
+    )
+    kept2 = incremental_keep(b2, idx.add_batch(b2))
+    assert kept2.count() == 0
+
+
+def test_exact_index_mixed_id_types(spark, tmp_path):
+    """ExactHashIndex normalizes ids to string like MinHashIndex — a
+    numeric-id batch after a string-id batch must append, not raise a
+    SchemaMismatch."""
+    from workbook_exporter_fe_spark.operators.dedup import ExactHashIndex
+
+    idx = ExactHashIndex(spark, str(tmp_path / "ex"))
+    s1 = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [4, 5, 6])],
+        "doc_id string, tokens array<int>",
+    )
+    assert idx.add_batch(s1).count() == 2
+    n1 = spark.createDataFrame(
+        [(10, [1, 2, 3]), (11, [7, 8, 9])], "doc_id long, tokens array<int>"
+    )
+    kept = idx.add_batch(n1)  # 10 dups "a"'s content → only 11 survives
+    assert [r.doc_id for r in kept.collect()] == [11]
+    stored = idx.hashes()
+    assert stored.schema["doc_id"].dataType.simpleString() == "string"
+    assert stored.count() == 3
+
+
+def test_fuzzy_decontaminate_numeric_ids(spark, tmp_path):
+    """fuzzy_decontaminate joins index (string) hits back against the
+    caller's ids — numeric ids above 2^53 must anti-join exactly."""
+    from workbook_exporter_fe_spark.operators.decontam import (
+        fuzzy_decontaminate,
+    )
+
+    bench_tokens = list(range(200, 260))
+    bench = spark.createDataFrame(
+        [("bench1", bench_tokens)], "doc_id string, tokens array<int>"
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "bench_idx"))
+    idx.add_batch(bench)
+    hi = (1 << 60) + 7
+    corpus = spark.createDataFrame(
+        [(hi, bench_tokens), (hi + 1, [1, 2, 3, 4, 5, 6])],
+        "doc_id long, tokens array<int>",
+    )
+    clean = fuzzy_decontaminate(corpus, idx)
+    assert [r.doc_id for r in clean.collect()] == [hi + 1]
+    assert clean.columns == ["doc_id", "tokens"]

@@ -278,3 +278,52 @@ def test_stream_write_snapshot_to_snapshot(spark, tmp_path):
         s = dst.snapshot(seq)["summary"]
         assert s["writer"] == "snapshot_log_stream"
         assert "epoch" in s
+
+
+def test_stream_writer_replay_detection_survives_restart(spark, tmp_path):
+    """Replay identity is the stream_id (stable across restarts), never
+    per-writer-instance state: a FRESH writer object replaying an epoch
+    the old instance committed must skip it (the 'commit succeeded,
+    checkpoint not advanced' crash window), and interleaved commits from
+    other writers must not hide the epoch."""
+    ss.register(spark)
+    root = str(tmp_path / "tbl")
+    schema = _mk(spark, 0, 1).schema
+    w1 = ss.SnapshotLogStreamWriter(root, schema, stream_id="streamA")
+    w1.commit([], batchId=0)
+    w1.commit([], batchId=1)
+    st = SnapshotTable(spark, root)
+    assert st.current_sequence() == 2
+    # restart: new writer object, SAME logical stream → epoch 1 replay
+    w2 = ss.SnapshotLogStreamWriter(root, schema, stream_id="streamA")
+    assert w2._already_committed(1)
+    w2.commit([], batchId=1)
+    assert st.current_sequence() == 2  # skipped, not re-committed
+    # an interleaved non-stream commit must not hide the epoch
+    st.commit(_mk(spark, 0, 5))
+    w3 = ss.SnapshotLogStreamWriter(root, schema, stream_id="streamA")
+    assert w3._already_committed(1)
+    # a DIFFERENT stream (fresh checkpoint → epochs restart) is not a
+    # replay: its epoch 0/1 must commit even though streamA used them
+    w4 = ss.SnapshotLogStreamWriter(root, schema, stream_id="streamB")
+    assert not w4._already_committed(0)
+    w4.commit([], batchId=0)
+    assert st.current_sequence() == 4
+
+
+def test_stream_writer_derives_stable_id_from_checkpoint(spark, tmp_path):
+    """streamWriter() keys replay identity on the checkpoint location —
+    the one identity Spark guarantees constant across query restarts."""
+    ss.register(spark)
+    root = str(tmp_path / "tbl")
+    _mk(spark, 0, 10).write.format("snapshot_log").mode("append").save(root)
+    opts = {"path": root, "checkpointlocation": str(tmp_path / "ck")}
+    mk = lambda o: ss.SnapshotLogDataSource(o).streamWriter(
+        _mk(spark, 0, 1).schema, False
+    )
+    a, b = mk(dict(opts)), mk(dict(opts))
+    assert a.stream_id and a.stream_id == b.stream_id
+    c = mk({"path": root, "checkpointlocation": str(tmp_path / "ck2")})
+    assert c.stream_id != a.stream_id
+    d = mk({"path": root, "streamid": "explicit"})
+    assert d.stream_id == "explicit"

@@ -138,3 +138,59 @@ def test_stream_matches_batch_chain(spark, tmp_path):
     }
     assert rebuilt == want_pairs
     assert idx.table.current_sequence() == 3
+
+
+def test_fresh_stream_against_existing_tables_processes_batches(
+    spark, tmp_path
+):
+    """A NEW stream (fresh checkpoint → epochs restart at 0, new run id)
+    pointed at tables an earlier stream populated must PROCESS its
+    batches — the bare-epoch guard used to skip every batch whose epoch
+    was <= the old stream's head (silent data loss)."""
+    b1, b2, b3 = _batches(spark)
+    roots = str(tmp_path / "idx"), str(tmp_path / "out")
+    old = minhash_dedup_sink(*roots, run_id="run_old")
+    old(b1, 0)
+    old(b2, 1)
+    out = SnapshotTable(spark, roots[1])
+    before = {r.doc_id for r in out.read().collect()}
+    assert before == {"d01", "d03", "d12"}
+    new = minhash_dedup_sink(*roots, run_id="run_new")
+    new(b3, 0)  # epoch 0 again — a replay for run_old, NEW work here
+    got = {r.doc_id for r in out.read().collect()}
+    assert got == {"d01", "d03", "d12", "d21"}  # d23 dups d12, d22 dups d21
+
+
+def test_same_run_epoch_regression_raises(spark, tmp_path):
+    """Checkpoint deleted but the same checkpoint dir (same run id)
+    reused against grown tables: fail loudly instead of dropping data."""
+    import pytest
+
+    b1, b2, _ = _batches(spark)
+    roots = str(tmp_path / "idx"), str(tmp_path / "out")
+    sink = minhash_dedup_sink(*roots, run_id="runA")
+    sink(b1, 0)
+    sink(b2, 1)
+    with pytest.raises(RuntimeError, match="epoch regression"):
+        sink(b1, 0)
+
+
+def test_replay_detected_through_interleaved_commits(spark, tmp_path):
+    """A compaction/manual commit landing between an epoch's commit and
+    its replay must not defeat the head-snapshot check."""
+    b1, b2, _ = _batches(spark)
+    roots = str(tmp_path / "idx"), str(tmp_path / "out")
+    sink = minhash_dedup_sink(*roots, run_id="runA")
+    sink(b1, 0)
+    sink(b2, 1)
+    out = SnapshotTable(spark, roots[1])
+    # interleaved non-stream commit (no epoch in summary) on BOTH tables
+    out.commit(out.read().limit(0))
+    idx = MinHashIndex(spark, roots[0])
+    idx.table.commit(idx.signatures().limit(0))
+    seqs = (idx.table.current_sequence(), out.current_sequence())
+    rows = sorted(r.doc_id for r in out.read().collect())
+    sink(b2, 1)  # replay: must still be recognized behind the interleave
+    assert (MinHashIndex(spark, roots[0]).table.current_sequence(),
+            out.current_sequence()) == seqs
+    assert sorted(r.doc_id for r in out.read().collect()) == rows

@@ -110,7 +110,12 @@ def fuzzy_decontaminate(
     """
     from pyspark.sql import functions as F
 
+    # index ids are STRING (MinHashIndex.sign normalizes) — compare on
+    # the caller's id cast to string, not via Spark's numeric coercion
+    # (lossy above 2^53 for 64-bit ids)
     hits = benchmark_index.match(
         docs, tokens_col=tokens_col, id_col=id_col
-    ).select(F.col("id_b").alias(id_col)).distinct()
-    return docs.join(hits, id_col, "anti")
+    ).select(F.col("id_b").cast("string").alias("__hit_id")).distinct()
+    return docs.join(
+        hits, F.col(id_col).cast("string") == F.col("__hit_id"), "anti"
+    )

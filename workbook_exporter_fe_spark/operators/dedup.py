@@ -426,24 +426,34 @@ def incremental_keep(
     within-batch pairs, canonical = min doc_id — the same policy as
     dedup_canonical). Pure composition: one anti-join + one
     connected-components pass over the (small) batch pair graph.
+
+    The index stores ids as STRING (MinHashIndex.sign), so every join
+    here compares on the caller's id CAST to string — joining a numeric
+    id column straight against the string pairs would make Spark coerce
+    both sides to double, which is lossy for 64-bit ids above 2^53.
     """
     from workbook_exporter_fe_spark.operators.components import (
         connected_components,
     )
 
+    sid = "__ik_sid"
+    keyed = new_docs.withColumn(sid, F.col(id_col).cast("string"))
     cross_dupes = (
         pairs.filter(F.col("is_cross")).select(
-            F.col("id_b").alias(id_col)
+            F.col("id_b").cast("string").alias(sid)
         ).distinct()
     )
-    fresh = new_docs.join(cross_dupes, id_col, "anti")
+    fresh = keyed.join(cross_dupes, sid, "anti")
     within = (
         pairs.filter(~F.col("is_cross"))
+        .select(
+            F.col("id_a").cast("string").alias("id_a"),
+            F.col("id_b").cast("string").alias("id_b"),
+        )
         # only chains among still-fresh docs; a pair into a cross-dropped
         # doc must not eliminate the survivor
-        .join(fresh.select(F.col(id_col).alias("id_a")), "id_a", "semi")
-        .join(fresh.select(F.col(id_col).alias("id_b")), "id_b", "semi")
-        .select("id_a", "id_b")
+        .join(fresh.select(F.col(sid).alias("id_a")), "id_a", "semi")
+        .join(fresh.select(F.col(sid).alias("id_b")), "id_b", "semi")
     )
     # fast path: batches with no within-batch near-dup chains (the common
     # steady-state) skip the iterative components loop entirely — the
@@ -452,15 +462,15 @@ def incremental_keep(
     # both answers the emptiness probe and feeds the loop when non-empty
     within = within.localCheckpoint(eager=True)
     if within.isEmpty():
-        return fresh
+        return fresh.drop(sid)
     labels = connected_components(
         within, "id_a", "id_b", max_iter=max_iter, dedupe_edges=False
     )
     non_canonical = (
         labels.filter(F.col("id") != F.col("component"))
-        .select(F.col("id").alias(id_col))
+        .select(F.col("id").alias(sid))
     )
-    return fresh.join(non_canonical, id_col, "anti")
+    return fresh.join(non_canonical, sid, "anti").drop(sid)
 
 
 class ExactHashIndex:
@@ -526,7 +536,12 @@ class ExactHashIndex:
         summary = {"hash_fn": self.hash_fn, "batch_docs": kept.count()}
         summary.update(extra_summary or {})
         self.table.commit(
-            kept.select("content_hash", F.col(id_col).alias("doc_id")),
+            # ids normalize to string like MinHashIndex.sign — the stored
+            # relation is one schema forever; a numeric-id batch would
+            # otherwise hit a SchemaMismatch on the second commit
+            kept.select(
+                "content_hash", F.col(id_col).cast("string").alias("doc_id")
+            ),
             summary=summary,
         )
         return kept.drop("content_hash")

@@ -22,6 +22,7 @@ the staging-swap becomes a MERGE INTO snapshot commit.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import time
@@ -30,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from workbook_exporter_fe_spark.functions.spark_codecs import compress_tier, encode_ratio
+from workbook_exporter_fe_spark.functions.spark_codecs import compress_tier
 from workbook_exporter_fe_spark.operators.eventize import eventize
 from workbook_exporter_fe_spark.operators.merge import merge_upsert_path
 from workbook_exporter_fe_spark.operators.tiers import reaggregate, rollup_tier1
@@ -80,6 +81,28 @@ class Manifest:
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         with open(self.path, "a") as f:
             f.write(json.dumps(entry, default=str) + "\n")
+
+
+_PY_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _parse_ts(x) -> _dt.datetime:
+    return _dt.datetime.fromisoformat(x) if isinstance(x, str) else x
+
+
+# calendar arithmetic on the naive datetime, NOT .timestamp():
+# .timestamp() reads a naive datetime in the host's LOCAL zone, while the
+# Spark-side window literals are interpreted in the UTC-pinned session —
+# on a non-UTC host the two would disagree and backfill would delete and
+# recompute the wrong tier buckets (shifted by the UTC offset)
+def _floor(ts: _dt.datetime, sec: int) -> _dt.datetime:
+    e = int((ts - _PY_EPOCH).total_seconds())
+    return _PY_EPOCH + _dt.timedelta(seconds=e - e % sec)
+
+
+def _ceil(ts: _dt.datetime, sec: int) -> _dt.datetime:
+    e = int((ts - _PY_EPOCH).total_seconds())
+    return _PY_EPOCH + _dt.timedelta(seconds=e + (-e) % sec)
 
 
 def _per_source_counts(df: DataFrame) -> dict[str, int]:
@@ -250,14 +273,24 @@ class TierPipeline:
                 partition_col="source",
             )
             persisted = self.spark.read.parquet(chunks_path)
-            ratios = encode_ratio(persisted).collect()
-            pts = sum(r["points"] for r in ratios)
-            enc = sum(r["encoded_bytes"] for r in ratios)
+            # ONE aggregate action for all chunk metrics — per-chunk
+            # collect() would pull (source, segment)-granular rows to the
+            # driver (millions at 100 TB) and a separate count() would
+            # re-read the table
+            m = persisted.agg(
+                F.sum("n_points").alias("points"),
+                F.sum(
+                    F.octet_length("ts_payload")
+                    + F.octet_length("v_payload")
+                ).alias("encoded_bytes"),
+                F.count("*").alias("rows"),
+            ).first()
+            pts, enc = m["points"] or 0, m["encoded_bytes"] or 0
             self.manifest.record(
                 run_fp=run_fp,
                 stage="compress",
                 status="done",
-                rows_out=persisted.count(),
+                rows_out=m["rows"],
                 points=pts,
                 encode_ratio=round(enc / (16.0 * pts), 4) if pts else None,
                 wall_sec=round(time.perf_counter() - t0c, 3),
@@ -289,20 +322,7 @@ class TierPipeline:
         ``start``/``end``: ISO strings or datetimes, inclusive/exclusive.
         Returns per-table replaced-row counts for the manifest.
         """
-        import datetime as _dt
-
-        def _parse(x) -> _dt.datetime:
-            return _dt.datetime.fromisoformat(x) if isinstance(x, str) else x
-
-        def _floor(ts: _dt.datetime, sec: int) -> _dt.datetime:
-            e = int(ts.timestamp())
-            return _dt.datetime.utcfromtimestamp(e - e % sec)
-
-        def _ceil(ts: _dt.datetime, sec: int) -> _dt.datetime:
-            e = int(ts.timestamp())
-            return _dt.datetime.utcfromtimestamp(e + (-e) % sec)
-
-        lo, hi = _parse(start), _parse(end)
+        lo, hi = _parse_ts(start), _parse_ts(end)
         if hi <= lo:
             raise ValueError("backfill needs end > start")
         t0 = time.perf_counter()

@@ -49,6 +49,7 @@ Spark source with offsets instead of a YAML re-parse.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import uuid
@@ -363,25 +364,46 @@ class SnapshotLogStreamWriter(DataSourceStreamArrowWriter):
     replayed epoch (failure after the manifest swap but before Spark's
     checkpoint advanced) is detected and SKIPPED, so the sink stays
     exactly-once — the streaming analogue of the keyed-merge idempotence
-    the foreachBatch tier sink uses."""
+    the foreachBatch tier sink uses.
 
-    def __init__(self, root: str, schema: StructType):
+    Replay identity must survive a query RESTART (the restarted writer is
+    a fresh Python object), so it is keyed on ``stream_id`` — a hash of
+    the query's checkpoint location (or an explicit ``streamId`` option),
+    both stable across restarts — never on per-instance state. Detection
+    scans the most recent ``replayscan`` manifests (not just the head),
+    so commits from OTHER writers interleaved between an epoch's commit
+    and its replay don't hide it. Manifests that predate the stream_id
+    protocol (or writers with no checkpoint location) fall back to
+    single-writer-per-table semantics: any snapshot_log_stream manifest
+    counts as this stream's.
+    """
+
+    _REPLAY_SCAN = 64  # replays target the LAST epoch; 64 is generous
+
+    def __init__(self, root: str, schema: StructType,
+                 stream_id: str | None = None, replay_scan: int | None = None):
         self.root = root
         self.schema = schema
+        self.stream_id = stream_id
+        self.replay_scan = replay_scan or self._REPLAY_SCAN
+        # staging dir for this run's task files only — NOT replay identity
         self.stream_dir = os.path.join(
             root, "data", f"s{uuid.uuid4().hex[:12]}"
         )
 
     def _already_committed(self, batch_id: int) -> bool:
-        seq = _current_sequence(self.root)
-        if seq == 0:
-            return False
-        s = _load_manifest(self.root, seq).get("summary", {})
-        return (
-            s.get("writer") == "snapshot_log_stream"
-            and s.get("stream_dir") == self.stream_dir
-            and int(s.get("epoch", -1)) >= batch_id
-        )
+        head = _current_sequence(self.root)
+        for seq in range(head, max(0, head - self.replay_scan), -1):
+            s = _load_manifest(self.root, seq).get("summary", {})
+            if s.get("writer") != "snapshot_log_stream":
+                continue  # interleaved non-stream commit: keep scanning
+            stored = s.get("stream_id")
+            if self.stream_id and stored and stored != self.stream_id:
+                continue  # a different stream's epoch: keep scanning
+            # most recent manifest attributable to THIS stream governs;
+            # epochs are monotone within a stream, so >= means committed
+            return int(s.get("epoch", -1)) >= batch_id
+        return False
 
     def write(self, iterator: Iterator) -> _Written | None:
         return _write_task_file(self.stream_dir, iterator)
@@ -398,7 +420,7 @@ class SnapshotLogStreamWriter(DataSourceStreamArrowWriter):
             summary={
                 "writer": "snapshot_log_stream",
                 "epoch": batchId,
-                "stream_dir": self.stream_dir,
+                "stream_id": self.stream_id,
             },
         )
 
@@ -489,4 +511,19 @@ class SnapshotLogDataSource(DataSource):
         return SnapshotLogBatchWriter(self._root(), schema, overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> SnapshotLogStreamWriter:
-        return SnapshotLogStreamWriter(self._root(), schema)
+        # stable-across-restarts stream identity: an explicit streamId
+        # option wins; else the query's checkpoint location (unique per
+        # logical stream, constant across its restarts); else None →
+        # single-writer-per-table replay semantics
+        stream_id = self.options.get("streamid")
+        if not stream_id:
+            ckpt = self.options.get("checkpointlocation")
+            if ckpt:
+                stream_id = hashlib.md5(
+                    os.path.abspath(ckpt).encode()
+                ).hexdigest()[:16]
+        replay_scan = self.options.get("replayscan")
+        return SnapshotLogStreamWriter(
+            self._root(), schema, stream_id=stream_id,
+            replay_scan=int(replay_scan) if replay_scan else None,
+        )
