@@ -111,3 +111,72 @@ def test_unseen_word_encodes_with_partial_merges(spark, corpus):
     toks = encode_word("slowest", ranks)
     assert "".join(toks) == "slowest"
     assert len(toks) < len("slowest")  # at least one merge applied
+
+
+def test_local_trainer_matches_distributed_and_reference(spark, corpus, freqs):
+    """bpe_train_local (driver-side incremental) ≡ bpe_train (distributed
+    incremental) ≡ the per-round-recount Sennrich reference, to merge
+    exhaustion — the incremental pair-count maintenance must be invisible
+    in the merge sequence."""
+    from workbook_exporter_fe_spark.operators.bpe import bpe_train_local
+
+    n = 40  # beyond exhaustion for this corpus → exercises early stop too
+    ref_merges, _ = _ref_train(freqs, n)
+    assert bpe_train_local(freqs, n) == ref_merges
+    assert bpe_train(word_freqs(corpus), n) == ref_merges
+
+
+def test_incremental_counts_on_synthetic_vocab():
+    """Wider alphabet + skewed Zipf-ish freqs: the local incremental
+    trainer tracks the recount reference through 120 merges, including
+    pair counts that rise, fall to zero, and resurrect via multi-char
+    symbol adjacency."""
+    import random
+
+    from workbook_exporter_fe_spark.operators.bpe import bpe_train_local
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    freqs = {}
+    for i in range(400):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 12)))
+        freqs[w] = freqs.get(w, 0) + rng.randint(1, 50)
+    ref_merges, _ = _ref_train(freqs, 120)
+    assert bpe_train_local(freqs, 120) == ref_merges
+
+
+def test_min_pair_count_threshold(spark, corpus, freqs):
+    from workbook_exporter_fe_spark.operators.bpe import bpe_train_local
+
+    got = bpe_train_local(freqs, 50, min_pair_count=6)
+    ref = []
+    f = dict(freqs)
+    # reference: run the recount trainer, cutting where count < 6
+    vocab = {w: list(w) for w in f}
+    while True:
+        counts = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f[w]
+        if not counts:
+            break
+        best, n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 6:
+            break
+        ref.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == ref and len(got) >= 3
+    assert bpe_train(word_freqs(corpus), 50, min_pair_count=6) == ref
