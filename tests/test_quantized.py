@@ -48,3 +48,17 @@ def test_quantized_topk_recall_is_exact_after_rerank(spark, emb):
         ).collect()
     }
     assert len(near & set(want)) >= 8
+
+
+def test_gemv_and_hof_kernels_agree(spark):
+    """The Arrow/numpy GEMV scan and the JVM HOF fold compute the same
+    integer dots, so both kernels must pick the same rerank candidates
+    and return the identical exact top-k."""
+    from workbook_exporter_fe_spark.operators.similarity import (
+        cosine_topk_quantized,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = cosine_topk_quantized(emb, query_vec_id=0, k=10, kernel="gemv")
+    b = cosine_topk_quantized(emb, query_vec_id=0, k=10, kernel="hof")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]

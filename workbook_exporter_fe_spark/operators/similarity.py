@@ -20,6 +20,8 @@ quantizer) drops in the same seam.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -501,21 +503,34 @@ def quantize_embeddings(
     per-vector scales cancel in dot/(|a||b|) — so search touches ONLY
     the int8 arrays; ``scale`` is kept for dot/reconstruction uses.
 
-    (The scale expression is referenced inside the transform lambda;
-    CollapseProject re-evaluates it per element, which is fine HERE
-    because the array length is the embedding dim — a small constant —
-    not a vocabulary; see operators/drift.py for the case where that
-    same shape is fatal.)
+    Arrow-batched numpy kernel, NOT a JVM transform lambda: the obvious
+    ``transform(x, v -> round(v/scale))`` re-evaluates the scale
+    expression (an array_max over the row) per ELEMENT once
+    CollapseProject inlines it — O(dim²) per row, measured 15× slower
+    than the float scan at dim=128 in scripts/bench_q8_gemv.py — the
+    same trap operators/drift.py documents at vocabulary scale. The
+    kernel does one rowwise abs-max + divide per Arrow batch instead.
+    Rounding is HALF_UP away from zero (Spark's ROUND), so the arrays
+    match what the old JVM expression produced. Requires fixed-dim
+    embeddings (any real embedding column is).
     """
-    x = F.col(vec_col)
-    amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<qv:array<tinyint>,scale:double>")
+    def _quant(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame({"qv": [], "scale": []})
+        m = np.stack(col.to_numpy()).astype(np.float64)
+        amax = np.abs(m).max(axis=1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0)
+        r = m / scale[:, None]
+        q = (np.sign(r) * np.floor(np.abs(r) + 0.5)).astype(np.int8)
+        return pd.DataFrame({"qv": list(q), "scale": scale})
+
     return df.select(
-        F.col(id_col),
-        F.transform(
-            x, lambda v: F.round(v / scale).cast("tinyint")
-        ).alias("qv"),
-        scale.alias("scale"),
+        F.col(id_col), _quant(F.col(vec_col)).alias("s")
+    ).select(
+        id_col, F.col("s.qv").alias("qv"), F.col("s.scale").alias("scale")
     )
 
 
@@ -528,6 +543,41 @@ def _qdot(a, b):
     )
 
 
+def _q8_gemv_scan(qt: DataFrame, query_vec_id: int, id_col: str) -> DataFrame:
+    """Vectorized int8 scan: one Arrow-batched numpy GEMV per batch
+    against the closure-captured query vector, instead of the
+    interpreted per-element HOF fold. This is the kernel that actually
+    realizes the int8 width win (BENCH/BASELINE.md "int8 quantization"
+    identified the HOF dot as the seam hiding it): each Arrow batch is
+    stacked into a (B, d) int8 matrix and hits BLAS-ish numpy matmul in
+    int32 (exact while 127²·d < 2³¹, i.e. dim < ~133k).
+
+    Returns ((id_col, dot:long, qn:long) for every row but the query's,
+    and the query's own squared norm).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    qrow = qt.filter(F.col(id_col) == query_vec_id).select("qv").first()
+    if qrow is None:
+        raise ValueError(f"query vec_id {query_vec_id} not found")
+    q = np.asarray(qrow["qv"], dtype=np.int32)
+    qn_q = int(q.astype(np.int64) @ q.astype(np.int64))
+
+    @pandas_udf("struct<dot:long,qn:long>")
+    def scan(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame({"dot": [], "qn": []}, dtype="int64")
+        m = np.stack(col.to_numpy()).astype(np.int32)  # (B, d) int8→int32
+        return pd.DataFrame(
+            {"dot": m @ q, "qn": np.einsum("ij,ij->i", m, m)}
+        )
+
+    scored = qt.filter(F.col(id_col) != query_vec_id).select(
+        id_col, scan(F.col("qv")).alias("s")
+    ).select(id_col, F.col("s.dot").alias("dot"), F.col("s.qn").alias("qn"))
+    return scored, qn_q
+
+
 def cosine_topk_quantized(
     embeddings: DataFrame,
     query_vec_id: int = 0,
@@ -535,6 +585,7 @@ def cosine_topk_quantized(
     rerank_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "gemv",
 ) -> DataFrame:
     """Brute-force cosine top-k over INT8-quantized vectors with exact
     re-rank: score every candidate on the quantized arrays (4× less
@@ -548,26 +599,43 @@ def cosine_topk_quantized(
     driver embeddings. Composes with the IVF probe filter (the candidate
     relation here is the full corpus; swap in the probed cells for
     IVF-quantized search — same seam as ivf_topk).
+
+    ``kernel``: 'gemv' (default) scans with the Arrow-batched numpy
+    matrix-vector kernel; 'hof' keeps the JVM higher-order-function fold
+    (the round-3 path, kept for the A/B in scripts/bench_r2_fixes and as
+    the no-Python fallback). Both produce identical integer dots, so the
+    rerank candidates — and therefore the exact output — are the same.
     """
     qt = quantize_embeddings(embeddings, vec_col=vec_col, id_col=id_col)
-    qn = qt.select(
-        id_col, "qv", _qdot(F.col("qv"), F.col("qv")).alias("qn")
-    )
-    qq = qn.filter(F.col(id_col) == query_vec_id).select(
-        F.col("qv").alias("qqv"), F.col("qn").alias("qqn")
-    )
-    approx = (
-        qn.filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(qq))
-        .select(
-            id_col,
-            _cos(
-                _qdot(F.col("qv"), F.col("qqv")), F.col("qn"), F.col("qqn")
-            ).alias("acos_"),
+    if kernel == "gemv":
+        scored, qn_q = _q8_gemv_scan(qt, query_vec_id, id_col)
+        approx = (
+            scored.select(
+                id_col,
+                _cos(F.col("dot"), F.col("qn"), F.lit(qn_q)).alias("acos_"),
+            )
+            .orderBy(F.desc("acos_"), F.asc(id_col))
+            .limit(rerank_factor * k)
         )
-        .orderBy(F.desc("acos_"), F.asc(id_col))
-        .limit(rerank_factor * k)
-    )
+    else:
+        qn = qt.select(
+            id_col, "qv", _qdot(F.col("qv"), F.col("qv")).alias("qn")
+        )
+        qq = qn.filter(F.col(id_col) == query_vec_id).select(
+            F.col("qv").alias("qqv"), F.col("qn").alias("qqn")
+        )
+        approx = (
+            qn.filter(F.col(id_col) != query_vec_id)
+            .crossJoin(F.broadcast(qq))
+            .select(
+                id_col,
+                _cos(
+                    _qdot(F.col("qv"), F.col("qqv")), F.col("qn"), F.col("qqn")
+                ).alias("acos_"),
+            )
+            .orderBy(F.desc("acos_"), F.asc(id_col))
+            .limit(rerank_factor * k)
+        )
     v = embeddings.select(F.col(id_col), _ivec(F.col(vec_col)).alias("iv")).select(
         id_col, "iv", _idot(F.col("iv"), F.col("iv")).alias("n")
     )
