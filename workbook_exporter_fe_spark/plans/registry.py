@@ -293,6 +293,10 @@ def q11_topk_per_group(spark, sf_dir):
 
 # O19 — merge-upsert: new rows win per key (write_yaml merge,
 # workbook_exporter-fe.py:1758-1767), exercised through operators.merge.
+# PLUS the state-diff CDC classification (sources/snapshots.py state_diff,
+# the join row_diff time-travel audits run): each merged row is labelled
+# insert / update_post / unchanged relative to the pre-merge state, via
+# the REAL full-outer-join operator mirrored in the oracle.
 @query(
     "q12_merge_upsert",
     """
@@ -302,14 +306,29 @@ def q11_topk_per_group(spark, sf_dir):
     ), nu AS (
       SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)) AS DOUBLE) AS price, 'new' AS origin
       FROM orders WHERE o_orderkey % 2 = 0
+    ), merged AS (
+      SELECT * FROM nu
+      UNION ALL
+      SELECT e.* FROM existing e WHERE e.o_orderkey NOT IN (SELECT o_orderkey FROM nu)
+    ), diff AS (
+      SELECT COALESCE(m.o_orderkey, e.o_orderkey) AS k,
+             CASE WHEN e.o_orderkey IS NULL THEN 'insert'
+                  WHEN m.o_orderkey IS NULL THEN 'delete'
+                  WHEN m.price IS DISTINCT FROM e.price
+                       OR m.origin IS DISTINCT FROM e.origin THEN 'update_post'
+             END AS op
+      FROM merged m FULL OUTER JOIN existing e
+        ON m.o_orderkey IS NOT DISTINCT FROM e.o_orderkey
     )
-    SELECT * FROM nu
-    UNION ALL
-    SELECT e.* FROM existing e WHERE e.o_orderkey NOT IN (SELECT o_orderkey FROM nu)
+    SELECT m.*, COALESCE(d.op, 'unchanged') AS diff_op
+    FROM merged m
+    LEFT JOIN (SELECT k, op FROM diff WHERE op IS NOT NULL) d
+      ON m.o_orderkey = d.k
     """,
 )
 def q12_merge_upsert(spark, sf_dir):
     from workbook_exporter_fe_spark.operators.merge import merge_upsert
+    from workbook_exporter_fe_spark.sources.snapshots import state_diff
 
     o = _t(spark, sf_dir, "orders")
     existing = o.filter(F.col("o_orderkey") % 3 != 0).select(
@@ -322,7 +341,13 @@ def q12_merge_upsert(spark, sf_dir):
         .alias("price"),
         F.lit("new").alias("origin"),
     )
-    return merge_upsert(existing, new, ["o_orderkey"])
+    merged = merge_upsert(existing, new, ["o_orderkey"])
+    ops = state_diff(existing, merged, ["o_orderkey"]).select(
+        "o_orderkey", F.col("_op").alias("diff_op")
+    )
+    return merged.join(ops, "o_orderkey", "left").withColumn(
+        "diff_op", F.coalesce("diff_op", F.lit("unchanged"))
+    )
 
 
 # O14 — multi-branch fan-out: one row → N probe rows, each guarded

@@ -670,7 +670,7 @@ def q37_text_metrics(spark, sf_dir):
       FROM (SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents)
       GROUP BY source, word
     ), tok AS (
-      SELECT source,
+      SELECT doc_id, source,
              list_transform(string_split(text, ' '),
                             w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT)) AS toks
       FROM documents
@@ -715,6 +715,28 @@ def q37_text_metrics(spark, sf_dir):
              COUNT(*) AS n_union,
              SUM(CASE WHEN pn = 0 THEN 1 ELSE 0 END) AS n_only_base
       FROM dterms GROUP BY 1
+    ), tokocc AS (
+      -- vocab growth / churn: deterministic day bucket from doc_id so the
+      -- documents table stands in for a dated ingest stream
+      SELECT source,
+             CAST('2024-01-01' AS TIMESTAMP) + to_days(CAST(doc_id % 7 AS INT))
+               AS bucket_ts,
+             UNNEST(toks) AS token
+      FROM tok
+    ), firstseen AS (
+      SELECT token, MIN(bucket_ts) AS first_ts FROM tokocc GROUP BY 1
+    ), vgc AS (
+      SELECT bucket_ts, new_tokens,
+             SUM(new_tokens) OVER (ORDER BY bucket_ts) AS vocab_size
+      FROM (SELECT first_ts AS bucket_ts, COUNT(*) AS new_tokens
+            FROM firstseen GROUP BY 1)
+    ), ntr AS (
+      SELECT o.source, o.bucket_ts,
+             CAST(SUM(CASE WHEN f.first_ts = o.bucket_ts THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_occ,
+             COUNT(*) AS total_occ
+      FROM tokocc o JOIN firstseen f USING (token)
+      GROUP BY 1, 2
     )
     SELECT 'uni' AS kind, source, word,
            CAST(NULL AS INTEGER) AS gram_a, CAST(NULL AS INTEGER) AS gram_b, n,
@@ -765,6 +787,21 @@ def q37_text_metrics(spark, sf_dir):
     UNION ALL
     SELECT 'drift', source, 'n_only_base', CAST(NULL AS INTEGER),
            CAST(NULL AS INTEGER), n_only_base, CAST(NULL AS DOUBLE) FROM dm
+    UNION ALL
+    SELECT 'vg', CAST(NULL AS VARCHAR),
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S'),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), new_tokens,
+           CAST(vocab_size AS DOUBLE) FROM vgc
+    UNION ALL
+    SELECT 'ntr', source,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') || '|new',
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), new_occ,
+           ROUND(CAST(new_occ AS DOUBLE) / total_occ, 6) FROM ntr
+    UNION ALL
+    SELECT 'ntr', source,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') || '|tot',
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), total_occ,
+           CAST(NULL AS DOUBLE) FROM ntr
     """,
 )
 def q25_word_histogram(spark, sf_dir):
@@ -874,9 +911,56 @@ def q25_word_histogram(spark, sf_dir):
             ).alias("pmi"),
         )
         drift_rows = row if drift_rows is None else drift_rows.unionByName(row)
+    # vocab growth / churn family (operators/vocab.py vocab_growth +
+    # new_token_rate) — documents stand in for a dated ingest stream via a
+    # deterministic doc_id%7 day bucket, mirrored exactly in the oracle.
+    from workbook_exporter_fe_spark.operators.vocab import (
+        new_token_rate,
+        vocab_growth,
+    )
+
+    ev = d.select(
+        "source",
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 7).cast("int")
+        )
+        .cast("timestamp")
+        .alias("event_ts"),
+        toks.alias("tokens"),
+    )
+    bstr = F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss")
+    vg = vocab_growth(ev, tier="1d").select(
+        F.lit("vg").alias("kind"),
+        F.lit(None).cast("string").alias("source"),
+        bstr.alias("word"),
+        noint.alias("gram_a"),
+        noint.alias("gram_b"),
+        F.col("new_tokens").alias("n"),
+        F.col("vocab_size").cast("double").alias("pmi"),
+    )
+    ntr = new_token_rate(ev, tier="1d")
+    ntr_new = ntr.select(
+        F.lit("ntr").alias("kind"),
+        "source",
+        F.concat(bstr, F.lit("|new")).alias("word"),
+        noint.alias("gram_a"),
+        noint.alias("gram_b"),
+        F.col("new_occ").alias("n"),
+        F.col("new_rate").alias("pmi"),
+    )
+    ntr_tot = ntr.select(
+        F.lit("ntr").alias("kind"),
+        "source",
+        F.concat(bstr, F.lit("|tot")).alias("word"),
+        noint.alias("gram_a"),
+        noint.alias("gram_b"),
+        F.col("total_occ").alias("n"),
+        nodbl,
+    )
     return (
         uni.unionByName(bi).unionByName(df).unionByName(pmi)
         .unionByName(drift_rows)
+        .unionByName(vg).unionByName(ntr_new).unionByName(ntr_tot)
     )
 
 

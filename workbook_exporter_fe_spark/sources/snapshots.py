@@ -67,6 +67,45 @@ import uuid
 from pyspark.sql import DataFrame, Row, SparkSession
 
 
+def state_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-level diff of two table STATES: ``new``'s schema plus ``_op`` ∈
+    insert / delete / update_post (deletes carry the OLD row surfaced in
+    new-schema columns so the feed has one shape); unchanged rows are
+    dropped. ``keys`` identifies rows; non-key columns classify updates
+    with null-safe equality.
+
+    One full outer join on the keys — the state-diff floor. Standalone so
+    it works on any two DataFrames (e.g. pre/post merge-upsert audit);
+    ``SnapshotTable.row_diff`` is this over two time-travel reads."""
+    if not keys:
+        raise ValueError("state_diff needs key columns")
+    from pyspark.sql import functions as F
+
+    cols = new.columns
+    non_keys = [c for c in cols if c not in keys]
+    o = old.select([F.col(c).alias(f"_o_{c}") for c in cols])
+    n = new.select(cols)
+    cond = [n[k].eqNullSafe(o[f"_o_{k}"]) for k in keys]
+    j = n.join(o, cond, "full_outer")
+    changed = F.lit(False)
+    for c in non_keys:
+        e = ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))
+        changed = e if c == non_keys[0] else (changed | e)
+    op = (
+        F.when(F.col(f"_o_{keys[0]}").isNull(), F.lit("insert"))
+        .when(F.col(keys[0]).isNull(), F.lit("delete"))
+        .when(changed, F.lit("update_post"))
+    )
+    out = j.withColumn("_op", op).filter(F.col("_op").isNotNull())
+    sel = [
+        F.when(F.col("_op") == "delete", F.col(f"_o_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in cols
+    ]
+    return out.select(*sel, "_op")
+
+
 class SnapshotConflict(RuntimeError):
     """Another writer committed the same sequence number first."""
 
@@ -716,37 +755,7 @@ class SnapshotTable:
         ``row_diff("v1", "v2", keys=…)`` is the audit "what changed
         between the corpus my model trained on and today's".
         """
-        if not keys:
-            raise ValueError("row_diff needs key columns")
-        from pyspark.sql import functions as F
-
-        old = self.read(from_sequence)
-        new = self.read(to_sequence)
-        cols = new.columns
-        non_keys = [c for c in cols if c not in keys]
-        o = old.select([F.col(c).alias(f"_o_{c}") for c in cols])
-        n = new.select(cols)
-        cond = [n[k].eqNullSafe(o[f"_o_{k}"]) for k in keys]
-        j = n.join(o, cond, "full_outer")
-        changed = F.lit(False)
-        for c in non_keys:
-            e = ~F.col(c).eqNullSafe(F.col(f"_o_{c}"))
-            changed = e if c == non_keys[0] else (changed | e)
-        op = (
-            F.when(F.col(f"_o_{keys[0]}").isNull(), F.lit("insert"))
-            .when(F.col(keys[0]).isNull(), F.lit("delete"))
-            .when(changed, F.lit("update_post"))
-        )
-        out = j.withColumn("_op", op).filter(F.col("_op").isNotNull())
-        # deletes only exist on the old side; surface them in new-schema
-        # columns so the feed has ONE shape
-        sel = [
-            F.when(F.col("_op") == "delete", F.col(f"_o_{c}"))
-            .otherwise(F.col(c))
-            .alias(c)
-            for c in cols
-        ]
-        return out.select(*sel, "_op")
+        return state_diff(self.read(from_sequence), self.read(to_sequence), keys)
 
     # ---------------------------------------------------------------- tags
     def _tags_path(self) -> str:
