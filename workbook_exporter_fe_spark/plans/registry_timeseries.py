@@ -110,10 +110,50 @@ def _tier1(spark, sf_dir):
                               RANGE BETWEEN 899 PRECEDING AND CURRENT ROW)
                AS maxrate15
       FROM pw
+    ),
+    -- alerting rule `for:` state (plans/rules.py island streaks) over an
+    -- HOURLY roll-up of the scaled gauge: candidate when the exact
+    -- integral hourly sum > 10000, firing after a 3-step (2h `for` at 1h
+    -- step) consecutive run, else pending
+    hh AS (
+      SELECT source, date_trunc('hour', bucket_ts) AS hts,
+             SUM(val) AS hval,
+             epoch_us(date_trunc('hour', bucket_ts)) // 1000000 AS htsec
+      FROM s GROUP BY 1, 2
+    ),
+    isl AS (
+      SELECT source, hts, htsec,
+             htsec // 3600
+               - ROW_NUMBER() OVER (PARTITION BY source ORDER BY htsec) AS il
+      FROM hh WHERE hval > 10000
+    ),
+    ast AS (
+      SELECT source, hts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY source, il
+                                          ORDER BY htsec) >= 3
+                  THEN 'firing' ELSE 'pending' END AS pq_alert
+      FROM isl
+    ),
+    -- query_range explicit-grid resample (promql.py marker trick): the
+    -- 15m avg on its native grid, as-of'd onto a 5m step grid with 5m
+    -- staleness — mirrored here with DuckDB's ASOF join
+    bounds AS (SELECT MIN(tsec) AS t0, MAX(tsec) AS t1 FROM s),
+    spine AS (
+      SELECT src.source, UNNEST(generate_series(b.t0, b.t1, 300)) AS gt
+      FROM (SELECT DISTINCT source FROM s) src, bounds b
+    ),
+    qr AS (
+      -- staleness as a projection (not a WHERE: DuckDB would push a
+      -- second inequality into the ASOF join); a stale match yields a
+      -- NULL value, same as Spark's dropped row after the left join
+      SELECT sp.source, sp.gt,
+             CASE WHEN p.tsec >= sp.gt - 300 THEN p.avg15 END AS avg15
+      FROM spine sp ASOF JOIN pw p
+        ON sp.source = p.source AND p.tsec <= sp.gt
     )
     SELECT t1.source, t1.bucket_ts, sum_v, min_v, max_v, cnt,
            ROUND(sum_v / cnt, 6) AS avg_v,
-           ROUND(avg15 / 100.0, 6) AS pq_avg15m,
+           ROUND(pw.avg15 / 100.0, 6) AS pq_avg15m,
            ROUND(max60 / 100.0, 6) AS pq_max1h,
            ROUND(inc5 / 300.0, 6) AS pq_rate5m,
            ROUND((CASE WHEN k >= 2 AND (k * stt - st * st) > 0
@@ -123,10 +163,15 @@ def _tier1(spark, sf_dir):
            ROUND(med15 / 100.0, 6) AS pq_med15m,
            CAST(chg15 AS DOUBLE) AS pq_changes15m,
            ROUND(share, 6) AS pq_share,
-           ROUND(maxrate15, 6) AS pq_maxrate15m
+           ROUND(maxrate15, 6) AS pq_maxrate15m,
+           ast.pq_alert AS pq_alert,
+           ROUND(qr.avg15 / 100.0, 6) AS pq_qr5m
     FROM t1
     JOIN pw ON t1.source = pw.source AND t1.bucket_ts = pw.bucket_ts
     JOIN sq ON t1.source = sq.source AND t1.bucket_ts = sq.bucket_ts
+    LEFT JOIN ast ON t1.source = ast.source
+                 AND date_trunc('hour', t1.bucket_ts) = ast.hts
+    LEFT JOIN qr ON t1.source = qr.source AND pw.tsec = qr.gt
     """,
 )
 def q20_tier1_1m(spark, sf_dir):
@@ -184,7 +229,46 @@ def q20_tier1_1m(spark, sf_dir):
         ("max_over_time(rate(events_cum[5m])[15m:])", "pq_maxrate15m", 1.0),
     ]:
         out = out.join(col_of(expr, name, scale), ["source", "bucket_ts"], "left")
-    return out
+    # alerting-rule `for:` state (plans/rules.py RuleEngine island
+    # streaks) over an HOURLY metric: candidate when the exact integral
+    # hourly sum > 10000; `for: 2h` at 1h step → firing needs a 3-run
+    from workbook_exporter_fe_spark.plans.rules import AlertingRule, RuleEngine
+
+    hourly = t1.groupBy(
+        "source", F.date_trunc("hour", "bucket_ts").alias("bucket_ts")
+    ).agg(F.sum(F.round(F.col("sum_v") * 100)).alias("value"))
+    store.register("tokens_1h", hourly)
+    hot = RuleEngine(store).run(
+        [AlertingRule(alert="hot", expr="tokens_1h > 10000",
+                      for_s=7200, step_s=3600)]
+    )["hot"]
+    ast = hot.select(
+        "source", F.col("ts").alias("_hour"), F.col("state").alias("pq_alert")
+    )
+    out = (
+        out.withColumn("_hour", F.date_trunc("hour", "bucket_ts"))
+        .join(ast, ["source", "_hour"], "left")
+        .drop("_hour")
+    )
+    # query_range explicit-grid resample (promql.py:query_range marker
+    # trick): native-grid 15m avg as-of'd onto a 5m step grid, 5m
+    # staleness; grid bounds are a 2-scalar watermark collect
+    from workbook_exporter_fe_spark.plans.promql import query_range
+
+    b = t1.agg(
+        F.min(F.col("bucket_ts").cast("timestamp").cast("long")).alias("t0"),
+        F.max(F.col("bucket_ts").cast("timestamp").cast("long")).alias("t1"),
+    ).collect()[0]
+    vr = query_range(
+        store, "avg_over_time(tokens_scaled[15m])",
+        int(b.t0), int(b.t1), step="5m", lookback="5m",
+    )
+    qr = vr.select(
+        "source",
+        F.col("ts").alias("bucket_ts"),
+        F.round(F.col("value") / 100.0, 6).alias("pq_qr5m"),
+    )
+    return out.join(qr, ["source", "bucket_ts"], "left")
 
 
 # Tier-2 (1h) AND tier-3 (1d) re-aggregation in one union-tagged query —
