@@ -121,6 +121,39 @@ spark.stop()
 """
 
 
+SPANS_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from workbook_exporter_fe_spark.session import get_spark
+from workbook_exporter_fe_spark.operators.spans import repeated_spans
+from workbook_exporter_fe_spark.sources.datagen import gen_sequences, write_sequences
+
+cores = {cores}
+spark = get_spark(app_name=f"scale_spans{{cores}}", cores=cores,
+                  shuffle_partitions=cores,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "32m"}})
+path = {corpus!r}
+if not os.path.exists(path + "/_SUCCESS"):
+    write_sequences(gen_sequences(spark, {n_docs}, seed=42), path)
+seq = spark.read.parquet(path)
+
+def job():
+    repeated_spans(seq, n=8, min_count=2, hash_fn="native").write.format(
+        "noop").mode("overwrite").save()
+
+job()  # warmup, discarded
+times = []
+for i in range({repeats}):
+    t0 = time.perf_counter()
+    job()
+    times.append(time.perf_counter() - t0)
+n_windows = seq.selectExpr("sum(greatest(n_tok - 7, 0)) AS s").first().s
+print("RESULT " + json.dumps({{"cores": cores, "times": times,
+      "best": min(times), "windows": int(n_windows), "docs": seq.count()}}))
+spark.stop()
+"""
+
+
 def run_at(cores: int, events: str, repeats: int) -> dict:
     code = RUNNER.format(repo=REPO, cores=cores, events=events, repeats=repeats)
     out = subprocess.run(
@@ -143,6 +176,29 @@ def run_dedup_at(cores: int, corpus: str, n_docs: int, repeats: int) -> dict:
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"no RESULT from cores={cores}: {out.stderr[-2000:]}")
+
+
+def _splice_section(marker: str, section: str) -> None:
+    """Replace ONLY the section owned by ``marker`` in BENCH/BASELINE.md
+    (marker up to the next ``## `` heading), preserving later sections —
+    the original prefix-truncate lost every section appended after the
+    one being rewritten."""
+    path = f"{REPO}/BENCH/BASELINE.md"
+    with open(path) as f:
+        doc = f.read()
+    if marker in doc:
+        start = doc.index(marker)
+        nxt = doc.find("\n## ", start + len(marker))
+        tail = doc[nxt:].lstrip("\n") if nxt != -1 else ""
+        doc = (
+            doc[:start].rstrip()
+            + "\n\n" + section.rstrip() + "\n"
+            + ("\n" + tail if tail else "")
+        )
+    else:
+        doc = doc.rstrip() + "\n\n" + section.rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(doc)
 
 
 DEDUP_MARKER = "## Second operator class: MinHash dedup scaling"
@@ -181,15 +237,7 @@ oracle-checkable path at test scale.
 - **scaling efficiency (T_N/T_4N)/4 = {round(eff, 3)}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 - repeat timings (s): local[4] {[round(x, 2) for x in results[4]['times']]}, local[16] {[round(x, 2) for x in results[16]['times']]}
 """
-    path = f"{REPO}/BENCH/BASELINE.md"
-    with open(path) as f:
-        doc = f.read()
-    if DEDUP_MARKER in doc:
-        doc = doc[: doc.index(DEDUP_MARKER)].rstrip() + "\n\n" + section
-    else:
-        doc = doc.rstrip() + "\n\n" + section
-    with open(path, "w") as f:
-        f.write(doc)
+    _splice_section(DEDUP_MARKER, section)
     print(json.dumps({"job": "dedup", "efficiency": round(eff, 3),
                       "t4": round(t4, 2), "t16": round(t16, 2)}))
 
@@ -224,15 +272,7 @@ vocabulary-sized output.
 - **scaling efficiency (T_N/T_4N)/4 = {round(eff, 3)}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
 - repeat timings (s): local[4] {[round(x, 2) for x in results[4]['times']]}, local[16] {[round(x, 2) for x in results[16]['times']]}
 """
-    path = f"{REPO}/BENCH/BASELINE.md"
-    with open(path) as f:
-        doc = f.read()
-    if BIGRAM_MARKER in doc:
-        doc = doc[: doc.index(BIGRAM_MARKER)].rstrip() + "\n\n" + section
-    else:
-        doc = doc.rstrip() + "\n\n" + section
-    with open(path, "w") as f:
-        f.write(doc)
+    _splice_section(BIGRAM_MARKER, section)
     print(json.dumps({"job": "bigram", "efficiency": round(eff, 3),
                       "t4": round(t4, 2), "t16": round(t16, 2)}))
 
@@ -323,6 +363,46 @@ shutil.rmtree("/dev/shm/spark_cc_local", ignore_errors=True)
 """
 
 
+SPANS_MARKER = "## Corpus-span operator class: repeated-span fingerprint scaling"
+
+
+def spans_main(corpus: str, n_docs: int, repeats: int) -> None:
+    """Scaling evidence for the repeated-span / decontam fingerprint class
+    (VERDICT r3 #7): per-row HOF rolling window hashes → int64 partial-agg
+    groupBy → broadcast hot-set join → per-doc span merge. Appends to
+    BENCH/BASELINE.md."""
+    results = {c: run_generic_at(SPANS_RUNNER, c, corpus, n_docs, repeats)
+               for c in (4, 16)}
+    t4, t16 = results[4]["best"], results[16]["best"]
+    eff = (t4 / t16) / 4
+    wn = results[4]["windows"]
+    section = f"""{SPANS_MARKER}
+
+Same protocol (fresh JVM per level, warmup discarded, best of {repeats}):
+`repeated_spans` (operators/spans.py — Lee et al. ExactSubstr shape) over
+{results[4]['docs']:,} generated sequences ({wn:,} 8-token window
+fingerprints). Plan shape: window hashes are computed per ROW by a HOF
+transform over start positions (xxhash64 on a slice — no pre-explode
+string churn), posexploded to (id, pos, fp) int64 rows, partial-agg
+groupBy fp for the hot set (≥2 occurrences corpus-wide), hot set
+broadcast back onto the fingerprint stream, and spans merged per doc with
+one (id, pos)-sorted window pass. Two exchanges total (fp groupBy + id
+window sort), both carrying int64-keyed thin rows — the same
+partial-agg-dominated shape as the bigram class.
+
+| quantity | local[4] (N) | local[16] (4N) |
+|---|---|---|
+| wall-clock (s) | {round(t4, 2)} | {round(t16, 2)} |
+| window fingerprints/s | {round(wn / t4):,} | {round(wn / t16):,} |
+
+- **scaling efficiency (T_N/T_4N)/4 = {round(eff, 3)}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- repeat timings (s): local[4] {[round(x, 2) for x in results[4]['times']]}, local[16] {[round(x, 2) for x in results[16]['times']]}
+"""
+    _splice_section(SPANS_MARKER, section)
+    print(json.dumps({"job": "spans", "efficiency": round(eff, 3),
+                      "t4": round(t4, 2), "t16": round(t16, 2)}))
+
+
 COMPONENTS_MARKER = "## Iterative operator class: connected components scaling"
 
 
@@ -410,15 +490,7 @@ is reported alongside, unhidden.
   local[4]→local[16] = {round(eff416, 3)} ({"PASS" if eff416 >= 0.8 else "expected FAIL — memory-controller-bound, not operator-bound"})
 - repeat timings (s): local[2] {reps[2]}, local[4] {reps[4]}, local[8] {reps[8]}, local[16] {reps[16]}
 """
-    path = f"{REPO}/BENCH/BASELINE.md"
-    with open(path) as f:
-        doc = f.read()
-    if COMPONENTS_MARKER in doc:
-        doc = doc[: doc.index(COMPONENTS_MARKER)].rstrip() + "\n\n" + section
-    else:
-        doc = doc.rstrip() + "\n\n" + section
-    with open(path, "w") as f:
-        f.write(doc)
+    _splice_section(COMPONENTS_MARKER, section)
     print(json.dumps({
         "job": "components",
         "efficiency_2_8": round(eff28, 3),
@@ -536,15 +608,7 @@ re-merge exactly).
 - full wall-clock curve (s): local[2] {round(t2, 2)}, local[4] {round(results[4]['best'], 2)}, local[8] {round(t8, 2)}, local[16] {round(results[16]['best'], 2)}
 - repeat timings (s): local[2] {[round(x, 2) for x in results[2]['times']]}, local[8] {[round(x, 2) for x in results[8]['times']]}
 """
-    path = f"{REPO}/BENCH/BASELINE.md"
-    with open(path) as f:
-        doc = f.read()
-    if SERIES_MARKER in doc:
-        doc = doc[: doc.index(SERIES_MARKER)].rstrip() + "\n\n" + section
-    else:
-        doc = doc.rstrip() + "\n\n" + section
-    with open(path, "w") as f:
-        f.write(doc)
+    _splice_section(SERIES_MARKER, section)
     print(json.dumps({"job": "series", "efficiency": round(eff, 3),
                       "t2": round(t2, 2), "t8": round(t8, 2)}))
 
@@ -598,7 +662,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--job",
-        choices=("tier1", "dedup", "bigram", "components", "series"),
+        choices=("tier1", "dedup", "bigram", "components", "series", "spans"),
         default="tier1",
     )
     ap.add_argument(
@@ -615,6 +679,9 @@ def main() -> None:
         return
     if args.job == "bigram":
         bigram_main(args.dedup_corpus, args.dedup_docs, args.repeats)
+        return
+    if args.job == "spans":
+        spans_main(args.dedup_corpus, args.dedup_docs, args.repeats)
         return
     if args.job == "components":
         components_main(args.cc_graph, args.cc_vertices, args.repeats)
