@@ -16,6 +16,8 @@ Usage (local or spark-submit --py-files engine.zip run_corpus.py ...):
     python run_corpus.py --input docs.parquet --out /tmp/shards \
         --mixture src-00=2000000,src-01=500000 --mixture-token-col n_chars \
         --shuffle-seed 7 --target-files 64
+    python run_corpus.py --input docs.parquet --out /tmp/shards \
+        --mixture-temp 5000000@0.3   # budgets from p_i ∝ n_i^0.3 (mT5 rule)
 """
 
 from __future__ import annotations
@@ -60,6 +62,13 @@ def main() -> None:
     ap.add_argument("--mixture-token-col", default="n_chars")
     ap.add_argument("--mixture-source-col", default="source")
     ap.add_argument(
+        "--mixture-temp",
+        help="derive the per-source budgets from the corpus itself with "
+        "temperature sampling: TOTAL_TOKENS@ALPHA (e.g. 5000000@0.3 — "
+        "p_i ∝ n_i^alpha, the mT5/XLM-R rule). Mutually exclusive with "
+        "--mixture; adds one per-source count aggregate before curation",
+    )
+    ap.add_argument(
         "--shuffle-seed", type=int,
         help="deterministic global shard shuffle (requires --target-files)",
     )
@@ -95,6 +104,28 @@ def main() -> None:
             toked, idx, tokens_col="_toks", id_col=args.id_col
         ).drop("_toks")
         pre_metrics["decontam_dropped"] = before - docs.count()
+    mixture = _kv_ints(args.mixture) if args.mixture else None
+    if args.mixture_temp:
+        if mixture is not None:
+            ap.error("--mixture-temp is mutually exclusive with --mixture")
+        from pyspark.sql import functions as F
+
+        from workbook_exporter_fe_spark.operators.sampling import (
+            mixture_budgets,
+            temperature_weights,
+        )
+
+        total_s, alpha_s = args.mixture_temp.split("@")
+        counts = {
+            r["src"]: r["n"]
+            for r in docs.groupBy(
+                F.col(args.mixture_source_col).alias("src")
+            ).agg(F.sum(args.mixture_token_col).alias("n")).collect()
+        }
+        mixture = mixture_budgets(
+            int(total_s), temperature_weights(counts, float(alpha_s))
+        )
+        pre_metrics["mixture_temp_budgets"] = mixture
     _, metrics = curate_corpus(
         docs,
         args.out,
@@ -105,7 +136,7 @@ def main() -> None:
         sample_rate=args.sample_rate,
         splits=_kv_floats(args.splits),
         max_records_per_file=args.max_records_per_file,
-        mixture=_kv_ints(args.mixture) if args.mixture else None,
+        mixture=mixture,
         mixture_token_col=args.mixture_token_col,
         mixture_source_col=args.mixture_source_col,
         shuffle_seed=args.shuffle_seed,

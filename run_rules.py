@@ -28,6 +28,13 @@ Config (YAML):
             expr: job:tokens:avg15m > 5000
             for: 5m
             step: 1m
+          - alert: TokensDead            # dead-metric (absent) alarm:
+            expr: absent(tokens_sum)     # fires when NO series reports
+            for: 5m                      # needs an explicit grid —
+            step: 1m                     # absence is unobservable on the
+            lookback: 90s                # native grid (see promql.py
+            start: 2024-01-01T00:00:00   # absent_range); naive ISO bounds
+            end: 2024-01-31T00:00:00     # are read as UTC
 
 Usage:
     python run_rules.py --config rules.yaml --out /path/rules_out
@@ -67,9 +74,24 @@ def build_store(spark, cfg: dict):
     return store
 
 
+def _epoch(x) -> int:
+    """YAML grid bound → epoch seconds, timezone-independently (naive ISO
+    strings are UTC — never the host zone; same rule the backfill CLI
+    applies)."""
+    if isinstance(x, (int, float)):
+        return int(x)
+    import calendar
+    import datetime as _dt
+
+    return calendar.timegm(_dt.datetime.fromisoformat(str(x)).timetuple())
+
+
 def build_rules(cfg: dict):
+    import re
+
     from workbook_exporter_fe_spark.plans.promql import duration_seconds
     from workbook_exporter_fe_spark.plans.rules import (
+        AbsentAlertingRule,
         AlertingRule,
         RecordingRule,
     )
@@ -80,15 +102,37 @@ def build_rules(cfg: dict):
             if "record" in r:
                 rules.append(RecordingRule(r["record"], r["expr"]))
             elif "alert" in r:
-                rules.append(
-                    AlertingRule(
-                        r["alert"],
-                        r["expr"],
-                        for_s=duration_seconds(r["for"]) if "for" in r else 0.0,
-                        step_s=duration_seconds(r["step"]) if "step" in r
-                        else 60.0,
-                    )
+                for_s = duration_seconds(r["for"]) if "for" in r else 0.0
+                step_s = (
+                    duration_seconds(r["step"]) if "step" in r else 60.0
                 )
+                m = re.fullmatch(r"absent\((.*)\)", r["expr"].strip())
+                if m:
+                    # dead-metric alert: needs the explicit grid
+                    if "start" not in r or "end" not in r:
+                        raise ValueError(
+                            f"absent() alert {r['alert']!r} needs "
+                            "start/end grid bounds"
+                        )
+                    rules.append(
+                        AbsentAlertingRule(
+                            r["alert"],
+                            m.group(1),
+                            start=_epoch(r["start"]),
+                            end=_epoch(r["end"]),
+                            for_s=for_s,
+                            step_s=step_s,
+                            lookback_s=duration_seconds(r["lookback"])
+                            if "lookback" in r else 300.0,
+                        )
+                    )
+                else:
+                    rules.append(
+                        AlertingRule(
+                            r["alert"], r["expr"],
+                            for_s=for_s, step_s=step_s,
+                        )
+                    )
             else:
                 raise ValueError(f"rule needs 'record' or 'alert': {r}")
     return rules

@@ -153,6 +153,46 @@ def test_curate_corpus_mixture_and_shuffled_shards(spark, docs_with_dups,
     assert contents(out) == contents(out2)
 
 
+def test_run_corpus_cli_mixture_temp(spark, tmp_path, monkeypatch, capsys):
+    """--mixture-temp TOTAL@ALPHA derives the per-source budgets from the
+    corpus itself (p_i ∝ n_i^alpha) and feeds them to the mixture stage."""
+    import json
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from workbook_exporter_fe_spark.operators.sampling import (
+        mixture_budgets,
+        temperature_weights,
+    )
+
+    sys.path.insert(0, "/root/repo")
+    import run_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    monkeypatch.setattr(sys, "argv", [
+        "run_corpus.py", "--input", src, "--out", str(tmp_path / "out"),
+        "--mixture-temp", "50000@0.3",
+    ])
+    run_corpus.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    budgets = report["mixture_temp_budgets"]
+    assert sum(budgets.values()) == 50_000
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(
+            F.sum("n_chars").alias("n")
+        ).collect()
+    }
+    assert budgets == mixture_budgets(
+        50_000, temperature_weights(counts, 0.3)
+    )
+    # the fill reached every budget (first-crossing inclusive)
+    assert report["mixture_tokens"] >= 50_000
+
+
 def test_run_corpus_cli_decontam_path(spark, tmp_path, monkeypatch, capsys):
     """run_corpus.py main() with --decontam-index: benchmark-matching docs
     drop before curation and the metric surfaces in the report."""

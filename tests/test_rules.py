@@ -250,3 +250,79 @@ groups:
     a = store.metric("mem_pq").df.count()
     b = store.metric("mem_snap").df.count()
     assert a == b > 0
+
+
+def test_absent_alert_streaks(store):
+    """AbsentAlertingRule: absence islands get the same for:-streak
+    semantics as presence alerts — singleton scrape gaps stay pending,
+    the post-data tail fires once the streak covers `for`."""
+    from workbook_exporter_fe_spark.plans.rules import AbsentAlertingRule
+
+    eng = RuleEngine(store)
+    out = eng.run(
+        [
+            AbsentAlertingRule(
+                "S1Dead",
+                'mem_bytes{source="s1"}',
+                start=T0,
+                end=T0 + 70 * 60,
+                for_s=120,
+                step_s=60,
+                lookback_s=30,
+            )
+        ]
+    )["S1Dead"]
+    got = {
+        int(r["ts"].timestamp()): (r["value"], r["state"])
+        for r in out.collect()
+    }
+    gaps = {i for i in range(60) if i % 11 == 5}  # s1 scrape gaps
+    tail = set(range(60, 71))  # beyond the data: an 11-step absence run
+    assert set(got) == {T0 + i * 60 for i in gaps | tail}
+    for i in gaps:
+        assert got[T0 + i * 60] == (1.0, "pending")  # singleton islands
+    for i in (60, 61):
+        assert got[T0 + i * 60][1] == "pending"  # streak shorter than for
+    for i in range(62, 71):
+        assert got[T0 + i * 60][1] == "firing"
+
+
+def test_build_rules_absent_yaml():
+    """run_rules.py config: absent(expr) alerts parse into
+    AbsentAlertingRule with grid bounds; missing bounds are an error."""
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "/root/repo")
+    from run_rules import build_rules
+
+    from workbook_exporter_fe_spark.plans.rules import AbsentAlertingRule
+
+    cfg = {
+        "groups": [
+            {
+                "name": "g",
+                "rules": [
+                    {
+                        "alert": "Dead",
+                        "expr": "absent(mem_bytes)",
+                        "for": "2m",
+                        "step": "1m",
+                        "lookback": "90s",
+                        "start": "2023-11-14T22:13:20",
+                        "end": 1700004200,
+                    }
+                ],
+            }
+        ]
+    }
+    (r,) = build_rules(cfg)
+    assert isinstance(r, AbsentAlertingRule)
+    assert r.expr == "mem_bytes" and r.for_s == 120.0 and r.step_s == 60.0
+    assert r.lookback_s == 90.0
+    # ISO string read as UTC (never host-zone): 2023-11-14T22:13:20 == T0
+    assert r.start == T0 and r.end == 1700004200
+    cfg["groups"][0]["rules"][0].pop("start")
+    with _pytest.raises(ValueError):
+        build_rules(cfg)

@@ -174,6 +174,39 @@ def test_mixture_budgets_rounding():
         mixture_budgets(10, {})
 
 
+def test_temperature_weights():
+    from workbook_exporter_fe_spark.operators.sampling import (
+        mixture_budgets,
+        temperature_weights,
+    )
+
+    counts = {"en": 1_000_000, "fr": 10_000, "is": 100}
+    # alpha=1 reproduces natural proportions
+    w1 = temperature_weights(counts, alpha=1.0)
+    tot = sum(counts.values())
+    assert all(abs(w1[s] - counts[s] / tot) < 1e-12 for s in counts)
+    # alpha=0 is uniform over non-empty sources
+    w0 = temperature_weights(counts, alpha=0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in w0.values())
+    # intermediate alpha up-samples small sources monotonically
+    w = temperature_weights(counts, alpha=0.3)
+    assert w["is"] > counts["is"] / tot and w["en"] < counts["en"] / tot
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+    # order preserved: bigger source never gets a smaller weight
+    assert w["en"] > w["fr"] > w["is"]
+    # composes with mixture_budgets into exact-sum integer budgets
+    b = mixture_budgets(1000, w)
+    assert sum(b.values()) == 1000 and b["is"] >= 1
+    # empty sources are dropped, not NaN'd
+    assert "z" not in temperature_weights({"a": 10, "z": 0}, 0.5)
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 1}, alpha=-0.1)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 0})
+
+
 def test_mixture_sample_matches_reference(spark, sequences):
     """Exact greedy fill vs a pure-python replay of the md5 order."""
     import hashlib

@@ -239,6 +239,32 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def temperature_weights(
+    source_tokens: dict[str, int], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-based mixture weights: p_i ∝ n_i^alpha (the mT5 /
+    XLM-R multilingual sampling rule) from per-source token counts.
+
+    alpha=1 reproduces natural proportions, alpha=0 is uniform; the
+    usual range 0.2–0.7 up-samples small sources without letting them
+    dominate. Compose with :func:`mixture_budgets` to get integer token
+    budgets for :func:`mixture_sample`:
+
+        budgets = mixture_budgets(total, temperature_weights(counts, 0.3))
+
+    Driver-side pure function — ``source_tokens`` is the tiny per-source
+    aggregate (one groupBy-sum collect at any corpus scale)."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if any(n < 0 for n in source_tokens.values()):
+        raise ValueError("negative token count")
+    pows = {s: float(n) ** alpha for s, n in source_tokens.items() if n > 0}
+    tot = sum(pows.values())
+    if tot <= 0:
+        raise ValueError("need at least one source with tokens")
+    return {s: v / tot for s, v in pows.items()}
+
+
 def mixture_budgets(
     total_tokens: int, weights: dict[str, float]
 ) -> dict[str, int]:

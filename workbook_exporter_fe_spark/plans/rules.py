@@ -50,6 +50,25 @@ class AlertingRule:
     step_s: float = 60.0  # evaluation grid step of the underlying tiers
 
 
+@dataclass(frozen=True)
+class AbsentAlertingRule:
+    """Prometheus's dead-scrape alarm: ``alert: ... expr: absent(m)``.
+
+    Fires when the expression yields NO non-stale sample at a grid step
+    (plans/promql.py absent_range — absence needs the explicit grid; on
+    the native grid it is unobservable). ``for_s`` demands the metric
+    stay absent for a full streak of steps before ``firing``, exactly
+    like the presence-side rule. Label-less, like absent() itself."""
+
+    alert: str
+    expr: str  # the inner expression; absence of ITS output is alerted
+    start: object  # grid bounds: epoch seconds or datetime
+    end: object
+    for_s: float = 0.0
+    step_s: float = 60.0
+    lookback_s: float = 300.0  # staleness for "present"
+
+
 class RuleEngine:
     """Evaluate an ordered rule group against a MetricStore."""
 
@@ -58,7 +77,7 @@ class RuleEngine:
         self._pq = PromQL(store)
 
     def run(
-        self, rules: list[RecordingRule | AlertingRule]
+        self, rules: list[RecordingRule | AlertingRule | AbsentAlertingRule]
     ) -> dict[str, DataFrame]:
         """Evaluate rules in order; returns {rule name: output frame}.
 
@@ -78,27 +97,26 @@ class RuleEngine:
                 out[rule.record] = df
             elif isinstance(rule, AlertingRule):
                 out[rule.alert] = self._alert(rule)
+            elif isinstance(rule, AbsentAlertingRule):
+                out[rule.alert] = self._absent_alert(rule)
             else:  # pragma: no cover
                 raise TypeError(type(rule))
         return out
 
-    def _alert(self, rule: AlertingRule) -> DataFrame:
-        vec = self._pq._eval(parse(rule.expr))
-        if isinstance(vec, float) or not isinstance(vec, Vector):
-            raise PromQLError(f"alert {rule.alert!r} needs a vector expr")
-        labels = vec.labels
-        step = int(rule.step_s)
-        need = int(rule.for_s // rule.step_s) + 1  # samples in a full streak
-        d = vec.df.withColumn(
-            "_tsec", F.col("ts").cast("timestamp").cast("long")
-        )
+    @staticmethod
+    def _streak_states(
+        d: DataFrame, labels: list[str], step: int, need: int
+    ) -> DataFrame:
+        """Attach ``state`` (firing/pending) via the island trick:
+        tsec/step − row_number() is constant exactly on consecutive-step
+        runs, so a streak is one (labels, island) run — one window pass,
+        no self-joins."""
+        d = d.withColumn("_tsec", F.col("ts").cast("timestamp").cast("long"))
         wo = (
             Window.partitionBy(*labels).orderBy("_tsec")
             if labels
             else Window.orderBy("_tsec")
         )
-        # island id: constant across consecutive grid steps, changes at
-        # any gap — so a streak is one (labels, island) run
         island = (F.col("_tsec") / step).cast("long") - F.row_number().over(wo)
         d = d.withColumn("_isl", island)
         wisl = (
@@ -115,9 +133,28 @@ class RuleEngine:
             .select(*labels, "ts", "value", "state")
         )
 
+    def _alert(self, rule: AlertingRule) -> DataFrame:
+        vec = self._pq._eval(parse(rule.expr))
+        if isinstance(vec, float) or not isinstance(vec, Vector):
+            raise PromQLError(f"alert {rule.alert!r} needs a vector expr")
+        need = int(rule.for_s // rule.step_s) + 1  # samples in a full streak
+        return self._streak_states(
+            vec.df, vec.labels, int(rule.step_s), need
+        )
+
+    def _absent_alert(self, rule: AbsentAlertingRule) -> DataFrame:
+        from .promql import absent_range
+
+        d = absent_range(
+            self.store, rule.expr, rule.start, rule.end,
+            step=int(rule.step_s), lookback=int(rule.lookback_s),
+        )
+        need = int(rule.for_s // rule.step_s) + 1
+        return self._streak_states(d, [], int(rule.step_s), need)
+
 
 def run_rules(
-    store: MetricStore, rules: list[RecordingRule | AlertingRule]
+    store: MetricStore, rules: list[RecordingRule | AlertingRule | AbsentAlertingRule]
 ) -> dict[str, DataFrame]:
     return RuleEngine(store).run(rules)
 
@@ -205,7 +242,7 @@ class RuleMaterializer:
         return row["m"]
 
     def refresh(
-        self, store: MetricStore, rules: list[RecordingRule | AlertingRule]
+        self, store: MetricStore, rules: list[RecordingRule | AlertingRule | AbsentAlertingRule]
     ) -> dict[str, dict]:
         """One incremental pass over the rule group; returns per-rule
         stats {name: {"watermark": float|None, "new_rows": int, "seq": int}}."""
@@ -213,7 +250,13 @@ class RuleMaterializer:
         recorded: dict[str, float] = {}
         for i, rule in enumerate(rules):
             name = rule.record if isinstance(rule, RecordingRule) else rule.alert
-            extra = rule.for_s if isinstance(rule, AlertingRule) else 0.0
+            extra = 0.0
+            if isinstance(rule, AlertingRule):
+                extra = rule.for_s
+            elif isinstance(rule, AbsentAlertingRule):
+                # the streak needs for_s of history AND the staleness
+                # window that decides "present" at the first kept step
+                extra = rule.for_s + rule.lookback_s
             look = lookback_seconds(rule.expr, recorded) + extra
             if isinstance(rule, RecordingRule):
                 recorded[name] = lookback_seconds(rule.expr, recorded)
