@@ -23,6 +23,9 @@ Usage:
         --retention tier1='30 days',tier2='180 days',tier3='720 days' --verify
     python run_maintenance.py --snapshot-table /tmp/tbl \
         --compact-snapshots --sort-by source,event_ts --expire --keep-last 3
+    python run_maintenance.py --snapshot-table /tmp/tbl \
+        --delete-where "event_ts < timestamp'2021-01-01'" \
+        --delete-bounds "event_ts<=2021-01-01" --compact-snapshots
 
 Every action is itself crash-safe (staged swaps / manifest-last commits),
 so a maintenance run interrupted at any point leaves a readable store and
@@ -52,6 +55,37 @@ def _parse_policies(text: str) -> dict[str, str]:
         if not ttl.lower().startswith("interval"):
             ttl = f"interval {ttl}"
         out[name] = ttl
+    return out
+
+
+def _bound_value(v: str):
+    """Numeric bounds must compare against numeric manifest stats;
+    timestamps/strings stay strings (footer stats store isoformat)."""
+    v = v.strip()
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    return v
+
+
+def _parse_bounds(text: str | None) -> dict | None:
+    """``col<=V,col2>=W`` → the {col: (lo, hi)} shape read() prunes with."""
+    if not text:
+        return None
+    out: dict = {}
+    for part in text.split(","):
+        if "<=" in part:
+            col, _, v = part.partition("<=")
+            lo, hi = out.get(col.strip(), (None, None))
+            out[col.strip()] = (lo, _bound_value(v))
+        elif ">=" in part:
+            col, _, v = part.partition(">=")
+            lo, hi = out.get(col.strip(), (None, None))
+            out[col.strip()] = (_bound_value(v), hi)
+        else:
+            raise ValueError(f"bad bound {part!r} (use col<=V or col>=V)")
     return out
 
 
@@ -91,6 +125,18 @@ def main() -> None:
         help="expire snapshot manifests + unreferenced commit dirs",
     )
     ap.add_argument("--keep-last", type=int, default=3)
+    ap.add_argument(
+        "--delete-where",
+        help="row-level retention over each snapshot table: SQL predicate "
+        "deleted as one copy-on-write snapshot (only files containing a "
+        "match are rewritten); runs BEFORE compaction/expiry",
+    )
+    ap.add_argument(
+        "--delete-bounds",
+        help="manifest-stats pruning hint for --delete-where, e.g. "
+        "col<=2021-01-01 or col>=X,col2<=Y (skips files whose min/max "
+        "exclude the bound before any scan)",
+    )
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
     if not args.tiers and not args.snapshot_table:
@@ -142,6 +188,17 @@ def main() -> None:
         for root in args.snapshot_table:
             table = SnapshotTable(spark, root)
             entry: dict = {"sequence": table.current_sequence()}
+            if args.delete_where:
+                seq = table.delete_where(
+                    args.delete_where,
+                    stats_bounds=_parse_bounds(args.delete_bounds),
+                )
+                entry["delete"] = (
+                    table.snapshot(seq)["summary"]
+                    if seq != entry["sequence"]
+                    else {"rows_deleted": 0}
+                )
+                entry["deleted_to"] = seq
             if args.compact_snapshots:
                 entry["compacted_to"] = table.compact(
                     target_file_bytes=args.target_file_mb << 20,

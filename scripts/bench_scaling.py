@@ -351,7 +351,10 @@ for i in range({repeats}):
     t0 = time.perf_counter()
     job()
     times.append(time.perf_counter() - t0)
-labels = connected_components(pairs, max_iter=30)
+# graph stats for the report: ONE more propagation (persisted), not two —
+# dedupe stays off, matching the measured job (the generator emits each
+# pair exactly once)
+labels = connected_components(pairs, max_iter=30, dedupe_edges=False).persist()
 n_vertices = labels.count()
 n_components = labels.select("component").distinct().count()
 print("RESULT " + json.dumps({{"cores": cores, "times": times,
@@ -648,7 +651,9 @@ def run_components_at(cores: int, graph: str, n_vertices: int,
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=3600, env=env,
+        # the local[2] leg runs 7 full propagations (2 warmups, 3 timed,
+        # stats) at ~8-10 min each — an hour is not enough
+        timeout=10800, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

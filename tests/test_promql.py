@@ -664,3 +664,54 @@ def test_absent_range(store):
     assert got == want
     # a metric alive through the whole window is never absent
     assert _collect(absent_range(store, "mem_bytes", T0, t_last, "60s")) == {}
+
+
+# ------------------------------------------------ round-4 function sweep
+
+
+def test_irate_matches_reference(store):
+    """Last-two-samples instantaneous rate, counter-reset aware, previous
+    sample must lie inside the range window."""
+    got = _collect(promql(store, "irate(tokens_total[5m])"))
+    for src in ("s0", "s1"):
+        pts = sorted(_series(src, "c").items())
+        for i, (t, v) in enumerate(pts):
+            if i == 0:
+                assert (src, t) not in got
+                continue
+            pt, pv = pts[i - 1]
+            if pt <= t - 300:  # previous sample fell out of the window
+                assert (src, t) not in got
+                continue
+            num = v - pv if v >= pv else v
+            assert got[(src, t)] == pytest.approx(num / (t - pt))
+
+
+def test_present_and_stdvar_over_time(store):
+    got = _collect(promql(store, "present_over_time(mem_bytes[5m])"))
+    assert set(got.values()) == {1.0}
+    gv = _collect(promql(store, "stdvar_over_time(mem_bytes[5m])"))
+    gs = _collect(promql(store, "stddev_over_time(mem_bytes[5m])"))
+    for k, v in gv.items():
+        assert v == pytest.approx(gs[k] ** 2, abs=1e-9)
+
+
+def test_clamp_and_sort(store):
+    got = _collect(promql(store, "clamp(mem_bytes, 0, 10)"))
+    raw = _collect(promql(store, "mem_bytes"))
+    assert got == {k: min(10.0, max(0.0, v)) for k, v in raw.items()}
+    # min > max -> NaN everywhere (PromQL rule)
+    nan = _collect(promql(store, "clamp(mem_bytes, 5, 1)"))
+    assert all(math.isnan(v) for v in nan.values())
+    # sort/sort_desc are presentational: same row set either way
+    assert _collect(promql(store, "sort(mem_bytes)")) == raw
+    assert _collect(promql(store, "sort_desc(mem_bytes)")) == raw
+
+
+def test_group_and_stdvar_aggregations(store):
+    got = _collect(promql(store, "group by (source) (mem_bytes)"))
+    assert set(got.values()) == {1.0}
+    gv = _collect(promql(store, "stdvar(mem_bytes)"))
+    gs = _collect(promql(store, "stddev(mem_bytes)"))
+    for k, v in gv.items():
+        assert v == pytest.approx(gs[k] ** 2, abs=1e-9)

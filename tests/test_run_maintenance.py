@@ -67,3 +67,40 @@ def test_maintenance_pass_over_store(spark, sequences, tmp_path, capsys,
     ])
     with pytest.raises(ValueError, match="non-decreasing"):
         m.main()
+
+
+def test_parse_bounds():
+    m = _mod()
+    assert m._parse_bounds(None) is None
+    assert m._parse_bounds("a<=5,a>=1,b<=x") == {
+        "a": (1, 5), "b": (None, "x")
+    }
+    with pytest.raises(ValueError):
+        m._parse_bounds("a=5")
+
+
+def test_delete_where_pass(spark, tmp_path, capsys, monkeypatch):
+    """--delete-where runs a CoW delete before compaction/expiry and the
+    report carries the rewrite accounting."""
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    root = str(tmp_path / "snap")
+    st = SnapshotTable(spark, root)
+    for i in range(3):
+        st.commit(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id").coalesce(1)
+        )
+
+    m = _mod()
+    monkeypatch.setattr(sys, "argv", [
+        "run_maintenance.py",
+        "--snapshot-table", root,
+        "--delete-where", "id < 10",
+        "--delete-bounds", "id<=9",
+    ])
+    m.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    snap = report["snapshot_tables"][root]
+    assert snap["delete"]["rows_deleted"] == 10
+    assert snap["delete"]["files_rewritten"] == 1
+    assert SnapshotTable(spark, root).read().count() == 20

@@ -392,3 +392,166 @@ def test_row_diff_states(spark, tmp_path):
     }
     assert diff == {(2, "B", "update_post"), (3, "c", "delete"),
                     (4, "d", "insert")}
+
+
+# ------------------------------------------------- row-level CoW mutations
+
+
+def _paths(table, seq=None):
+    return {f["path"] for f in table.snapshot(seq)["files"]}
+
+
+def test_delete_where_rewrites_only_touched_files(spark, table):
+    # three appends = three file sets; the predicate matches rows in ONE
+    table.commit(_df(spark, 0, 10, "a").coalesce(1))
+    table.commit(_df(spark, 10, 20, "b").coalesce(1))
+    table.commit(_df(spark, 20, 30, "c").coalesce(1))
+    before = _paths(table)
+    seq = table.delete_where(F.col("id").between(12, 14))
+    assert seq == 4
+    m = table.snapshot()
+    assert m["operation"] == "delete"
+    assert m["summary"]["rows_deleted"] == 3
+    assert m["summary"]["files_rewritten"] == 1
+    # untouched files carry over VERBATIM (CoW — same paths, no rewrite)
+    carried = _paths(table) & before
+    assert len(carried) == 2
+    assert table.read().count() == 27
+    assert table.read().filter(F.col("id").between(12, 14)).count() == 0
+    # time travel still sees the deleted rows
+    assert table.read(sequence=3).count() == 30
+
+
+def test_delete_where_null_predicate_keeps_row(spark, table):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, tag string"
+    )
+    table.commit(df)
+    table.delete_where(F.col("tag") == "x")  # NULL comparison -> keep
+    assert sorted(r.id for r in table.read().collect()) == [2, 3]
+
+
+def test_delete_where_no_match_is_noop(spark, table):
+    table.commit(_df(spark, 0, 10, "a"))
+    assert table.delete_where("id > 999") == 1
+    assert table.current_sequence() == 1
+
+
+def test_delete_where_stats_bounds_prune(spark, table):
+    table.commit(_df(spark, 0, 10, "a").coalesce(1))
+    table.commit(_df(spark, 1000, 1010, "b").coalesce(1))
+    # bounds exclude the second file entirely: only file 1 is even scanned
+    seq = table.delete_where(
+        "id < 5", stats_bounds={"id": (None, 100)}
+    )
+    assert table.snapshot(seq)["summary"]["rows_deleted"] == 5
+    assert table.read().count() == 15
+
+
+def test_update_where_sees_old_row_and_preserves_count(spark, table):
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0), (2, 20.0, 2.0)], "id long, a double, b double"
+    )
+    table.commit(df)
+    # swap-shaped assignment: both expressions must see the OLD row
+    seq = table.update_where("id = 1", {"a": "b", "b": "a"})
+    m = table.snapshot(seq)
+    assert m["operation"] == "update"
+    assert m["total_rows"] == 2
+    got = {r.id: (r.a, r.b) for r in table.read().collect()}
+    assert got == {1: (1.0, 10.0), 2: (20.0, 2.0)}
+
+
+def test_update_where_rejects_type_change_and_unknown_column(spark, table):
+    from workbook_exporter_fe_spark.sources.snapshots import SchemaMismatch
+
+    table.commit(_df(spark, 0, 5, "a"))
+    with pytest.raises(SchemaMismatch):
+        table.update_where("id = 1", {"nope": F.lit(1)})
+    with pytest.raises(SchemaMismatch):
+        table.update_where("id = 1", {"id": F.lit("s")})
+
+
+def test_merge_into_upsert(spark, table):
+    table.commit(_df(spark, 0, 5, "a").coalesce(1))
+    table.commit(_df(spark, 5, 10, "a").coalesce(1))
+    before = _paths(table)
+    src = spark.createDataFrame(
+        [(3, "UPD"), (7, "UPD"), (100, "NEW")], "id long, tag string"
+    )
+    seq = table.merge_into(src, on=["id"])
+    m = table.snapshot(seq)
+    assert m["operation"] == "merge"
+    assert m["summary"]["rows_matched"] == 2
+    assert m["summary"]["rows_inserted"] == 1
+    assert table.read().count() == 11
+    got = {r.id: r.tag for r in table.read().collect()}
+    assert got[3] == "UPD" and got[7] == "UPD" and got[100] == "NEW"
+    assert got[0] == "a"
+    # both files contained a match -> both rewritten, none carried
+    assert not (_paths(table) & before)
+
+
+def test_merge_into_touches_only_matching_files(spark, table):
+    table.commit(_df(spark, 0, 5, "a").coalesce(1))
+    table.commit(_df(spark, 5, 10, "b").coalesce(1))
+    before = _paths(table)
+    src = spark.createDataFrame([(2, "UPD")], "id long, tag string")
+    table.merge_into(src, on=["id"], when_not_matched="ignore")
+    assert len(_paths(table) & before) == 1  # second file carried verbatim
+    assert {r.tag for r in table.read().filter("id = 2").collect()} == {"UPD"}
+
+
+def test_merge_into_delete_matched(spark, table):
+    table.commit(_df(spark, 0, 10, "a"))
+    src = spark.createDataFrame(
+        [(1, "x"), (4, "x")], "id long, tag string"
+    )
+    seq = table.merge_into(
+        src, on=["id"], when_matched="delete", when_not_matched="ignore"
+    )
+    assert table.snapshot(seq)["total_rows"] == 8
+    assert sorted(r.id for r in table.read().collect()) == [
+        0, 2, 3, 5, 6, 7, 8, 9
+    ]
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, table):
+    table.commit(_df(spark, 0, 5, "a"))
+    src = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        table.merge_into(src, on=["id"])
+
+
+def test_merge_insert_only_when_no_matches(spark, table):
+    table.commit(_df(spark, 0, 5, "a").coalesce(1))
+    before = _paths(table)
+    src = spark.createDataFrame([(50, "n")], "id long, tag string")
+    seq = table.merge_into(src, on=["id"])
+    assert table.snapshot(seq)["summary"]["rows_matched"] == 0
+    assert table.snapshot(seq)["summary"]["rows_inserted"] == 1
+    assert before <= _paths(table)  # nothing rewritten, file appended
+    assert table.read().count() == 6
+
+
+def test_changes_breaks_on_row_level_mutation(spark, table):
+    from workbook_exporter_fe_spark.sources.snapshots import (
+        IncrementalScanBreak,
+    )
+
+    table.commit(_df(spark, 0, 10, "a"))
+    table.delete_where("id = 3")
+    with pytest.raises(IncrementalScanBreak):
+        table.changes(1)
+
+
+def test_merge_source_extra_columns_project_away(spark, table):
+    table.commit(_df(spark, 0, 5, "a"))
+    src = spark.createDataFrame(
+        [(2, "UPD", 99)], "id long, tag string, extra int"
+    )
+    table.merge_into(src, on=["id"], when_not_matched="ignore")
+    assert {r.tag for r in table.read().filter("id = 2").collect()} == {"UPD"}
+    assert "extra" not in table.read().columns

@@ -16,15 +16,16 @@ Supported subset (documented deviations below):
   range function with an expression's result (explicit re-sampling
   steps are rejected — the inner expression's own grid supplies the
   samples, per deviation 1)
-- range functions: ``rate increase delta idelta avg_over_time
+- range functions: ``rate irate increase delta idelta avg_over_time
   sum_over_time min_over_time max_over_time count_over_time
-  last_over_time stddev_over_time quantile_over_time resets changes
-  deriv predict_linear``
+  last_over_time stddev_over_time stdvar_over_time quantile_over_time
+  present_over_time resets changes deriv predict_linear``
 - instant functions: ``abs ceil floor round sqrt exp ln log2 log10 sgn
-  clamp_min clamp_max timestamp label_replace label_join``
-- aggregations: ``sum avg min max count stddev quantile count_values
-  topk bottomk`` with ``by (...)`` / ``without (...)`` (prefix or
-  postfix)
+  clamp clamp_min clamp_max timestamp sort sort_desc label_replace
+  label_join``
+- aggregations: ``sum avg min max count stddev stdvar group quantile
+  count_values topk bottomk`` with ``by (...)`` / ``without (...)``
+  (prefix or postfix)
 - binary: ``+ - * / % ^``, comparisons ``== != > < >= <=`` (filter
   semantics, ``bool`` modifier for 0/1), set ops ``and or unless``,
   vector matching ``on (...)`` / ``ignoring (...)``, many-to-one with
@@ -223,17 +224,19 @@ class Binary:
     group_labels: tuple[str, ...] = ()
 
 
-_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "topk", "bottomk",
-            "quantile", "count_values"}
+_AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group",
+            "topk", "bottomk", "quantile", "count_values"}
 _RANGE_FNS = {
-    "rate", "increase", "delta", "idelta", "deriv", "predict_linear",
-    "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
-    "count_over_time", "last_over_time", "stddev_over_time",
-    "quantile_over_time", "resets", "changes",
+    "rate", "irate", "increase", "delta", "idelta", "deriv",
+    "predict_linear", "avg_over_time", "sum_over_time", "min_over_time",
+    "max_over_time", "count_over_time", "last_over_time",
+    "stddev_over_time", "stdvar_over_time", "quantile_over_time",
+    "present_over_time", "resets", "changes",
 }
-_INSTANT_FNS = {"abs", "ceil", "floor", "round", "clamp_min", "clamp_max",
-                "histogram_quantile", "sqrt", "exp", "ln", "log2", "log10",
-                "sgn", "timestamp", "label_replace", "label_join"}
+_INSTANT_FNS = {"abs", "ceil", "floor", "round", "clamp", "clamp_min",
+                "clamp_max", "histogram_quantile", "sqrt", "exp", "ln",
+                "log2", "log10", "sgn", "timestamp", "sort", "sort_desc",
+                "label_replace", "label_join"}
 
 
 class _Parser:
@@ -546,6 +549,31 @@ class PromQL:
                 vec.df.withColumn("value", fn(F.col("value"), F.lit(bound))),
                 vec.labels,
             )
+        if name == "clamp":
+            if len(call.args) != 3:
+                raise PromQLError("clamp needs (v, min, max)")
+            vec = self._eval(call.args[0])
+            lo, hi = self._eval(call.args[1]), self._eval(call.args[2])
+            if not isinstance(lo, float) or not isinstance(hi, float):
+                raise PromQLError("clamp bounds must be scalars")
+            # PromQL: min > max yields NaN for every sample
+            clamped = (
+                F.lit(float("nan"))
+                if lo > hi
+                else F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+            )
+            return Vector(
+                vec.df.withColumn("value", clamped), vec.labels
+            )
+        if name in ("sort", "sort_desc"):
+            # ordering is presentational in PromQL (instant-query display);
+            # a DataFrame result is unordered by nature, so this orders the
+            # plan's output without changing the row set
+            vec = self._eval(call.args[0])
+            col = F.col("value").asc() if name == "sort" else (
+                F.col("value").desc()
+            )
+            return Vector(vec.df.orderBy(col), vec.labels)
         if name in ("abs", "ceil", "floor", "round", "sqrt", "exp", "ln",
                     "log2", "log10", "sgn"):
             vec = self._eval(call.args[0])
@@ -651,6 +679,20 @@ class PromQL:
             out = F.last("value").over(frame) - F.first("value").over(frame)
         elif name == "idelta":
             out = v - F.lag("value").over(wo)
+        elif name == "irate":
+            # instantaneous rate from the LAST TWO samples, counter-reset
+            # aware; the previous sample must still lie inside the range
+            # window (PromQL returns nothing otherwise)
+            prev = F.lag("value").over(wo)
+            prev_t = F.lag("_tsec").over(wo)
+            dt = (F.col("_tsec") - prev_t).cast("double")
+            num = F.when(v >= prev, v - prev).otherwise(v)
+            out = F.when(
+                prev.isNotNull()
+                & (dt > 0)
+                & (prev_t > F.col("_tsec") - F.lit(int(r))),
+                num / dt,
+            )
         elif name == "avg_over_time":
             out = F.avg("value").over(frame)
         elif name == "sum_over_time":
@@ -665,6 +707,12 @@ class PromQL:
             out = F.last("value").over(frame)
         elif name == "stddev_over_time":  # population, like PromQL
             out = F.stddev_pop("value").over(frame)
+        elif name == "stdvar_over_time":  # population variance
+            out = F.var_pop("value").over(frame)
+        elif name == "present_over_time":
+            out = F.when(
+                F.count("value").over(frame) > 0, F.lit(1.0)
+            )
         elif name == "quantile_over_time":
             # rank phi*(n-1) with linear interpolation — the same formula
             # as PromQL's quantile (and Spark's exact percentile)
@@ -762,6 +810,9 @@ class PromQL:
             "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
             "count": lambda c: F.count(c).cast("double"),
             "stddev": F.stddev_pop,
+            "stdvar": F.var_pop,
+            # group: 1 for each group that has any sample
+            "group": lambda c: F.max(F.lit(1.0)),
         }[agg.op]
         out = vec.df.groupBy(*keep, "ts").agg(fn(F.col("value")).alias("value"))
         return Vector(out, keep)

@@ -39,6 +39,16 @@ as a from-scratch snapshot log over immutable parquet files:
   incremental consumers run straight across compactions while true
   history rewrites (overwrite/rollback) and GC'd ranges still break
   loudly with ``IncrementalScanBreak``;
+- `delete_where` / `update_where` / `merge_into` are row-level mutations
+  with Iceberg copy-on-write semantics: one containment scan finds the
+  files holding a matching row (manifest min/max pruning first —
+  `stats_bounds`), ONLY those files are rewritten, every other file
+  carries into the child manifest verbatim, and the commit records the
+  rewrite accounting (files carried/rewritten, rows replaced/deleted/
+  matched/inserted). At 100 TB a keyed upsert or a retention delete with
+  time bounds rewrites the handful of affected files, never the table;
+  `changes()` consumers break loudly across them (rows they folded
+  downstream may be gone), exactly like overwrite/rollback;
 - `evolve(add=..., drop=...)` is metadata-only schema evolution: the
   table schema lives in the manifest and every read resolves files
   against it BY NAME (old files null-fill added columns, dropped columns
@@ -528,6 +538,326 @@ class SnapshotTable:
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise
+
+    # -------------------------------------------- row-level CoW mutations
+    @staticmethod
+    def _local_path(uri: str) -> str:
+        """``input_file_name()`` URI → the manifest's plain OS path."""
+        from urllib.parse import unquote, urlparse
+
+        if uri.startswith("file:"):
+            return unquote(urlparse(uri).path)
+        return unquote(uri)
+
+    def _read_paths(self, manifest: dict, paths: list[str]) -> DataFrame:
+        """Read an explicit file subset against the manifest schema."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(manifest["schema"])
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _touched_files(
+        self, manifest: dict, cond, stats_bounds: dict | None
+    ) -> list[str]:
+        """Files holding ≥1 row where ``cond`` is TRUE: manifest min/max
+        pruning first (``stats_bounds``, {col: (lo, hi)}), then ONE
+        column-pruned containment scan over the candidates. The result is
+        a path list — file-granular like the manifest itself, so the
+        driver-side collect is bounded by file count, never row count."""
+        from pyspark.sql import functions as F
+
+        cand, _ = self._select_files(manifest, stats_bounds)
+        hit = (
+            self._read_paths(manifest, cand)
+            .filter(cond)
+            .select(F.input_file_name().alias("p"))
+            .distinct()
+            .collect()
+        )
+        return sorted({self._local_path(r.p) for r in hit})
+
+    def _rewrite_commit(
+        self,
+        manifest: dict,
+        expected_parent: int,
+        touched: list[str],
+        rewritten: DataFrame,
+        operation: str,
+        summary: dict,
+        expect_rows: int | None = None,
+    ) -> int:
+        """Write ``rewritten`` (the replacement for ``touched``) and commit
+        carried-over + replacement files as one new snapshot. CoW: every
+        file NOT in ``touched`` carries into the child manifest verbatim —
+        at 100 TB a keyed delete rewrites the few files containing the
+        keys, not the table. ``expect_rows`` guards operations that must
+        preserve the replaced row count (footer counts are exact)."""
+        commit_dir = os.path.join(
+            self.data, f"c{expected_parent + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        # coalesce, not repartition: the rewrite reads len(touched) files
+        # and must not shuffle them to write at most that many back
+        rewritten.coalesce(max(1, len(touched))).write.mode("error").parquet(
+            commit_dir
+        )
+        new_files = [f for f in self._file_stats(commit_dir) if f["rows"] > 0]
+        rows_out = sum(f["rows"] for f in new_files)
+        if expect_rows is not None and rows_out != expect_rows:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"{operation} row drift: rewrote {rows_out} rows, "
+                f"expected {expect_rows}"
+            )
+        touched_set = set(touched)
+        carried = [
+            f for f in manifest["files"] if f["path"] not in touched_set
+        ]
+        replaced_rows = sum(
+            f["rows"] for f in manifest["files"] if f["path"] in touched_set
+        )
+        acct = {
+            "files_rewritten": len(touched),
+            "files_carried": len(carried),
+            "rows_replaced": replaced_rows,
+            "rows_rewritten": rows_out,
+        }
+        if operation == "delete":
+            acct["rows_deleted"] = replaced_rows - rows_out
+        try:
+            return self._commit_manifest(
+                operation=operation,
+                files=carried + new_files,
+                schema=manifest["schema"],
+                summary={**summary, **acct},
+                expected_parent=expected_parent,
+            )
+        except SnapshotConflict:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+
+    def delete_where(
+        self,
+        predicate,
+        stats_bounds: dict | None = None,
+        summary: dict | None = None,
+    ) -> int:
+        """Row-level DELETE as an Iceberg-style copy-on-write snapshot:
+        rewrite ONLY the files containing a matching row; every other file
+        carries over untouched. Two Spark jobs: one containment scan over
+        the stats-pruned candidates, one rewrite of the touched files.
+
+        ``predicate`` (Column or SQL string) deletes rows where it is
+        TRUE; NULL keeps the row, like SQL DELETE. ``stats_bounds``
+        ({col: (lo, hi)}) pre-prunes candidates by manifest min/max — a
+        retention delete with time bounds opens only the expiring window's
+        files. Commits ``operation='delete'``: incremental ``changes()``
+        consumers break loudly (rows they folded downstream may be gone),
+        exactly like overwrite/rollback; time travel still sees the
+        pre-delete rows. Returns the new sequence, or the current one
+        unchanged when nothing matched."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cond = F.coalesce(cond, F.lit(False))
+        parent = self.current_sequence()
+        m = self.snapshot()
+        touched = self._touched_files(m, cond, stats_bounds)
+        if not touched:
+            return parent
+        kept = self._read_paths(m, touched).filter(~cond)
+        return self._rewrite_commit(
+            m, parent, touched, kept, "delete", dict(summary or {})
+        )
+
+    def update_where(
+        self,
+        predicate,
+        assignments: dict,
+        stats_bounds: dict | None = None,
+    ) -> int:
+        """Row-level UPDATE as a copy-on-write snapshot. ``assignments``
+        maps column → Column/SQL expression; every expression sees the OLD
+        row (SQL UPDATE semantics — one ``select``, not chained
+        ``withColumn``, so one assignment never observes another).
+        Assigned columns must keep their table type (``SchemaMismatch``
+        otherwise) and the rewrite must preserve the replaced row count
+        exactly (footer-verified). Same CoW/file-pruning contract as
+        ``delete_where``."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cond = F.coalesce(cond, F.lit(False))
+        parent = self.current_sequence()
+        m = self.snapshot()
+        table = {f.name: f.dataType for f in self._table_schema().fields}
+        unknown = sorted(set(assignments) - set(table))
+        if unknown:
+            raise SchemaMismatch(f"update assigns unknown column(s) {unknown}")
+        touched = self._touched_files(m, cond, stats_bounds)
+        if not touched:
+            return parent
+        t = self._read_paths(m, touched)
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        # type-check the RAW expressions (when()/otherwise would coerce a
+        # mismatched branch to the column type and fail at write time)
+        probe = t.select(*[exprs[c].alias(c) for c in exprs])
+        for f in probe.schema.fields:
+            if f.dataType != table[f.name]:
+                raise SchemaMismatch(
+                    f"update changes column {f.name!r} from "
+                    f"{table[f.name].simpleString()} to "
+                    f"{f.dataType.simpleString()}; type changes need "
+                    "evolve()"
+                )
+        out = t.select(
+            *[
+                F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in t.columns
+            ]
+        )
+        expect = sum(f["rows"] for f in m["files"] if f["path"] in set(touched))
+        return self._rewrite_commit(
+            m, parent, touched, out, "update",
+            {"columns": sorted(assignments)}, expect_rows=expect,
+        )
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        stats_bounds: dict | None = None,
+        validate_source: bool = True,
+    ) -> int:
+        """MERGE INTO as a copy-on-write snapshot: upsert (or
+        delete-matched) ``source`` rows into the table, rewriting only the
+        files that contain a matching key.
+
+        ``when_matched`` ∈ {'update', 'delete'} — 'update' replaces the
+        whole matched row with the source row; ``when_not_matched`` ∈
+        {'insert', 'ignore'}. ``source`` must carry every table column
+        (checked against the table schema like an append).
+        ``validate_source`` guards merge's cardinality rule with one
+        aggregate: duplicate keys in ``source`` would make the rewrite
+        nondeterministic (Delta/Iceberg raise the same way).
+
+        ``stats_bounds`` scopes the match like a partition predicate in
+        the ON clause: files pruned by it are treated as containing NO
+        matches, so the bounds MUST cover every key the source can match
+        — the caller's contract, exactly as with a partitioned MERGE.
+        Keys are matched null-unsafe (SQL join semantics: NULL keys never
+        match; they insert when inserting is on).
+
+        Discovery is one key semi-join over the stats-pruned candidates
+        (column-pruned to the key columns); the insert anti-join probes
+        ONLY the touched files' keys — correct because any file containing
+        a matching key IS touched by construction. Commits
+        ``operation='merge'`` (breaks ``changes()`` consumers loudly,
+        since matched rows were rewritten in place)."""
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        parent = self.current_sequence()
+        m = self.snapshot()
+        table_cols = [f.name for f in self._table_schema().fields]
+        missing = sorted(set(table_cols) - set(source.columns))
+        if missing:
+            raise SchemaMismatch(f"merge source omits column(s) {missing}")
+        bad_keys = sorted(set(on) - set(table_cols))
+        if bad_keys:
+            raise ValueError(f"merge keys not in table: {bad_keys}")
+        src = source.select(*table_cols)  # extra source columns project away
+        self._check_append_schema(src)
+        if validate_source:
+            dup = (
+                src.groupBy(*on)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge source has duplicate keys on {on}; the rewrite "
+                    "would be nondeterministic — dedup the source first"
+                )
+        keys = src.select(*on).distinct()
+        cand, _ = self._select_files(m, stats_bounds)
+        # input_file_name() must bind at the SCAN (post-join it loses the
+        # file context and returns empty strings) — capture it as a column
+        # before the semi-join
+        probe = (
+            self._read_paths(m, cand)
+            .select(*on, F.input_file_name().alias("__p"))
+            .join(keys, on, "left_semi")
+        )
+        touched = sorted(
+            {
+                self._local_path(r.p)
+                for r in probe.select(F.col("__p").alias("p"))
+                .distinct()
+                .collect()
+            }
+        )
+        t = self._read_paths(m, touched)
+        marked = src.select(
+            *[F.col(c).alias(f"__src_{c}") for c in table_cols]
+        ).withColumn("__matched", F.lit(True))
+        joined = t.join(
+            marked,
+            [t[k] == marked[f"__src_{k}"] for k in on],
+            "left",
+        )
+        is_matched = F.coalesce(F.col("__matched"), F.lit(False))
+        if when_matched == "update":
+            rewritten = joined.select(
+                *[
+                    F.when(is_matched, F.col(f"__src_{c}"))
+                    .otherwise(t[c])
+                    .alias(c)
+                    for c in table_cols
+                ]
+            )
+        else:
+            rewritten = joined.filter(~is_matched).select(
+                *[t[c].alias(c) for c in table_cols]
+            )
+        n_matched = t.join(keys, on, "left_semi").count()
+        n_inserted = 0
+        if when_not_matched == "insert":
+            ins = src.join(t.select(*on), on, "left_anti")
+            n_inserted = ins.count()
+            rewritten = rewritten.unionByName(ins)
+        if not touched and n_inserted == 0:
+            return parent
+        touched_rows = sum(
+            f["rows"] for f in m["files"] if f["path"] in set(touched)
+        )
+        expect = (
+            touched_rows + n_inserted
+            if when_matched == "update"
+            else touched_rows - n_matched + n_inserted
+        )
+        return self._rewrite_commit(
+            m, parent, touched, rewritten, "merge",
+            {
+                "rows_matched": int(n_matched),
+                "rows_inserted": int(n_inserted),
+                "when_matched": when_matched,
+            },
+            expect_rows=expect,
+        )
 
     def _commit_manifest(
         self,
