@@ -298,12 +298,16 @@ cores = {cores}
 # writeback of every leg before it (measured: a local[16] leg run first
 # steadies at 45-50s, run last after three legs it never gets under 119s).
 # -Xms pinned to -Xmx so heap growth doesn't ride the timed runs.
+# local.dir is pid-unique: a dying leg's cleanup must never race a live
+# leg's shuffle files (a shared dir lost a whole bench run to exactly
+# that — relaunch raced the killed run's rmtree shutdown).
+_localdir = "/dev/shm/spark_cc_local_%d" % os.getpid()
 spark = get_spark(app_name=f"scale_cc{{cores}}", cores=cores,
                   shuffle_partitions=64,
                   extra_conf={{"spark.sql.files.maxPartitionBytes": "32m",
                                "spark.driver.memory": "48g",
                                "spark.driver.extraJavaOptions": "-Xms48g",
-                               "spark.local.dir": "/dev/shm/spark_cc_local"}})
+                               "spark.local.dir": _localdir}})
 
 # Deterministic near-dup-shaped graph, big enough that each round's
 # vertex-keyed shuffle dominates the per-round job overhead (the REAL
@@ -362,7 +366,7 @@ print("RESULT " + json.dumps({{"cores": cores, "times": times,
       "vertices": n_vertices, "components": n_components}}))
 spark.stop()
 import shutil
-shutil.rmtree("/dev/shm/spark_cc_local", ignore_errors=True)
+shutil.rmtree(_localdir, ignore_errors=True)
 """
 
 
@@ -632,6 +636,12 @@ def run_generic_at(template: str, cores: int, corpus: str, n_docs: int,
 
 def run_components_at(cores: int, graph: str, n_vertices: int,
                       repeats: int) -> dict:
+    # sweep leaked tmpfs shuffle dirs from any prior killed leg (legs of
+    # THIS bench run sequentially, so nothing live matches the glob)
+    import glob as _glob
+    import shutil as _shutil
+    for d in _glob.glob("/dev/shm/spark_cc_local*"):
+        _shutil.rmtree(d, ignore_errors=True)
     # normalize machine state between legs: flush accumulated dirty pages
     # and drop the page cache so every leg starts from the same cold-ish
     # baseline instead of measuring the previous legs' writeback debt

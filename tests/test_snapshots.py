@@ -555,3 +555,19 @@ def test_merge_source_extra_columns_project_away(spark, table):
     table.merge_into(src, on=["id"], when_not_matched="ignore")
     assert {r.tag for r in table.read().filter("id = 2").collect()} == {"UPD"}
     assert "extra" not in table.read().columns
+
+
+def test_as_of_timestamp_time_travel(spark, table):
+    import time as _time
+
+    table.commit(_df(spark, 0, 10, "a"))
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    table.commit(_df(spark, 10, 20, "b"))
+    assert table.as_of(t_mid) == 1
+    assert table.read(sequence=table.as_of(t_mid)).count() == 10
+    assert table.as_of(_time.time()) == 2
+    # ISO string (naive = UTC) far in the future resolves to head
+    assert table.as_of("2200-01-01T00:00:00") == 2
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.as_of(0)

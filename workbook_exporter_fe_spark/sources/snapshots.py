@@ -1121,6 +1121,36 @@ class SnapshotTable:
         refs.pop(name, None)
         _atomic_write(self._tags_path(), json.dumps(refs, sort_keys=True))
 
+    def as_of(self, ts) -> int:
+        """Iceberg's timestamp time travel: the largest sequence committed
+        at or before ``ts`` (epoch seconds, datetime, or ISO string —
+        naive ISO is UTC, like every CLI here). Use with ``read``:
+        ``table.read(sequence=table.as_of("2026-01-01T00:00:00"))``.
+        Raises if ``ts`` predates the first commit (nothing existed)."""
+        import calendar
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is not None:
+                ts = ts.timestamp()
+            else:
+                ts = calendar.timegm(ts.timetuple())
+        best = 0
+        for seq in range(1, self.current_sequence() + 1):
+            p = self._manifest_path(seq)
+            if not os.path.exists(p):  # expired prefix
+                continue
+            if self._load(seq)["committed_at"] <= ts:
+                best = seq
+        if best == 0:
+            raise ValueError(
+                f"no snapshot committed at or before {ts} (table starts "
+                "later, or that history was expired)"
+            )
+        return best
+
     def resolve(self, ref: str) -> int:
         """Tag name → sequence (error on unknown)."""
         refs = self.tags()
