@@ -125,11 +125,24 @@ def main() -> None:
     )
     first, last = per_batch[1], per_batch[-1]  # batch 0 has no JVM warmup
     growth = last / first
+    grew = (
+        f"grew from {(args.seed_docs + 2 * args.batch_docs):,} to "
+        f"{total:,} docs"
+        if seed_batches
+        else f"grew {args.batches - 1}×"
+    )
     rows = "\n".join(
         f"| {b} | {(seed_batches + b + 1) * args.batch_docs:,} | {t:.2f} |"
         for b, t in enumerate(per_batch)
     )
-    section = f"""{MARKER}
+    # a seeded run documents a DIFFERENT claim (real corpus:batch ratio)
+    # and must not overwrite the 1:1-ratio shape evidence — own section
+    marker = (
+        MARKER + f" at a {args.seed_docs // args.batch_docs}:1 corpus:batch ratio"
+        if seed_batches
+        else MARKER
+    )
+    section = f"""{marker}
 
 Claim under test: with the persisted LSH signature index
 (operators/dedup.py MinHashIndex), deduplicating a new batch against an
@@ -146,7 +159,7 @@ incremental_keep materialization.
 
 - per-batch growth batch1 → batch{args.batches - 1}:
   **{first:.2f}s → {last:.2f}s ({growth:.2f}×)** while the indexed corpus
-  grew {args.batches - 1}× — the batch cost is dominated by the batch's
+  {grew} — the batch cost is dominated by the batch's
   own shingling; the index contributes only the (band,sig) join's scan
   of ~{4 * args.batch_docs:,} signature rows per indexed {args.batch_docs:,} docs.
 - full-corpus recompute at {total:,} docs (sign + pair, what every
@@ -161,9 +174,13 @@ incremental_keep materialization.
     path = f"{REPO}/BENCH/BASELINE.md"
     with open(path) as f:
         doc = f.read()
-    if MARKER in doc:
-        start = doc.index(MARKER)
-        nxt = doc.find("\n## ", start + len(MARKER))
+    # match the marker LINE exactly (the seeded marker is a superstring
+    # of the unseeded one — a bare substring search would hit the wrong
+    # section and clobber it)
+    needle = marker + "\n"
+    if needle in doc:
+        start = doc.index(needle)
+        nxt = doc.find("\n## ", start + len(needle))
         tail = doc[nxt:].lstrip("\n") if nxt != -1 else ""
         doc = (doc[:start].rstrip() + "\n\n" + section.rstrip() + "\n"
                + ("\n" + tail if tail else ""))

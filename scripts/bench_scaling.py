@@ -413,17 +413,24 @@ partial-agg-dominated shape as the bigram class.
 COMPONENTS_MARKER = "## Iterative operator class: connected components scaling"
 
 
-def components_main(graph: str, n_vertices: int, repeats: int) -> None:
+def components_main(graph: str, n_vertices: int, repeats: int,
+                    cores: tuple[int, ...] = (2, 4, 8, 16)) -> None:
     """Scaling evidence for the one iterative operator (VERDICT r2 #6):
     min-label propagation over a deterministic near-dup-shaped graph
     sized so the per-round shuffle dominates. Measures ALL of local[2,
     4, 8, 16] so the single-socket DRAM roll-off is on the record, with
     2→8 as the primary N→4N pair (the linear region for this job class).
-    Appends to BENCH/BASELINE.md."""
+    Appends to BENCH/BASELINE.md (full set only — a --cc-cores subset
+    rerun prints its RESULT lines for hand-merging, so one failed leg
+    never costs the whole multi-hour sweep)."""
     results = {
         c: run_components_at(c, graph, n_vertices, repeats)
-        for c in (2, 4, 8, 16)
+        for c in cores
     }
+    if set(cores) != {2, 4, 8, 16}:
+        print(json.dumps({"job": "components", "partial": True, "results": {
+            str(c): results[c] for c in results}}))
+        return
     best = {c: results[c]["best"] for c in results}
     eff28 = (best[2] / best[8]) / 4
     eff416 = (best[4] / best[16]) / 4
@@ -687,6 +694,11 @@ def main() -> None:
     ap.add_argument("--dedup-docs", type=int, default=1_000_000)
     ap.add_argument("--cc-graph", default="/tmp/spark_graft_bench/cc_graph_32m")
     ap.add_argument("--cc-vertices", type=int, default=32_000_000)
+    ap.add_argument(
+        "--cc-cores", default="2,4,8,16",
+        help="comma list of local[N] legs; a strict subset prints RESULTs "
+        "without splicing BENCH/BASELINE.md (single-leg retry path)",
+    )
     args = ap.parse_args()
 
     if args.job == "dedup":
@@ -699,7 +711,10 @@ def main() -> None:
         spans_main(args.dedup_corpus, args.dedup_docs, args.repeats)
         return
     if args.job == "components":
-        components_main(args.cc_graph, args.cc_vertices, args.repeats)
+        components_main(
+            args.cc_graph, args.cc_vertices, args.repeats,
+            cores=tuple(int(c) for c in args.cc_cores.split(",")),
+        )
         return
     if args.job == "series":
         series_main(args.series_corpus, args.repeats)
