@@ -110,12 +110,28 @@ def test_expire_snapshots_gc(spark, table):
 
 
 def test_commit_conflict_detected(spark, table):
+    # with branch-era global sequence numbering, the lost-update guard
+    # lives at the ref swap: a writer that derived from a stale main head
+    # must lose, or the racing writer's published snapshot is orphaned
+    from workbook_exporter_fe_spark.sources.snapshots import commit_files
+
     table.commit(_df(spark, 0, 10, "a"))
-    # a racing writer grabs sequence 2 first
-    with open(table._manifest_path(2), "w") as f:
-        f.write("{}")
+    stale_parent = table.current_sequence()
+    table.commit(_df(spark, 10, 20, "b"))  # racing writer publishes
+    d = str(table.data) + "/c_race"
+    _df(spark, 20, 30, "c").write.parquet(d)
+    paths = [os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")]
     with pytest.raises(SnapshotConflict):
-        table.commit(_df(spark, 10, 20, "b"))
+        commit_files(
+            table.root,
+            paths,
+            _df(spark, 20, 30, "c").schema.jsonValue(),
+            parent=stale_parent,
+            cleanup_dir=d,
+        )
+    # the loser cleaned up after itself and main is untouched
+    assert not os.path.exists(d)
+    assert table.read().count() == 20
 
 
 # ---------------------------------------------------------------- changes()
@@ -358,7 +374,7 @@ def test_tags_pin_read_and_survive_expiry(spark, tmp_path):
     assert st.read().count() == 40
     import pytest
 
-    with pytest.raises(ValueError, match="unknown tag"):
+    with pytest.raises(ValueError, match="unknown ref"):
         st.resolve("nope")
     with pytest.raises(ValueError, match="no snapshot"):
         st.tag("bad", 99)

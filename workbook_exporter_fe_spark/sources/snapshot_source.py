@@ -255,14 +255,29 @@ class SnapshotLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["sequence"], end["sequence"]
+        # walk the PARENT chain, not the sequence range: branch commits
+        # (write-audit-publish staging) allocate global sequence numbers
+        # without being on main's history — a range walk would stream a
+        # foreign branch's unpublished files into this consumer
+        chain: list[dict] = []
+        seq = hi
+        while seq > lo:
+            m = _load_manifest(self.root, seq)
+            chain.append(m)
+            seq = int(m["parent"])
+        if seq != lo:
+            raise RuntimeError(
+                f"offset {lo} is not an ancestor of {hi} — the checkpoint "
+                "points into another branch's history; restart the query "
+                "from a fresh checkpoint"
+            )
         new: list[FilePartition] = []
         prev = (
             {f["path"] for f in _load_manifest(self.root, lo)["files"]}
             if lo > 0
             else set()
         )
-        for seq in range(lo + 1, hi + 1):
-            m = _load_manifest(self.root, seq)
+        for m in reversed(chain):
             paths = {f["path"]: f for f in m["files"]}
             if m["operation"] == "append":
                 new.extend(
@@ -271,9 +286,9 @@ class SnapshotLogStreamReader(DataSourceStreamReader):
                 )
             elif m["operation"] not in ("replace", "evolve"):
                 raise RuntimeError(
-                    f"snapshot {seq} is '{m['operation']}', not append — "
-                    "history rewrites cannot be streamed; restart the "
-                    "query from a fresh checkpoint"
+                    f"snapshot {m['sequence']} is '{m['operation']}', not "
+                    "append — history rewrites cannot be streamed; restart "
+                    "the query from a fresh checkpoint"
                 )
             prev = set(paths)
         return new

@@ -168,6 +168,23 @@ def load_manifest(root: str, seq: int) -> dict:
         return json.load(f)
 
 
+def max_sequence(root: str) -> int:
+    """Highest manifest sequence present in the log — ≥ the version hint
+    once branches exist (branch commits allocate global sequence numbers
+    without advancing the main hint, exactly like Iceberg snapshot ids
+    living outside the main ref's chain)."""
+    best = current_sequence(root)
+    meta = os.path.join(root, "metadata")
+    if os.path.isdir(meta):
+        for n in os.listdir(meta):
+            if n.startswith("snap-") and n.endswith(".json"):
+                try:
+                    best = max(best, int(n[5:-5]))
+                except ValueError:
+                    pass
+    return best
+
+
 def file_stats_for_paths(paths: list[str]) -> list[dict]:
     """Per-file rows + per-column min/max from parquet footers.
 
@@ -209,13 +226,17 @@ def file_stats_for_paths(paths: list[str]) -> list[dict]:
     return out
 
 
-def _check_append_schema_json(root: str, incoming_json: dict) -> None:
+def _check_append_schema_json(
+    root: str, incoming_json: dict, against: int | None = None
+) -> None:
     from pyspark.sql.types import StructType
 
     table = {
         f.name: f
         for f in StructType.fromJson(
-            load_manifest(root, current_sequence(root))["schema"]
+            load_manifest(
+                root, current_sequence(root) if against is None else against
+            )["schema"]
         ).fields
     }
     incoming = {f.name: f for f in StructType.fromJson(incoming_json).fields}
@@ -245,6 +266,8 @@ def commit_files(
     summary: dict | None = None,
     cleanup_dir: str | None = None,
     check_schema: bool = True,
+    parent: int | None = None,
+    advance_hint: bool = True,
 ) -> int:
     """Publish already-written parquet files as a new snapshot.
 
@@ -254,15 +277,22 @@ def commit_files(
     crashed Spark-side commit. Optimistic concurrency and the atomic
     hint swap match SnapshotTable.commit; on conflict ``cleanup_dir``
     (the new files' directory) is removed.
+
+    ``parent``/``advance_hint`` are the branch-commit seam: a branch
+    commit chains off the BRANCH head and leaves the main hint alone
+    (the caller advances its branch ref instead). Sequence numbers are
+    allocated globally (``max_sequence``) so branch and main commits
+    never collide.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
     meta = os.path.join(root, "metadata")
     os.makedirs(meta, exist_ok=True)
-    parent = current_sequence(root)
+    if parent is None:
+        parent = current_sequence(root)
     if mode == "append" and parent > 0 and check_schema:
-        _check_append_schema_json(root, schema_json)
-    seq = parent + 1
+        _check_append_schema_json(root, schema_json, against=parent)
+    seq = max_sequence(root) + 1
     files = file_stats_for_paths(sorted(new_paths))
     schema = schema_json
     if mode == "append" and parent > 0:
@@ -286,8 +316,20 @@ def commit_files(
         raise SnapshotConflict(
             f"sequence {seq} already committed by another writer"
         )
+    if advance_hint and current_sequence(root) != parent:
+        # with global sequence numbering a racing main writer no longer
+        # collides on the manifest name — the lost-update guard moves to
+        # the ref swap itself (branch commits get the same guard from
+        # _set_branch's expect=)
+        if cleanup_dir:
+            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        raise SnapshotConflict(
+            f"main advanced to {current_sequence(root)} while committing "
+            f"against {parent}; retry against the current snapshot"
+        )
     _atomic_write(mpath, json.dumps(manifest, indent=1))
-    _atomic_write(os.path.join(meta, "version-hint.text"), str(seq))
+    if advance_hint:
+        _atomic_write(os.path.join(meta, "version-hint.text"), str(seq))
     return seq
 
 
@@ -346,6 +388,7 @@ class SnapshotTable:
         df: DataFrame,
         mode: str = "append",
         summary: dict | None = None,
+        branch: str | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns its sequence number.
 
@@ -356,17 +399,24 @@ class SnapshotTable:
         partially-visible snapshot. The TABLE schema stays authoritative
         across appends (an append may omit nullable evolved columns;
         readers null-fill) — only an overwrite or evolve() changes it.
+
+        ``branch='audit'`` chains the commit off that branch's head and
+        advances ONLY the branch ref — main readers never see it until
+        ``fast_forward`` publishes (Iceberg write-audit-publish).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
-        parent = self.current_sequence()
+        parent = (
+            self._branch_head(branch) if branch else self.current_sequence()
+        )
         if mode == "append" and parent > 0:
-            self._check_append_schema(df)  # fail BEFORE writing data
+            # fail BEFORE writing data, against the BRANCH head's schema
+            self._check_append_schema(df, against=parent)
         commit_dir = os.path.join(
-            self.data, f"c{parent + 1:08d}-{uuid.uuid4().hex[:8]}"
+            self.data, f"c{max_sequence(self.root) + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("error").parquet(commit_dir)
-        return commit_files(
+        seq = commit_files(
             self.root,
             [
                 os.path.join(commit_dir, n)
@@ -378,15 +428,22 @@ class SnapshotTable:
             summary=summary,
             cleanup_dir=commit_dir,
             check_schema=False,  # already checked against this parent
+            parent=parent,
+            advance_hint=branch is None,
         )
+        if branch:
+            self._set_branch(branch, seq, expect=parent)
+        return seq
 
     def _table_schema(self, sequence: int | None = None):
         from pyspark.sql.types import StructType
 
         return StructType.fromJson(self.snapshot(sequence)["schema"])
 
-    def _check_append_schema(self, df: DataFrame) -> None:
-        table = {f.name: f for f in self._table_schema().fields}
+    def _check_append_schema(
+        self, df: DataFrame, against: int | None = None
+    ) -> None:
+        table = {f.name: f for f in self._table_schema(against).fields}
         incoming = {f.name: f for f in df.schema.fields}
         unknown = sorted(set(incoming) - set(table))
         if unknown:
@@ -881,7 +938,7 @@ class SnapshotTable:
                 f"table advanced to {parent} while deriving from "
                 f"{expected_parent}; retry against the current snapshot"
             )
-        seq = parent + 1
+        seq = max_sequence(self.root) + 1
         manifest = {
             "sequence": seq,
             "parent": parent,
@@ -897,6 +954,12 @@ class SnapshotTable:
         if os.path.exists(mpath):
             raise SnapshotConflict(
                 f"sequence {seq} already committed by another writer"
+            )
+        if self.current_sequence() != parent:
+            raise SnapshotConflict(
+                f"table advanced to {self.current_sequence()} while "
+                f"committing against {parent}; retry against the current "
+                "snapshot"
             )
         _atomic_write(mpath, json.dumps(manifest, indent=1))
         _atomic_write(os.path.join(self.meta, "version-hint.text"), str(seq))
@@ -992,21 +1055,36 @@ class SnapshotTable:
                     "from read()"
                 ) from None
 
+        # walk the PARENT chain (not the sequence range): once branches
+        # exist, main's history is a linked list through a global
+        # numbering, and a foreign branch's commits must never leak into
+        # a main consumer's change set
+        chain: list[dict] = []
+        seq = cur
+        while seq > from_sequence:
+            m = _load_or_break(seq)
+            chain.append(m)
+            seq = int(m["parent"])
+        if seq != from_sequence:
+            raise IncrementalScanBreak(
+                f"snapshot {from_sequence} is not an ancestor of {cur} — "
+                "the consumer's watermark is on another branch; rebuild "
+                "from read()"
+            )
         new: list[str] = []
         prev = (
             {f["path"] for f in _load_or_break(from_sequence)["files"]}
             if from_sequence > 0
             else set()
         )
-        for seq in range(from_sequence + 1, cur + 1):
-            m = _load_or_break(seq)
+        for m in reversed(chain):
             paths = {f["path"] for f in m["files"]}
             if m["operation"] == "append":
                 new.extend(sorted(paths - prev))
             elif m["operation"] not in ("replace", "evolve"):
                 raise IncrementalScanBreak(
-                    f"snapshot {seq} is '{m['operation']}', not append — "
-                    "incremental consumers must rebuild from read()"
+                    f"snapshot {m['sequence']} is '{m['operation']}', not "
+                    "append — incremental consumers must rebuild from read()"
                 )
             prev = paths
         missing = [p for p in new if not os.path.exists(p)]
@@ -1025,10 +1103,15 @@ class SnapshotTable:
 
     # ----------------------------------------------------- metadata tables
     def history(self) -> DataFrame:
-        """Iceberg-style ``history``/``snapshots`` metadata table."""
+        """Iceberg-style ``history``/``snapshots`` metadata table — the
+        CURRENT ref's ancestry (like Iceberg's per-ref history), so a
+        foreign branch's staged commits don't appear as main history."""
         rows = []
         cur = self.current_sequence()
-        for seq in range(1, cur + 1):
+        seq = cur
+        while seq > 0:
+            if not os.path.exists(self._manifest_path(seq)):
+                break  # expired prefix
             m = self._load(seq)
             rows.append(
                 Row(
@@ -1041,6 +1124,8 @@ class SnapshotTable:
                     is_current=seq == cur,
                 )
             )
+            seq = int(m["parent"])
+        rows.reverse()
         return self.spark.createDataFrame(
             rows,
             "sequence int, parent int, operation string, n_files int, "
@@ -1107,10 +1192,11 @@ class SnapshotTable:
         log maintenance. Re-tagging an existing name moves it (the tag is
         a ref, not a snapshot property)."""
         seq = self.current_sequence() if sequence is None else int(sequence)
-        if seq < 1 or seq > self.current_sequence():
-            raise ValueError(f"no snapshot {seq} to tag")
-        if not os.path.exists(self._manifest_path(seq)):
-            raise ValueError(f"snapshot {seq} is expired")
+        if seq < 1 or not os.path.exists(self._manifest_path(seq)):
+            raise ValueError(f"no snapshot {seq} to tag (never committed, "
+                             "or expired)")
+        if name in self.branches():
+            raise ValueError(f"{name!r} is already a branch")
         refs = self.tags()
         refs[name] = seq
         _atomic_write(self._tags_path(), json.dumps(refs, sort_keys=True))
@@ -1120,6 +1206,93 @@ class SnapshotTable:
         refs = self.tags()
         refs.pop(name, None)
         _atomic_write(self._tags_path(), json.dumps(refs, sort_keys=True))
+
+    # ------------------------------------------------ branches (WAP flow)
+    def _branches_path(self) -> str:
+        return os.path.join(self.meta, "branches.json")
+
+    def branches(self) -> dict[str, int]:
+        """Named MUTABLE refs: branch name → head sequence. Unlike tags
+        (frozen pins), a branch head advances with each ``commit(...,
+        branch=name)``."""
+        p = self._branches_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _branch_head(self, name: str) -> int:
+        refs = self.branches()
+        if name not in refs:
+            raise ValueError(f"unknown branch {name!r}; have {sorted(refs)}")
+        return refs[name]
+
+    def _set_branch(self, name: str, seq: int, expect: int | None = None):
+        refs = self.branches()
+        if expect is not None and refs.get(name, 0) != expect:
+            raise SnapshotConflict(
+                f"branch {name!r} advanced to {refs.get(name)} while "
+                f"committing against {expect}; retry against its head"
+            )
+        refs[name] = int(seq)
+        _atomic_write(self._branches_path(), json.dumps(refs, sort_keys=True))
+
+    def branch(self, name: str, sequence: int | None = None) -> int:
+        """Create a branch at ``sequence`` (default: current main head —
+        may be 0 on an empty table, so WAP works from the first load).
+        The Iceberg write-audit-publish flow::
+
+            t.branch("audit")
+            t.commit(batch, branch="audit")   # invisible to main readers
+            checks(t.read("audit"))           # audit the staged state
+            t.fast_forward("audit")           # publish atomically
+            t.delete_branch("audit")
+
+        Re-creating an existing name fails (delete it first) — a silent
+        reset would orphan staged commits."""
+        if name in self.branches():
+            raise ValueError(f"branch {name!r} already exists")
+        if name in self.tags():
+            raise ValueError(f"{name!r} is already a tag")
+        seq = self.current_sequence() if sequence is None else int(sequence)
+        if seq > 0 and not os.path.exists(self._manifest_path(seq)):
+            raise ValueError(f"no snapshot {seq} to branch from")
+        refs = self.branches()
+        refs[name] = seq
+        _atomic_write(self._branches_path(), json.dumps(refs, sort_keys=True))
+        return seq
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the ref; its unpublished commits become expire-eligible
+        garbage (the manifests stay until ``expire_snapshots``)."""
+        refs = self.branches()
+        refs.pop(name, None)
+        _atomic_write(self._branches_path(), json.dumps(refs, sort_keys=True))
+
+    def fast_forward(self, name: str) -> int:
+        """Publish branch ``name``: advance main to the branch head iff
+        main is an ancestor of it (Iceberg ``fast_forward``). If main
+        moved since the branch forked, the staged commits were derived
+        from a stale state — fail with ``SnapshotConflict`` (re-stage
+        against the new main) rather than silently dropping main's rows.
+        The walk only loads manifests NEWER than main's head (all
+        branch-private), so expired shared history never blocks it."""
+        head = self._branch_head(name)
+        main = self.current_sequence()
+        seq = head
+        while seq > main:
+            seq = int(self._load(seq)["parent"])
+        if seq != main:
+            raise SnapshotConflict(
+                f"main advanced to {main}, which is not an ancestor of "
+                f"branch {name!r} (head {head}) — re-stage the branch "
+                "from the current main"
+            )
+        if head != main:
+            _atomic_write(
+                os.path.join(self.meta, "version-hint.text"), str(head)
+            )
+        return head
 
     def as_of(self, ts) -> int:
         """Iceberg's timestamp time travel: the largest sequence committed
@@ -1138,12 +1311,16 @@ class SnapshotTable:
             else:
                 ts = calendar.timegm(ts.timetuple())
         best = 0
-        for seq in range(1, self.current_sequence() + 1):
+        seq = self.current_sequence()
+        while seq > 0:  # main's ancestry; committed_at ascends along it
             p = self._manifest_path(seq)
             if not os.path.exists(p):  # expired prefix
-                continue
-            if self._load(seq)["committed_at"] <= ts:
+                break
+            m = self._load(seq)
+            if m["committed_at"] <= ts:
                 best = seq
+                break
+            seq = int(m["parent"])
         if best == 0:
             raise ValueError(
                 f"no snapshot committed at or before {ts} (table starts "
@@ -1152,11 +1329,21 @@ class SnapshotTable:
         return best
 
     def resolve(self, ref: str) -> int:
-        """Tag name → sequence (error on unknown)."""
+        """Tag or branch name → sequence (error on unknown). Tags and
+        branches share a namespace (``branch()``/``tag()`` enforce it),
+        so there is never an ambiguous name."""
         refs = self.tags()
-        if ref not in refs:
-            raise ValueError(f"unknown tag {ref!r}; have {sorted(refs)}")
-        return refs[ref]
+        if ref in refs:
+            return refs[ref]
+        branches = self.branches()
+        if ref in branches:
+            if branches[ref] == 0:
+                raise ValueError(f"branch {ref!r} has no snapshots yet")
+            return branches[ref]
+        raise ValueError(
+            f"unknown ref {ref!r}; tags {sorted(refs)}, "
+            f"branches {sorted(branches)}"
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop manifests older than the kept window and delete any commit
@@ -1167,16 +1354,35 @@ class SnapshotTable:
         cur = self.current_sequence()
         if cur == 0:
             return {"expired_snapshots": 0, "deleted_dirs": 0}
-        keep_from = max(1, cur - keep_last + 1)
-        tagged = set(self.tags().values())  # named refs never expire
-        keep_seqs = set(range(keep_from, cur + 1)) | tagged
+        # main's retained window = the newest keep_last snapshots of the
+        # CURRENT ref's ancestry (parent-chain, not a sequence range —
+        # foreign branch commits interleave the numbering)
+        main_chain: list[int] = []
+        seq = cur
+        while seq > 0 and os.path.exists(self._manifest_path(seq)):
+            main_chain.append(seq)
+            seq = int(self._load(seq)["parent"])
+        protected = set(self.tags().values())  # named refs never expire
+        # branches protect their whole surviving ancestry: a branch head
+        # must stay readable AND fast-forwardable, and its private chain
+        # (everything not on main) is unreachable any other way
+        for head in self.branches().values():
+            seq = head
+            while seq > 0 and seq not in protected:
+                if not os.path.exists(self._manifest_path(seq)):
+                    break
+                protected.add(seq)
+                seq = int(self._load(seq)["parent"])
+        keep_seqs = set(main_chain[:keep_last]) | protected
         live_dirs: set[str] = set()
         for seq in keep_seqs:
+            if seq < 1 or not os.path.exists(self._manifest_path(seq)):
+                continue
             for f in self._load(seq)["files"]:
                 live_dirs.add(os.path.dirname(f["path"]))
         expired = 0
-        for seq in range(1, keep_from):
-            if seq in tagged:
+        for seq in range(1, max_sequence(self.root) + 1):
+            if seq in keep_seqs:
                 continue
             p = self._manifest_path(seq)
             if os.path.exists(p):
@@ -1189,3 +1395,37 @@ class SnapshotTable:
                 shutil.rmtree(d)
                 deleted += 1
         return {"expired_snapshots": expired, "deleted_dirs": deleted}
+
+    def remove_orphan_files(self, grace_sec: float = 3600.0) -> dict:
+        """Delete parquet data files NO existing manifest references
+        (Iceberg's RemoveOrphanFiles action): failed/retried task
+        attempts and crashed commits leave complete-looking files inside
+        otherwise-live commit directories, which ``expire_snapshots``'
+        directory-level GC keeps forever — at 100 TB that garbage is
+        real money. Only files older than ``grace_sec`` go: an in-flight
+        commit writes its data BEFORE its manifest, so the grace window
+        is what makes this safe to run beside live writers. Non-parquet
+        markers (_SUCCESS, .crc) are never touched."""
+        referenced: set[str] = set()
+        for n in os.listdir(self.meta):
+            if n.startswith("snap-") and n.endswith(".json"):
+                for f in self._load(int(n[5:-5]))["files"]:
+                    referenced.add(os.path.abspath(f["path"]))
+        now = time.time()
+        removed = scanned = 0
+        for dirpath, _dirs, files in os.walk(self.data):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                scanned += 1
+                p = os.path.abspath(os.path.join(dirpath, fn))
+                if p in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(p) < grace_sec:
+                        continue
+                    os.remove(p)
+                    removed += 1
+                except OSError:
+                    pass  # raced a concurrent GC; the file is gone either way
+        return {"orphans_removed": removed, "files_scanned": scanned}
