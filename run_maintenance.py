@@ -126,6 +126,17 @@ def main() -> None:
     )
     ap.add_argument("--keep-last", type=int, default=3)
     ap.add_argument(
+        "--remove-orphans", action="store_true",
+        help="delete parquet files no manifest references (failed task "
+        "attempts, crashed commits) — runs AFTER expiry so just-expired "
+        "manifests no longer pin their files",
+    )
+    ap.add_argument(
+        "--orphan-grace-min", type=float, default=60.0,
+        help="only orphans older than this are deleted (in-flight commits "
+        "write data before their manifest)",
+    )
+    ap.add_argument(
         "--delete-where",
         help="row-level retention over each snapshot table: SQL predicate "
         "deleted as one copy-on-write snapshot (only files containing a "
@@ -207,6 +218,10 @@ def main() -> None:
             if args.expire:
                 entry["expire"] = table.expire_snapshots(
                     keep_last=args.keep_last
+                )
+            if args.remove_orphans:
+                entry["orphans"] = table.remove_orphan_files(
+                    grace_sec=args.orphan_grace_min * 60.0
                 )
             snap_report[root] = entry
         report["snapshot_tables"] = snap_report

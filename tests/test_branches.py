@@ -199,3 +199,79 @@ def test_stream_tail_skips_foreign_branch_commits(spark, table, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 20
     assert {r["tag"] for r in got.collect()} == {"a", "m"}
+
+
+def test_remove_orphan_files(spark, table):
+    """Unreferenced parquet inside the data dir (failed task attempts,
+    crashed commits) is GC'd once past the grace window; referenced files
+    and young orphans survive."""
+    table.commit(_df(spark, 0, 10, "a"))
+    live_dir = os.path.dirname(table.snapshot()["files"][0]["path"])
+
+    # a crashed commit: data written, no manifest
+    orphan = os.path.join(table.data, "c_crashed", "part-0.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    _df(spark, 50, 60, "x").coalesce(1).write.mode("overwrite").parquet(
+        os.path.dirname(orphan) + "_tmp"
+    )
+    import shutil
+    src = next(
+        os.path.join(os.path.dirname(orphan) + "_tmp", n)
+        for n in os.listdir(os.path.dirname(orphan) + "_tmp")
+        if n.endswith(".parquet")
+    )
+    shutil.copy(src, orphan)
+    shutil.rmtree(os.path.dirname(orphan) + "_tmp")
+
+    # young orphan: inside the grace window → kept
+    rep = table.remove_orphan_files(grace_sec=3600)
+    assert rep["orphans_removed"] == 0
+    assert os.path.exists(orphan)
+
+    # age it past the window → removed; live files untouched
+    old = os.path.getmtime(orphan) - 7200
+    os.utime(orphan, (old, old))
+    rep = table.remove_orphan_files(grace_sec=3600)
+    assert rep["orphans_removed"] == 1
+    assert not os.path.exists(orphan)
+    assert table.read().count() == 10
+    assert os.path.isdir(live_dir)
+
+
+def test_maintenance_cli_remove_orphans(spark, tmp_path, monkeypatch, capsys):
+    """run_maintenance --expire --remove-orphans: expiry first (dropping
+    the manifests that pinned old files), then orphan GC under the CLI's
+    grace knob."""
+    import importlib.util
+    import json as _json
+    import sys as _sys
+
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    root = str(tmp_path / "tbl")
+    st = SnapshotTable(spark, root)
+    st.commit(_df(spark, 0, 10, "a"))
+    orphan = os.path.join(st.data, "stray.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1 not really parquet PAR1")
+    os.utime(orphan, (1, 1))  # ancient
+
+    spec = importlib.util.spec_from_file_location(
+        "run_maintenance", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "run_maintenance.py",
+        )
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(_sys, "argv", [
+        "run_maintenance.py", "--snapshot-table", root,
+        "--expire", "--keep-last", "1",
+        "--remove-orphans", "--orphan-grace-min", "1",
+    ])
+    mod.main()
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    entry = report["snapshot_tables"][root]
+    assert entry["orphans"]["orphans_removed"] == 1
+    assert not os.path.exists(orphan)
+    assert SnapshotTable(spark, root).read().count() == 10

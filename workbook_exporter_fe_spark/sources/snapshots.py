@@ -1391,6 +1391,8 @@ class SnapshotTable:
         deleted = 0
         for name in sorted(os.listdir(self.data)):
             d = os.path.join(self.data, name)
+            if not os.path.isdir(d):
+                continue  # stray top-level files are remove_orphan_files' job
             if d not in live_dirs:
                 shutil.rmtree(d)
                 deleted += 1
