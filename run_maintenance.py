@@ -121,6 +121,23 @@ def main() -> None:
         "(restores min/max-stats file pruning)",
     )
     ap.add_argument(
+        "--zorder", help="comma-separated columns for Z-order (Morton) "
+        "clustering compaction — multi-column min/max file skipping; "
+        "mutually exclusive with --sort-by",
+    )
+    ap.add_argument(
+        "--compact-bounds",
+        help="scope --compact-snapshots to files whose stats intersect "
+        "these bounds (rewrite_data_files(where): compact yesterday's "
+        "window, not the table), e.g. bucket_ts<=2024-01-02",
+    )
+    ap.add_argument(
+        "--bloom-columns",
+        help="set the table property enabling manifest bloom filters on "
+        "these comma-separated columns for every future commit (equality "
+        "file skipping; applied before compaction so the rewrite blooms)",
+    )
+    ap.add_argument(
         "--expire", action="store_true",
         help="expire snapshot manifests + unreferenced commit dirs",
     )
@@ -199,6 +216,10 @@ def main() -> None:
         for root in args.snapshot_table:
             table = SnapshotTable(spark, root)
             entry: dict = {"sequence": table.current_sequence()}
+            if args.bloom_columns:
+                entry["properties"] = table.set_properties(
+                    **{"bloom.columns": args.bloom_columns.split(",")}
+                )
             if args.delete_where:
                 seq = table.delete_where(
                     args.delete_where,
@@ -214,6 +235,8 @@ def main() -> None:
                 entry["compacted_to"] = table.compact(
                     target_file_bytes=args.target_file_mb << 20,
                     sort_by=args.sort_by.split(",") if args.sort_by else None,
+                    zorder_by=args.zorder.split(",") if args.zorder else None,
+                    where_bounds=_parse_bounds(args.compact_bounds),
                 )
             if args.expire:
                 entry["expire"] = table.expire_snapshots(

@@ -104,3 +104,51 @@ def test_delete_where_pass(spark, tmp_path, capsys, monkeypatch):
     assert snap["delete"]["rows_deleted"] == 10
     assert snap["delete"]["files_rewritten"] == 1
     assert SnapshotTable(spark, root).read().count() == 20
+
+
+def test_bloom_and_zorder_pass(spark, tmp_path, capsys, monkeypatch):
+    """--bloom-columns sets the table property BEFORE compaction so the
+    rewrite blooms its output; --zorder clusters the rewrite on the
+    Morton code and min/max pruning works on both listed columns."""
+    from pyspark.sql import functions as F
+
+    from workbook_exporter_fe_spark.sources.snapshots import (
+        SnapshotTable,
+        bloom_entry,
+    )
+
+    root = str(tmp_path / "snap")
+    st = SnapshotTable(spark, root)
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).cast("long").alias("y"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+    ).orderBy(F.xxhash64("id"))
+    st.commit(grid.repartition(8))
+    target_mb = 1  # small table -> the ceil-div still yields 1 file goal,
+    # so force multiple output files via a tiny target through the CLI is
+    # not possible (min 1 MB); assert the property+bloom wiring instead
+    m = _mod()
+    monkeypatch.setattr(sys, "argv", [
+        "run_maintenance.py",
+        "--snapshot-table", root,
+        "--bloom-columns", "doc_id",
+        "--compact-snapshots",
+        "--zorder", "x,y",
+        "--target-file-mb", str(target_mb),
+    ])
+    m.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    snap = report["snapshot_tables"][root]
+    assert snap["properties"]["bloom.columns"] == ["doc_id"]
+    st2 = SnapshotTable(spark, root)
+    msum = st2.snapshot()["summary"]
+    assert msum["zorder_by"] == ["x", "y"]
+    # the zorder rewrite went through _file_stats -> blooms attached
+    assert all(
+        bloom_entry(f, "doc_id") is not None
+        for f in st2.snapshot()["files"]
+    )
+    _, pruned = st2.scan_files(col_eq={"doc_id": "nope"})
+    assert pruned == len(st2.snapshot()["files"])
+    assert st2.read().count() == 4096

@@ -327,3 +327,24 @@ def test_stream_writer_derives_stable_id_from_checkpoint(spark, tmp_path):
     assert c.stream_id != a.stream_id
     d = mk({"path": root, "streamid": "explicit"})
     assert d.stream_id == "explicit"
+
+
+def test_stream_writer_replay_scan_skips_expired(spark, tmp_path):
+    """_already_committed scans back up to 64 manifests; after an
+    expire_snapshots run most of those are deleted — holes must be
+    skipped, not raised."""
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    st = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(5):
+        st.commit(
+            _mk(spark, i * 10, (i + 1) * 10),
+            summary={"writer": "snapshot_log_stream", "epoch": i,
+                     "stream_id": "s1"},
+        )
+    st.expire_snapshots(keep_last=1)
+    w = ss.SnapshotLogStreamWriter(st.root, st.read().schema, stream_id="s1")
+    assert w._already_committed(4) is True
+    w2 = ss.SnapshotLogStreamWriter(st.root, st.read().schema,
+                                    stream_id="other")
+    assert w2._already_committed(0) is False

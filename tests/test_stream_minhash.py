@@ -194,3 +194,26 @@ def test_replay_detected_through_interleaved_commits(spark, tmp_path):
     assert (MinHashIndex(spark, roots[0]).table.current_sequence(),
             out.current_sequence()) == seqs
     assert sorted(r.doc_id for r in out.read().collect()) == rows
+
+
+def test_find_epoch_skips_expired_manifests(spark, tmp_path):
+    """Maintenance expiry deletes old manifests; the replay scan must
+    skip the holes instead of dying with FileNotFoundError on the first
+    commit after an expire_snapshots run."""
+    from pyspark.sql import functions as F
+
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+    from workbook_exporter_fe_spark.streaming.stream_minhash import (
+        _find_epoch,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(5):
+        t.commit(
+            spark.range(i, i + 1).select(F.col("id")),
+            summary={"writer": "x", "run": "r1", "epoch": i},
+        )
+    t.expire_snapshots(keep_last=1)
+    assert _find_epoch(t, "r1", 4) == 5  # head still answers
+    # a DIFFERENT run skips the head and must walk the expired holes
+    assert _find_epoch(t, "r2", 0) is None

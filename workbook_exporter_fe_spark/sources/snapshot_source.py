@@ -90,6 +90,7 @@ def register(spark) -> None:
 from workbook_exporter_fe_spark.sources.snapshots import (  # noqa: E402
     commit_files as _commit_files,
     current_sequence as _current_sequence,
+    file_survives_eq as _file_survives_eq,
     load_manifest as _load_manifest,
 )
 
@@ -197,6 +198,7 @@ class SnapshotLogBatchReader(DataSourceReader):
         self.sequence = sequence
         self.batch_rows = batch_rows
         self.bounds: dict = {}
+        self.eq: dict = {}
 
     def partitions(self) -> Sequence[InputPartition]:
         seq = self.sequence or _current_sequence(self.root)
@@ -207,6 +209,7 @@ class SnapshotLogBatchReader(DataSourceReader):
             FilePartition(f["path"], f["rows"])
             for f in files
             if _file_survives(f, self.bounds)
+            and _file_survives_eq(f, self.eq)
         ]
 
     def read(self, partition: FilePartition) -> Iterator:
@@ -224,9 +227,17 @@ class SnapshotLogPushdownReader(SnapshotLogBatchReader):
     session."""
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        self.bounds = _bounds_from_filters(
-            [f for f in filters if _prunable(f)]
-        )
+        supported = [f for f in filters if _prunable(f)]
+        self.bounds = _bounds_from_filters(supported)
+        # equality filters additionally probe the manifest blooms — the
+        # predicate shape min/max can't prune on hash-distributed columns
+        # (a bloom miss proves absence; probing uses the filter's RAW
+        # value, matching the Spark-side CAST-AS-STRING build)
+        self.eq = {
+            f.attribute[0]: f.value
+            for f in supported
+            if isinstance(f, EqualTo)
+        }
         # stats pruning is a superset guard — Spark must still apply
         # every filter to the surviving rows, so return them all
         return iter(filters)
@@ -409,7 +420,10 @@ class SnapshotLogStreamWriter(DataSourceStreamArrowWriter):
     def _already_committed(self, batch_id: int) -> bool:
         head = _current_sequence(self.root)
         for seq in range(head, max(0, head - self.replay_scan), -1):
-            s = _load_manifest(self.root, seq).get("summary", {})
+            try:
+                s = _load_manifest(self.root, seq).get("summary", {})
+            except FileNotFoundError:
+                continue  # expired by maintenance: carries no information
             if s.get("writer") != "snapshot_log_stream":
                 continue  # interleaved non-stream commit: keep scanning
             stored = s.get("stream_id")

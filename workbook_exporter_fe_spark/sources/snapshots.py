@@ -68,6 +68,7 @@ garbage, never a half-visible table.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -226,6 +227,170 @@ def file_stats_for_paths(paths: list[str]) -> list[dict]:
     return out
 
 
+BLOOM_BITS_DEFAULT = 1 << 17  # 16 KiB per file per column (~1% FPR @ 10k ndv)
+BLOOM_K = 3  # three md5-derived probes per value
+
+_BLOOM_TYPES = {"string", "int", "bigint", "smallint", "tinyint"}
+
+
+def _bloom_positions(canon: str, bits: int, k: int = BLOOM_K) -> list[int]:
+    """The k bit positions for one value — driver-side probe twin of the
+    Spark-side build expression in ``bloom_stats_for_files``. Both sides
+    hash the value's CAST-AS-STRING form with md5 (the repo's one
+    cross-engine hash) and slice the hex digest into k 32-bit ints, so a
+    bloom built by a Spark job is probed bit-exactly by plain Python."""
+    import hashlib
+
+    h = hashlib.md5(canon.encode("utf-8")).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % bits for i in range(k)]
+
+
+def bloom_stats_for_files(
+    spark: SparkSession,
+    paths: list[str],
+    cols: list[str],
+    bits: int = BLOOM_BITS_DEFAULT,
+    k: int = BLOOM_K,
+) -> dict:
+    """Per-file bloom filters for equality file-skipping, built with ONE
+    column-pruned Spark job over the NEW files only (never the table).
+
+    Iceberg's ``write.bloom-filter-enabled.column.<col>`` puts blooms in
+    the parquet footer; this log keeps them in the manifest instead so the
+    PLANNER can skip a file without opening it at all — at 100 TB a point
+    lookup (``doc_id = X``) touches zero data files for every file whose
+    bloom says "definitely absent", where min/max stats are useless (a
+    hash-distributed id column spans the full range in every file).
+
+    Mechanics: k=3 positions per value from md5-hex slices (portable —
+    the driver-side probe recomputes them with hashlib), positions OR'd
+    into ``bits`` bloom bits per (file, column) map-side: the job explodes
+    to (file, col, word_idx, bit) and one partial-agg groupBy ``bit_or``
+    reduces to ≤ bits/64 int64 words per file·column before anything
+    reaches the driver. Null values set no bits, so an all-null file
+    prunes on ANY probe — correctly, since equality never matches null.
+    Only string/integer columns are bloomed: their CAST-AS-STRING form is
+    identical in Spark and Python (floats/timestamps render differently
+    engine-to-engine and would risk a false *negative* = wrong results).
+
+    Returns ``{path: {col: {"bits":, "k":, "b64":}}}`` with the filter
+    packed as little-endian int64 words, base64'd for the JSON manifest.
+    """
+    import base64
+    import struct
+
+    from pyspark.sql import functions as F
+
+    if bits % 64 or bits <= 0:
+        raise ValueError(f"bloom bits must be a positive multiple of 64: {bits}")
+    if not paths or not cols:
+        return {}
+    df = spark.read.parquet(*paths)
+    present = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cols = [c for c in cols if present.get(c) in _BLOOM_TYPES]
+    if not cols:
+        return {}
+    per_col = []
+    for c in cols:
+        h = F.md5(F.col(c).cast("string"))
+        pos = [
+            (F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+             % F.lit(bits)).alias("p")
+            for i in range(k)
+        ]
+        per_col.append(
+            df.select(
+                F.input_file_name().alias("f"),
+                F.lit(c).alias("c"),
+                F.explode(F.array(*pos)).alias("pos"),
+            ).where(F.col("pos").isNotNull())
+        )
+    rel = per_col[0]
+    for extra in per_col[1:]:
+        rel = rel.unionByName(extra)
+    words = (
+        rel.groupBy("f", "c", F.shiftright("pos", 6).alias("w"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, int(pos & 63))")).alias("m"))
+        .collect()
+    )
+    bufs: dict[tuple[str, str], bytearray] = {}
+    for r in words:
+        key = (SnapshotTable._local_path(r.f), r.c)
+        buf = bufs.setdefault(key, bytearray(bits // 8))
+        struct.pack_into("<q", buf, r.w * 8, r.m)
+    out: dict = {}
+    # every (path, col) gets an entry — including files where the column
+    # is entirely null (empty filter): absence of an entry must only ever
+    # mean "no bloom was built", never "no values"
+    for path in paths:
+        for c in cols:
+            buf = bufs.get((path, c), bytearray(bits // 8))
+            out.setdefault(path, {})[c] = {
+                "bits": bits,
+                "k": k,
+                "b64": base64.b64encode(bytes(buf)).decode("ascii"),
+            }
+    return out
+
+
+@functools.lru_cache(maxsize=512)
+def _load_bloom_sidecar(ref: str) -> dict:
+    """Load (and memoize — sidecars are immutable) one bloom sidecar. A
+    missing/corrupt sidecar degrades to "no bloom" — the superset guard
+    keeps the file."""
+    try:
+        with open(ref) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def bloom_entry(f: dict, col: str):
+    """The bloom dict for ``col`` in one manifest file entry, whether
+    stored inline (``bloom``) or as an immutable sidecar next to the data
+    file (``bloom_ref``). Sidecars keep the manifest JSON small: append
+    manifests carry every prior file entry forward, so inline filters
+    would be re-serialized into every subsequent manifest — O(files²)
+    metadata growth; a ref is a string, and the sidecar is written once
+    when the data file is (and GC'd with it)."""
+    b = f.get("bloom")
+    if b is not None:
+        return b.get(col)
+    ref = f.get("bloom_ref")
+    if ref:
+        return _load_bloom_sidecar(ref).get(col)
+    return None
+
+
+def bloom_might_contain(bloom: dict, value) -> bool:
+    """Probe one manifest bloom entry. True = maybe present (must scan),
+    False = DEFINITELY absent (skip the file). Values whose Python string
+    form can diverge from Spark's CAST-AS-STRING (floats, timestamps,
+    bools) are never probed — treat as maybe-present."""
+    import base64
+    import struct
+
+    if not isinstance(value, (str, int)) or isinstance(value, bool):
+        return True
+    buf = base64.b64decode(bloom["b64"])
+    for pos in _bloom_positions(str(value), bloom["bits"], bloom["k"]):
+        word = struct.unpack_from("<q", buf, (pos >> 6) * 8)[0]
+        if not (word >> (pos & 63)) & 1:
+            return False
+    return True
+
+
+def file_survives_eq(f: dict, col_eq: dict) -> bool:
+    """Bloom check for equality predicates against one manifest file
+    entry; files without a bloom for the column always survive (superset
+    guard, same contract as min/max pruning)."""
+    for col, value in (col_eq or {}).items():
+        b = bloom_entry(f, col)
+        if b is not None and not bloom_might_contain(b, value):
+            return False
+    return True
+
+
 def _check_append_schema_json(
     root: str, incoming_json: dict, against: int | None = None
 ) -> None:
@@ -268,6 +433,7 @@ def commit_files(
     check_schema: bool = True,
     parent: int | None = None,
     advance_hint: bool = True,
+    blooms: dict | None = None,
 ) -> int:
     """Publish already-written parquet files as a new snapshot.
 
@@ -294,6 +460,12 @@ def commit_files(
         _check_append_schema_json(root, schema_json, against=parent)
     seq = max_sequence(root) + 1
     files = file_stats_for_paths(sorted(new_paths))
+    for f in files:
+        b = (blooms or {}).get(f["path"])
+        if isinstance(b, str):  # sidecar ref (the scalable form)
+            f["bloom_ref"] = b
+        elif b:  # inline (small tables / tests)
+            f["bloom"] = b
     schema = schema_json
     if mode == "append" and parent > 0:
         prev = load_manifest(root, parent)
@@ -370,18 +542,79 @@ class SnapshotTable:
             raise ValueError("table has no snapshots")
         return self._load(seq)
 
+    # --------------------------------------------------------- properties
+    def _properties_path(self) -> str:
+        return os.path.join(self.meta, "properties.json")
+
+    def properties(self) -> dict:
+        """Table properties (Iceberg-style write configuration). Known
+        keys: ``bloom.columns`` (list[str] — build a manifest bloom for
+        these columns on every commit through this table object) and
+        ``bloom.bits`` (filter size; default BLOOM_BITS_DEFAULT)."""
+        p = self._properties_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def set_properties(self, **props) -> dict:
+        """Merge ``props`` into the table properties (None deletes a key).
+        Properties affect future WRITES only — existing manifests are
+        untouched, and files committed before blooms were enabled simply
+        never prune (superset guard)."""
+        merged = self.properties()
+        for key, value in props.items():
+            key = key.replace("_", ".")
+            if value is None:
+                merged.pop(key, None)
+            else:
+                merged[key] = value
+        _atomic_write(self._properties_path(), json.dumps(merged, indent=1))
+        return merged
+
+    def _bloom_conf(self) -> tuple[list[str], int]:
+        props = self.properties()
+        return (
+            list(props.get("bloom.columns") or []),
+            int(props.get("bloom.bits") or BLOOM_BITS_DEFAULT),
+        )
+
+    def _build_blooms(self, paths: list[str]) -> dict:
+        """{path: sidecar-ref} for the configured bloom columns. The
+        filter bytes live in an immutable ``<file>.bloom.json`` NEXT TO
+        the data file (written once, GC'd with its commit dir), and the
+        manifest carries only the ref string — append manifests copy
+        every prior file entry forward, so inline filters would grow the
+        metadata O(files²)."""
+        cols, bits = self._bloom_conf()
+        if not cols or not paths:
+            return {}
+        inline = bloom_stats_for_files(self.spark, paths, cols, bits=bits)
+        refs = {}
+        for p, per_col in inline.items():
+            ref = p + ".bloom.json"
+            _atomic_write(ref, json.dumps(per_col))
+            refs[p] = ref
+        return refs
+
     # ------------------------------------------------------------ commits
     def _file_stats(self, commit_dir: str) -> list[dict]:
         """Footer stats for every parquet file in ``commit_dir`` (Spark
         task commits are atomic renames, so a directory listing here only
-        ever sees complete files)."""
-        return file_stats_for_paths(
-            sorted(
-                os.path.join(commit_dir, n)
-                for n in os.listdir(commit_dir)
-                if n.endswith(".parquet")
-            )
+        ever sees complete files), plus manifest blooms when the table
+        properties ask for them — so compaction/CoW rewrites re-bloom
+        their output files like any other commit."""
+        paths = sorted(
+            os.path.join(commit_dir, n)
+            for n in os.listdir(commit_dir)
+            if n.endswith(".parquet")
         )
+        files = file_stats_for_paths(paths)
+        refs = self._build_blooms(paths)
+        for f in files:
+            if f["path"] in refs:
+                f["bloom_ref"] = refs[f["path"]]
+        return files
 
     def commit(
         self,
@@ -416,13 +649,14 @@ class SnapshotTable:
             self.data, f"c{max_sequence(self.root) + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
         df.write.mode("error").parquet(commit_dir)
+        new_paths = [
+            os.path.join(commit_dir, n)
+            for n in os.listdir(commit_dir)
+            if n.endswith(".parquet")
+        ]
         seq = commit_files(
             self.root,
-            [
-                os.path.join(commit_dir, n)
-                for n in os.listdir(commit_dir)
-                if n.endswith(".parquet")
-            ],
+            new_paths,
             df.schema.jsonValue(),
             mode=mode,
             summary=summary,
@@ -430,6 +664,7 @@ class SnapshotTable:
             check_schema=False,  # already checked against this parent
             parent=parent,
             advance_hint=branch is None,
+            blooms=self._build_blooms(new_paths),
         )
         if branch:
             self._set_branch(branch, seq, expect=parent)
@@ -525,6 +760,9 @@ class SnapshotTable:
         self,
         target_file_bytes: int = 128 << 20,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 8,
+        where_bounds: dict | None = None,
     ) -> int:
         """Rewrite the current snapshot's data as fewer, larger files and
         commit the result as an Iceberg-style REPLACE snapshot.
@@ -554,41 +792,85 @@ class SnapshotTable:
         (the plain bin-pack is a shuffle-free ``coalesce``), which is
         the explicit price of re-clustering — schedule it per partition
         window, not per table, at 100 TB.
+
+        ``zorder_by`` clusters on the MORTON code of several columns
+        instead (sources/layout.py — Delta ``OPTIMIZE ZORDER BY`` /
+        Iceberg zorder rewrite): each output file covers a hypercube of
+        the value space, so min/max pruning works on EVERY listed column
+        at once, where ``sort_by`` only tightens the leading one. Same
+        one-shuffle cost; ``zorder_bits`` is the per-column resolution.
+
+        ``where_bounds`` ({col: (lo, hi)}) SCOPES the rewrite to the
+        files whose manifest min/max intersect the bounds — Iceberg's
+        ``rewrite_data_files(where => ...)``: at 100 TB you compact
+        yesterday's micro-batches, never the table, so the rewrite cost
+        is window-sized while every out-of-scope file carries into the
+        child manifest verbatim (same CoW accounting as the row-level
+        mutations). Note the scope is FILE-granular via stats: a file
+        straddling the boundary is rewritten whole, which is correct —
+        replace snapshots preserve the global row multiset exactly.
         """
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         m = self.snapshot()
-        total = sum(f["bytes"] for f in m["files"])
+        if where_bounds:
+            scope_paths, _ = self._select_files(m, where_bounds)
+            scope_set = set(scope_paths)
+        else:
+            scope_set = {f["path"] for f in m["files"]}
+        scope = [f for f in m["files"] if f["path"] in scope_set]
+        carried = [f for f in m["files"] if f["path"] not in scope_set]
+        total = sum(f["bytes"] for f in scope)
+        scope_rows = sum(f["rows"] for f in scope)
         n = max(1, -(-total // max(1, target_file_bytes)))  # ceil-div
-        if sort_by is None and n >= len(m["files"]):
+        unclustered = sort_by is None and zorder_by is None
+        if not scope or (unclustered and n >= len(scope)):
             return self.current_sequence()
         parent = self.current_sequence()
         commit_dir = os.path.join(
             self.data, f"c{parent + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
-        if sort_by is None:
+        src = self._read_paths(m, [f["path"] for f in scope])
+        if zorder_by is not None:
+            from workbook_exporter_fe_spark.sources.layout import with_zvalue
+
+            out = (
+                with_zvalue(src, zorder_by, bits=zorder_bits)
+                .repartitionByRange(n, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by is None:
             # coalesce, not repartition: a bin-pack must not shuffle
             # 100 TB, only concatenate small outputs into bigger ones
-            out = self.read().coalesce(n)
+            out = src.coalesce(n)
         else:
             # global range clustering: tight per-file min/max on sort_by
-            out = self.read().repartitionByRange(
+            out = src.repartitionByRange(
                 n, *sort_by
             ).sortWithinPartitions(*sort_by)
         out.write.mode("error").parquet(commit_dir)
         new_files = self._file_stats(commit_dir)
         rows_out = sum(f["rows"] for f in new_files)
-        if rows_out != m["total_rows"]:  # footer counts are exact
+        if rows_out != scope_rows:  # footer counts are exact
             shutil.rmtree(commit_dir, ignore_errors=True)
             raise RuntimeError(
-                f"compaction row drift: {rows_out} != {m['total_rows']}"
+                f"compaction row drift: {rows_out} != {scope_rows}"
             )
         try:
             return self._commit_manifest(
                 operation="replace",
-                files=new_files,
+                files=carried + new_files,
                 schema=m["schema"],
                 summary={
                     "files_before": len(m["files"]),
-                    "files_after": len(new_files),
+                    "files_after": len(carried) + len(new_files),
+                    "files_rewritten": len(scope),
+                    "files_carried": len(carried),
+                    **({"sort_by": sort_by} if sort_by else {}),
+                    **({"zorder_by": zorder_by} if zorder_by else {}),
+                    **({"where_bounds": {k: list(v) for k, v in
+                        where_bounds.items()}} if where_bounds else {}),
                 },
                 expected_parent=parent,
             )
@@ -967,25 +1249,37 @@ class SnapshotTable:
 
     # -------------------------------------------------------------- reads
     def _select_files(
-        self, manifest: dict, col_between: dict | None
+        self,
+        manifest: dict,
+        col_between: dict | None,
+        col_eq: dict | None = None,
     ) -> tuple[list[str], int]:
-        """File paths surviving manifest-stats pruning + pruned count."""
+        """File paths surviving manifest-stats pruning + pruned count.
+        ``col_between`` prunes on per-file min/max; ``col_eq`` ({col:
+        value}) additionally probes the per-file blooms (equality is the
+        predicate min/max can't help with on hash-distributed columns —
+        every file spans the whole range, but a bloom miss is a proof of
+        absence)."""
         files = manifest["files"]
-        if not col_between:
+        if not col_between and not col_eq:
             return [f["path"] for f in files], 0
         keep = []
         for f in files:
-            ok = True
-            for col, (lo, hi) in col_between.items():
-                fmin = f["min"].get(col)
-                fmax = f["max"].get(col)
-                if fmin is None or fmax is None:
-                    continue  # no stats -> cannot prune this file
-                if (hi is not None and fmin > hi) or (
-                    lo is not None and fmax < lo
-                ):
-                    ok = False
-                    break
+            ok = file_survives_eq(f, col_eq or {})
+            if ok:
+                for col, (lo, hi) in (col_between or {}).items():
+                    fmin = f["min"].get(col)
+                    fmax = f["max"].get(col)
+                    if fmin is None or fmax is None:
+                        continue  # no stats -> cannot prune this file
+                    try:
+                        if (hi is not None and fmin > hi) or (
+                            lo is not None and fmax < lo
+                        ):
+                            ok = False
+                            break
+                    except TypeError:  # incomparable filter/stat types
+                        continue
             if ok:
                 keep.append(f["path"])
         return keep, len(files) - len(keep)
@@ -994,15 +1288,17 @@ class SnapshotTable:
         self,
         sequence: int | None = None,
         col_between: dict | None = None,
+        col_eq: dict | None = None,
     ) -> DataFrame:
         """The snapshot's rows; ``sequence`` time-travels, ``col_between``
         ({col: (lo, hi)}) prunes whole files by manifest min/max before
-        Spark lists anything. Pruning is a superset guard — apply the
+        Spark lists anything, ``col_eq`` ({col: value}) prunes by manifest
+        bloom (point lookups). Pruning is a superset guard — apply the
         actual row filter on top (exactly like partition pruning)."""
         from pyspark.sql.types import StructType
 
         manifest = self.snapshot(sequence)
-        paths, _ = self._select_files(manifest, col_between)
+        paths, _ = self._select_files(manifest, col_between, col_eq)
         schema = StructType.fromJson(manifest["schema"])
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -1013,11 +1309,14 @@ class SnapshotTable:
         return self.spark.read.schema(schema).parquet(*paths)
 
     def scan_files(
-        self, sequence: int | None = None, col_between: dict | None = None
+        self,
+        sequence: int | None = None,
+        col_between: dict | None = None,
+        col_eq: dict | None = None,
     ) -> tuple[list[str], int]:
         """(surviving file paths, files pruned) — exposed so tests/plans
         can assert the manifest actually pruned."""
-        return self._select_files(self.snapshot(sequence), col_between)
+        return self._select_files(self.snapshot(sequence), col_between, col_eq)
 
     def changes(
         self, from_sequence: int, to_sequence: int | None = None
@@ -1430,4 +1729,10 @@ class SnapshotTable:
                     removed += 1
                 except OSError:
                     pass  # raced a concurrent GC; the file is gone either way
+                else:
+                    # an orphan's bloom sidecar is orphaned with it
+                    try:
+                        os.remove(p + ".bloom.json")
+                    except OSError:
+                        pass
         return {"orphans_removed": removed, "files_scanned": scanned}

@@ -52,7 +52,10 @@ def _find_epoch(table, run_id: str | None, epoch_id: int,
     """
     head = table.current_sequence()
     for seq in range(head, max(0, head - scan), -1):
-        s = table.snapshot(seq)["summary"]
+        try:
+            s = table.snapshot(seq)["summary"]
+        except FileNotFoundError:
+            continue  # expired by maintenance: carries no information
         if "epoch" not in s:
             continue  # interleaved non-stream commit
         run, e = s.get("run"), int(s["epoch"])
