@@ -138,6 +138,20 @@ def main() -> None:
         "file skipping; applied before compaction so the rewrite blooms)",
     )
     ap.add_argument(
+        "--partition-spec",
+        help="set the hidden-partitioning spec table property for future "
+        "commits, comma-separated transforms e.g. "
+        "'day(ts),bucket(16;doc_id),source' (use ';' between a "
+        "transform's N and its column — ',' separates spec entries)",
+    )
+    ap.add_argument(
+        "--drop-partitions",
+        help="metadata-only partition retention: 'field<=VALUE' drops "
+        "every partition up to and including VALUE in the transform's "
+        "order, 'field=VALUE' drops one (e.g. ts_day<=2024-01-02); no "
+        "data is read or written",
+    )
+    ap.add_argument(
         "--expire", action="store_true",
         help="expire snapshot manifests + unreferenced commit dirs",
     )
@@ -216,10 +230,29 @@ def main() -> None:
         for root in args.snapshot_table:
             table = SnapshotTable(spark, root)
             entry: dict = {"sequence": table.current_sequence()}
+            props = {}
             if args.bloom_columns:
-                entry["properties"] = table.set_properties(
-                    **{"bloom.columns": args.bloom_columns.split(",")}
-                )
+                props["bloom.columns"] = args.bloom_columns.split(",")
+            if args.partition_spec:
+                props["partition.spec"] = [
+                    p.replace(";", ",") for p in args.partition_spec.split(",")
+                ]
+            if props:
+                entry["properties"] = table.set_properties(**props)
+            if args.drop_partitions:
+                expr = args.drop_partitions
+                if "<=" in expr:
+                    field, _, v = expr.partition("<=")
+                    entry["drop_partitions"] = table.drop_partitions(
+                        field.strip(), upto=v.strip()
+                    )
+                elif "=" in expr:
+                    field, _, v = expr.partition("=")
+                    entry["drop_partitions"] = table.drop_partitions(
+                        field.strip(), equals=v.strip()
+                    )
+                else:
+                    ap.error("--drop-partitions needs field<=V or field=V")
             if args.delete_where:
                 seq = table.delete_where(
                     args.delete_where,

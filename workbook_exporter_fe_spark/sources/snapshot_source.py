@@ -87,6 +87,9 @@ def register(spark) -> None:
 # snapshots.py instead of going through SnapshotTable (which wants a
 # session for its DataFrame helpers).
 
+from workbook_exporter_fe_spark.sources.partitioning import (  # noqa: E402
+    file_survives_partition as _file_survives_partition,
+)
 from workbook_exporter_fe_spark.sources.snapshots import (  # noqa: E402
     commit_files as _commit_files,
     current_sequence as _current_sequence,
@@ -99,6 +102,21 @@ def _norm(value):
     """Normalize a filter value to the manifest-stats domain (stats store
     timestamps/dates as isoformat strings; everything else raw)."""
     return value.isoformat() if hasattr(value, "isoformat") else value
+
+
+def _partition_fields_of(root: str):
+    """Parsed hidden-partitioning spec from the table's properties file
+    (sources/partitioning.py) — [] when unpartitioned or unreadable."""
+    import json
+    import os
+
+    from workbook_exporter_fe_spark.sources.partitioning import parse_spec
+
+    try:
+        with open(os.path.join(root, "metadata", "properties.json")) as f:
+            return parse_spec(list(json.load(f).get("partition.spec") or []))
+    except (OSError, ValueError):
+        return []
 
 
 def _file_survives(f: dict, bounds: dict) -> bool:
@@ -205,11 +223,15 @@ class SnapshotLogBatchReader(DataSourceReader):
         if seq == 0:
             return []
         files = _load_manifest(self.root, seq)["files"]
+        pfields = _partition_fields_of(self.root)
         return [
             FilePartition(f["path"], f["rows"])
             for f in files
             if _file_survives(f, self.bounds)
             and _file_survives_eq(f, self.eq)
+            and _file_survives_partition(
+                f.get("partition"), pfields, self.eq, self.bounds
+            )
         ]
 
     def read(self, partition: FilePartition) -> Iterator:

@@ -77,6 +77,14 @@ import uuid
 
 from pyspark.sql import DataFrame, Row, SparkSession
 
+from workbook_exporter_fe_spark.sources.partitioning import (
+    ORDERED_TRANSFORMS,
+    _as_domain,
+)
+
+#: "no partition value recorded for this field" (distinct from null)
+_MISSING = object()
+
 
 def state_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     """Row-level diff of two table STATES: ``new``'s schema plus ``_op`` ∈
@@ -434,6 +442,7 @@ def commit_files(
     parent: int | None = None,
     advance_hint: bool = True,
     blooms: dict | None = None,
+    partitions: dict | None = None,
 ) -> int:
     """Publish already-written parquet files as a new snapshot.
 
@@ -466,6 +475,9 @@ def commit_files(
             f["bloom_ref"] = b
         elif b:  # inline (small tables / tests)
             f["bloom"] = b
+        p = (partitions or {}).get(f["path"])
+        if p:  # hidden-partitioning tuple (sources/partitioning.py)
+            f["partition"] = p
     schema = schema_json
     if mode == "append" and parent > 0:
         prev = load_manifest(root, parent)
@@ -597,23 +609,98 @@ class SnapshotTable:
             refs[p] = ref
         return refs
 
+    # ------------------------------------------------- hidden partitioning
+    def _partition_fields(self) -> list:
+        """Parsed ``partition.spec`` table property (see
+        sources/partitioning.py) — empty list = unpartitioned writes."""
+        from workbook_exporter_fe_spark.sources.partitioning import parse_spec
+
+        return parse_spec(list(self.properties().get("partition.spec") or []))
+
+    def _write_data(
+        self, df: DataFrame, commit_dir: str, distribute: bool = True
+    ) -> None:
+        """Write one commit's data, fanned out per partition tuple when
+        the table has a spec. ``distribute`` hash-clusters rows by the
+        partition columns first (Iceberg ``write.distribution-mode=hash``
+        — one shuffle buys one well-sized file per partition per commit
+        instead of tasks×partitions small files); compaction/CoW rewrites
+        pass False because their input is already arranged (coalesced or
+        z-order/range clustered) and must not re-shuffle."""
+        fields = self._partition_fields()
+        if not fields:
+            df.write.mode("error").parquet(commit_dir)
+            return
+        from workbook_exporter_fe_spark.sources.partitioning import (
+            PCOL_PREFIX,
+            partition_columns,
+        )
+
+        pcols = [PCOL_PREFIX + f.name for f in fields]
+        staged = df.select("*", *partition_columns(df, fields))
+        if distribute and self.properties().get(
+            "partition.distribution", "hash"
+        ) == "hash":
+            staged = staged.repartition(*pcols)
+        staged.write.mode("error").partitionBy(*pcols).parquet(commit_dir)
+
+    @staticmethod
+    def _list_parquet(commit_dir: str) -> list[str]:
+        """Every parquet leaf under ``commit_dir`` (partitioned commits
+        nest one directory level per spec field)."""
+        out = []
+        for dirpath, _dirs, files in os.walk(commit_dir):
+            out.extend(
+                os.path.join(dirpath, n)
+                for n in files
+                if n.endswith(".parquet")
+            )
+        return sorted(out)
+
+    @staticmethod
+    def _partition_from_path(path: str, commit_dir: str) -> dict | None:
+        """Recover the partition tuple from the hive-style directory
+        segments ``__p_<name>=<value>`` between ``commit_dir`` and the
+        file. Values are unescaped; the hive null sentinel maps to None
+        ("every row's source column was null" — prunable on any probe)."""
+        from urllib.parse import unquote
+
+        from workbook_exporter_fe_spark.sources.partitioning import PCOL_PREFIX
+
+        rel = os.path.relpath(os.path.dirname(path), commit_dir)
+        vals: dict = {}
+        for seg in rel.split(os.sep):
+            if seg.startswith(PCOL_PREFIX) and "=" in seg:
+                k, _, v = seg.partition("=")
+                v = unquote(v)
+                vals[k[len(PCOL_PREFIX):]] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                )
+        return vals or None
+
+    def _commit_dir_of(self, path: str) -> str:
+        """The commit directory owning ``path`` — its first path segment
+        under the table's data dir (partitioned files nest deeper)."""
+        rel = os.path.relpath(os.path.abspath(path), self.data)
+        return os.path.join(self.data, rel.split(os.sep)[0])
+
     # ------------------------------------------------------------ commits
     def _file_stats(self, commit_dir: str) -> list[dict]:
         """Footer stats for every parquet file in ``commit_dir`` (Spark
         task commits are atomic renames, so a directory listing here only
-        ever sees complete files), plus manifest blooms when the table
-        properties ask for them — so compaction/CoW rewrites re-bloom
-        their output files like any other commit."""
-        paths = sorted(
-            os.path.join(commit_dir, n)
-            for n in os.listdir(commit_dir)
-            if n.endswith(".parquet")
-        )
+        ever sees complete files), plus manifest blooms and partition
+        tuples when the table properties ask for them — so compaction/CoW
+        rewrites re-bloom and re-tuple their output files like any other
+        commit."""
+        paths = self._list_parquet(commit_dir)
         files = file_stats_for_paths(paths)
         refs = self._build_blooms(paths)
         for f in files:
             if f["path"] in refs:
                 f["bloom_ref"] = refs[f["path"]]
+            p = self._partition_from_path(f["path"], commit_dir)
+            if p:
+                f["partition"] = p
         return files
 
     def commit(
@@ -648,12 +735,8 @@ class SnapshotTable:
         commit_dir = os.path.join(
             self.data, f"c{max_sequence(self.root) + 1:08d}-{uuid.uuid4().hex[:8]}"
         )
-        df.write.mode("error").parquet(commit_dir)
-        new_paths = [
-            os.path.join(commit_dir, n)
-            for n in os.listdir(commit_dir)
-            if n.endswith(".parquet")
-        ]
+        self._write_data(df, commit_dir)
+        new_paths = self._list_parquet(commit_dir)
         seq = commit_files(
             self.root,
             new_paths,
@@ -665,6 +748,11 @@ class SnapshotTable:
             parent=parent,
             advance_hint=branch is None,
             blooms=self._build_blooms(new_paths),
+            partitions={
+                p: t
+                for p in new_paths
+                if (t := self._partition_from_path(p, commit_dir))
+            },
         )
         if branch:
             self._set_branch(branch, seq, expect=parent)
@@ -849,7 +937,7 @@ class SnapshotTable:
             out = src.repartitionByRange(
                 n, *sort_by
             ).sortWithinPartitions(*sort_by)
-        out.write.mode("error").parquet(commit_dir)
+        self._write_data(out, commit_dir, distribute=False)
         new_files = self._file_stats(commit_dir)
         rows_out = sum(f["rows"] for f in new_files)
         if rows_out != scope_rows:  # footer counts are exact
@@ -938,8 +1026,10 @@ class SnapshotTable:
         )
         # coalesce, not repartition: the rewrite reads len(touched) files
         # and must not shuffle them to write at most that many back
-        rewritten.coalesce(max(1, len(touched))).write.mode("error").parquet(
-            commit_dir
+        self._write_data(
+            rewritten.coalesce(max(1, len(touched))),
+            commit_dir,
+            distribute=False,
         )
         new_files = [f for f in self._file_stats(commit_dir) if f["rows"] > 0]
         rows_out = sum(f["rows"] for f in new_files)
@@ -1263,9 +1353,16 @@ class SnapshotTable:
         files = manifest["files"]
         if not col_between and not col_eq:
             return [f["path"] for f in files], 0
+        from workbook_exporter_fe_spark.sources.partitioning import (
+            file_survives_partition,
+        )
+
+        pfields = self._partition_fields()
         keep = []
         for f in files:
-            ok = file_survives_eq(f, col_eq or {})
+            ok = file_survives_eq(f, col_eq or {}) and file_survives_partition(
+                f.get("partition"), pfields, col_eq, col_between
+            )
             if ok:
                 for col, (lo, hi) in (col_between or {}).items():
                     fmin = f["min"].get(col)
@@ -1449,6 +1546,125 @@ class SnapshotTable:
             "path string, rows long, bytes long, min_json string, "
             "max_json string",
         )
+
+    def partitions(self, sequence: int | None = None) -> DataFrame:
+        """Iceberg-style ``partitions`` metadata table: one row per
+        partition tuple with file/row/byte totals, straight off the
+        manifest (metadata-sized — no data is read). Files committed
+        before the spec (or through raw ``commit_files``) group under the
+        empty tuple ``{}``."""
+        m = self.snapshot(sequence)
+        agg: dict[str, list] = {}
+        for f in m["files"]:
+            key = json.dumps(f.get("partition") or {}, sort_keys=True)
+            e = agg.setdefault(key, [0, 0, 0])
+            e[0] += 1
+            e[1] += f["rows"]
+            e[2] += f["bytes"]
+        rows = [
+            Row(partition=k, n_files=v[0], rows=v[1], bytes=v[2])
+            for k, v in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "partition string, n_files int, rows long, bytes long"
+        )
+
+    def drop_partitions(
+        self, field: str, upto=None, equals=None, nulls: bool = False
+    ) -> dict:
+        """METADATA-ONLY partition retention (Iceberg's ``DROP
+        PARTITION`` / partition-aligned ``DELETE``): publish a replace
+        snapshot that omits every file whose recorded partition value for
+        ``field`` is provably expired — ``equals`` drops one partition,
+        ``upto`` drops all values <= it in the transform's order (the
+        retention shape: ``drop_partitions("ts_day", upto="2024-01-02")``
+        drops those whole days), ``nulls=True`` additionally drops
+        null-partition files. No parquet is read or written — at 100 TB
+        this is the difference between retention as an O(metadata) commit
+        and retention as a table rewrite; rows not aligned to a partition
+        boundary still need ``delete_where`` (CoW), and files with no
+        recorded tuple are never dropped (superset guard).
+
+        Old files stay readable via time travel until expire_snapshots.
+        Returns ``{sequence, files_dropped, rows_dropped}``.
+        """
+        if (upto is None) == (equals is None) and not (
+            upto is None and equals is None and nulls
+        ):
+            raise ValueError("pass exactly one of upto=/equals= (or nulls=True)")
+        fields = {f.name: f for f in self._partition_fields()}
+        if field not in fields:
+            raise ValueError(
+                f"{field!r} is not a partition field; spec has "
+                f"{sorted(fields)}"
+            )
+        pf = fields[field]
+        if upto is not None and pf.transform not in ORDERED_TRANSFORMS:
+            raise ValueError(
+                f"upto= needs an ordered transform; {pf.transform} is not "
+                "(use equals=)"
+            )
+        # canonicalize the probe: accept either the partition-domain
+        # string (what partitions() shows) or a source-domain value
+        def canon(v):
+            from workbook_exporter_fe_spark.sources.partitioning import (
+                partition_value,
+            )
+
+            if pf.transform in ("day", "hour", "month") and not isinstance(
+                v, str
+            ):
+                return partition_value(pf, v)
+            if isinstance(v, str):
+                return v
+            return str(v)
+
+        expected_parent = self.current_sequence()
+        m = self.snapshot(expected_parent)
+        keep, dropped = [], []
+        for f in m["files"]:
+            pv = (f.get("partition") or {}).get(field, _MISSING)
+            drop = False
+            if pv is _MISSING:
+                drop = False  # no tuple recorded: cannot prove expiry
+            elif pv is None:
+                drop = nulls
+            elif equals is not None:
+                drop = pv == canon(equals)
+            elif upto is not None:
+                s, p = _as_domain(pf, pv, canon(upto))
+                try:
+                    drop = s <= p
+                except TypeError:
+                    drop = False
+            (dropped if drop else keep).append(f)
+        if not dropped:
+            return {
+                "sequence": expected_parent,
+                "files_dropped": 0,
+                "rows_dropped": 0,
+            }
+        seq = self._commit_manifest(
+            operation="delete",
+            files=keep,
+            schema=m["schema"],
+            summary={
+                "drop_partitions": {
+                    "field": field,
+                    **({"upto": canon(upto)} if upto is not None else {}),
+                    **({"equals": canon(equals)} if equals is not None else {}),
+                    **({"nulls": True} if nulls else {}),
+                },
+                "files_dropped": len(dropped),
+                "rows_deleted": sum(f["rows"] for f in dropped),
+            },
+            expected_parent=expected_parent,
+        )
+        return {
+            "sequence": seq,
+            "files_dropped": len(dropped),
+            "rows_dropped": sum(f["rows"] for f in dropped),
+        }
 
     # ------------------------------------------------------------------ GC
     def row_diff(
@@ -1678,7 +1894,9 @@ class SnapshotTable:
             if seq < 1 or not os.path.exists(self._manifest_path(seq)):
                 continue
             for f in self._load(seq)["files"]:
-                live_dirs.add(os.path.dirname(f["path"]))
+                # the COMMIT dir, not dirname(): partitioned files nest
+                # hive-style subdirs inside the commit directory
+                live_dirs.add(self._commit_dir_of(f["path"]))
         expired = 0
         for seq in range(1, max_sequence(self.root) + 1):
             if seq in keep_seqs:
