@@ -80,6 +80,27 @@ def main() -> None:
         "(near-dup leakage removal; the exact n-gram pass lives in "
         "operators/decontam.py)",
     )
+    ap.add_argument(
+        "--quality-model",
+        help="trained classifier npz (operators/classifier.py lr_train + "
+        "save_model, or --train-quality below): docs scoring below "
+        "--quality-p-min are dropped in the same scan as the heuristic "
+        "filters",
+    )
+    ap.add_argument("--quality-p-min", type=float, default=0.5)
+    ap.add_argument(
+        "--model-tokens-col",
+        help="pre-tokenized int-array column for the classifier; omit to "
+        "derive tokens from --text-col (train and score must match)",
+    )
+    ap.add_argument(
+        "--train-quality",
+        help="TRAIN mode: labeled parquet (label column 0/1) — trains the "
+        "hashed n-gram classifier and saves it to --quality-model, then "
+        "exits (no curation pass)",
+    )
+    ap.add_argument("--label-col", default="label")
+    ap.add_argument("--model-epochs", type=int, default=30)
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
 
@@ -87,6 +108,38 @@ def main() -> None:
     from workbook_exporter_fe_spark.session import get_spark
 
     spark = get_spark(app_name="run_corpus", cores=args.cores)
+
+    if args.train_quality:
+        if not args.quality_model:
+            ap.error("--train-quality needs --quality-model (save path)")
+        from pyspark.sql import functions as F
+
+        from workbook_exporter_fe_spark.operators.classifier import (
+            lr_train,
+            save_model,
+            text_tokens,
+        )
+
+        labeled = spark.read.parquet(args.train_quality)
+        tok_col = args.model_tokens_col
+        if tok_col is None:
+            tok_col = "__qtok"
+            labeled = labeled.withColumn(
+                tok_col, text_tokens(F.col(args.text_col))
+            )
+        model = lr_train(
+            labeled, args.label_col, tokens_col=tok_col,
+            epochs=args.model_epochs, track_loss=True,
+        )
+        save_model(model, args.quality_model)
+        print(json.dumps({
+            "trained": args.quality_model,
+            "rows": labeled.count(),
+            "epochs": args.model_epochs,
+            "final_loss": model["loss"][-1] if model["loss"] else None,
+        }))
+        return
+
     docs = spark.read.parquet(args.input)
     pre_metrics = {}
     if args.decontam_index:
@@ -126,6 +179,11 @@ def main() -> None:
             int(total_s), temperature_weights(counts, float(alpha_s))
         )
         pre_metrics["mixture_temp_budgets"] = mixture
+    quality_model = None
+    if args.quality_model:
+        from workbook_exporter_fe_spark.operators.classifier import load_model
+
+        quality_model = load_model(args.quality_model)
     _, metrics = curate_corpus(
         docs,
         args.out,
@@ -141,6 +199,9 @@ def main() -> None:
         mixture_source_col=args.mixture_source_col,
         shuffle_seed=args.shuffle_seed,
         target_files=args.target_files,
+        quality_model=quality_model,
+        quality_p_min=args.quality_p_min,
+        model_tokens_col=args.model_tokens_col,
     )
     print(json.dumps({**pre_metrics, **metrics}, default=str))
 

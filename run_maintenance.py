@@ -174,6 +174,12 @@ def main() -> None:
         "match are rewritten); runs BEFORE compaction/expiry",
     )
     ap.add_argument(
+        "--delete-mode", choices=("cow", "mor"), default="cow",
+        help="cow rewrites the touched files; mor writes a position "
+        "delete vector instead (no data files touched — reads mask at "
+        "scan time; a later compaction materializes the deletes)",
+    )
+    ap.add_argument(
         "--delete-bounds",
         help="manifest-stats pruning hint for --delete-where, e.g. "
         "col<=2021-01-01 or col>=X,col2<=Y (skips files whose min/max "
@@ -257,6 +263,7 @@ def main() -> None:
                 seq = table.delete_where(
                     args.delete_where,
                     stats_bounds=_parse_bounds(args.delete_bounds),
+                    mode=args.delete_mode,
                 )
                 entry["delete"] = (
                     table.snapshot(seq)["summary"]

@@ -173,6 +173,42 @@ def lr_train(
             "loss": losses}
 
 
+def text_tokens(text_col) -> "F.Column":
+    """Deterministic int tokens for RAW-TEXT corpora: whitespace split →
+    ``xxhash64 mod 2^31`` per word, as a pure Column expression. The
+    engine's native input is pre-tokenized (``tokens: array<int>``,
+    BASELINE input_hint); this adapter lets the same classifier train and
+    score on text tables — train and score MUST both go through it (the
+    ids are hash-arbitrary; only consistency matters, exactly like the
+    feature hashing itself)."""
+    words = F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+    return F.transform(
+        words, lambda w: F.pmod(F.xxhash64(w), F.lit(1 << 31)).cast("int")
+    )
+
+
+def save_model(model: dict, path: str) -> None:
+    """Persist a trained model as npz (weights + scalars)."""
+    np.savez_compressed(
+        path,
+        weights=model["weights"],
+        bias=np.float64(model["bias"]),
+        dim=np.int64(model["dim"]),
+        seed=np.int64(model["seed"]),
+    )
+
+
+def load_model(path: str) -> dict:
+    z = np.load(path)
+    return {
+        "weights": z["weights"],
+        "bias": float(z["bias"]),
+        "dim": int(z["dim"]),
+        "seed": int(z["seed"]),
+        "loss": [],
+    }
+
+
 def lr_score(
     df: DataFrame,
     model: dict,

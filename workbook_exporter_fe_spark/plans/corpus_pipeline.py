@@ -77,6 +77,9 @@ def curate_corpus(
     mixture_source_col: str = "source",
     shuffle_seed: int | None = None,
     target_files: int | None = None,
+    quality_model: dict | None = None,
+    quality_p_min: float = 0.5,
+    model_tokens_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation chain; returns (final DataFrame, stage metrics).
 
@@ -117,6 +120,24 @@ def curate_corpus(
         kept = kept.filter(F.col("lang_pred").isin(list(langs)))
     if quality_min > 0.0:
         kept = kept.filter(F.col("quality_score") >= quality_min)
+    if quality_model is not None:
+        # trained-classifier gate (operators/classifier.py): one Arrow
+        # margin kernel over the broadcast weights — rides the same scan
+        # as the heuristic filters, counted in after_filter
+        from workbook_exporter_fe_spark.operators.classifier import (
+            lr_score,
+            text_tokens,
+        )
+
+        src = model_tokens_col
+        if src is None:  # raw-text corpus: derive the int tokens inline
+            src = "__qtok"
+            kept = kept.withColumn(src, text_tokens(F.col(text_col)))
+        kept = lr_score(kept, quality_model, tokens_col=src).filter(
+            F.col("quality_p") >= quality_p_min
+        )
+        if src == "__qtok":
+            kept = kept.drop(src)
     kept = kept.observe(obs_filter, n)
 
     sampled = sample_rate < 1.0

@@ -179,14 +179,38 @@ def _prunable(flt) -> bool:
 class FilePartition(InputPartition):
     path: str
     rows: int
+    dv_paths: tuple = ()
+
+
+def _dv_positions(dv_paths: tuple, data_path: str):
+    """Deleted row positions for ONE data file from its delete vectors
+    (merge-on-read): each vector parquet carries (uri, path, pos); the
+    executor filters by the manifest-form ``path`` column so it never has
+    to reproduce Spark's URI escaping. Returns a sorted numpy array (or
+    None when nothing masks this file)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if not dv_paths:
+        return None
+    pos = []
+    for p in dv_paths:
+        t = pq.read_table(p, columns=["path", "pos"],
+                          filters=[("path", "=", data_path)])
+        pos.append(t.column("pos").to_numpy(zero_copy_only=False))
+    out = np.sort(np.concatenate(pos)) if pos else None
+    return out if out is not None and len(out) else None
 
 
 def _read_file_batches(
-    path: str, schema: StructType, batch_rows: int
+    path: str, schema: StructType, batch_rows: int, dv_paths: tuple = ()
 ) -> Iterator:
     """Yield RecordBatches aligned to the TABLE schema: missing (evolved)
     columns null-fill, extra (dropped) columns project away, physical
-    types cast to the manifest schema's arrow types."""
+    types cast to the manifest schema's arrow types. Position deletes
+    mask rows by a running in-file offset (vectors index the FILE's rows,
+    so the offset must count every physical row this reader streams)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -195,7 +219,23 @@ def _read_file_batches(
     target = to_arrow_schema(schema)
     pf = pq.ParquetFile(path)
     present = [n for n in target.names if n in pf.schema_arrow.names]
+    deleted = _dv_positions(dv_paths, path)
+    offset = 0
     for batch in pf.iter_batches(batch_size=batch_rows, columns=present):
+        n = batch.num_rows
+        keep = None
+        if deleted is not None:
+            lo = np.searchsorted(deleted, offset)
+            hi = np.searchsorted(deleted, offset + n)
+            if hi > lo:
+                mask = np.ones(n, dtype=bool)
+                mask[deleted[lo:hi] - offset] = False
+                keep = mask
+        offset += n
+        if keep is not None:
+            batch = batch.filter(pa.array(keep))
+            if batch.num_rows == 0:
+                continue
         cols = []
         for field in target:
             if field.name in present:
@@ -222,10 +262,21 @@ class SnapshotLogBatchReader(DataSourceReader):
         seq = self.sequence or _current_sequence(self.root)
         if seq == 0:
             return []
-        files = _load_manifest(self.root, seq)["files"]
+        manifest = _load_manifest(self.root, seq)
+        files = manifest["files"]
         pfields = _partition_fields_of(self.root)
+        deletes = manifest.get("deletes") or []
         return [
-            FilePartition(f["path"], f["rows"])
+            FilePartition(
+                f["path"],
+                f["rows"],
+                tuple(sorted({
+                    p
+                    for d in deletes
+                    if f["path"] in (d.get("data_files") or {})
+                    for p in d["paths"]
+                })),
+            )
             for f in files
             if _file_survives(f, self.bounds)
             and _file_survives_eq(f, self.eq)
@@ -236,7 +287,8 @@ class SnapshotLogBatchReader(DataSourceReader):
 
     def read(self, partition: FilePartition) -> Iterator:
         yield from _read_file_batches(
-            partition.path, self.schema, self.batch_rows
+            partition.path, self.schema, self.batch_rows,
+            partition.dv_paths,
         )
 
 

@@ -388,6 +388,43 @@ def bloom_might_contain(bloom: dict, value) -> bool:
     return True
 
 
+def dv_rows_by_file(manifest: dict) -> dict[str, int]:
+    """Deleted-row counts per DATA file from the manifest's position
+    delete entries (merge-on-read deletes). {} when the snapshot has no
+    outstanding delete vectors."""
+    out: dict[str, int] = {}
+    for d in manifest.get("deletes") or []:
+        for p, n in (d.get("data_files") or {}).items():
+            out[p] = out.get(p, 0) + int(n)
+    return out
+
+
+def live_rows_map(manifest: dict) -> dict[str, int]:
+    """{data file path: LIVE rows} — footer count minus outstanding
+    position deletes. This is the number every row-accounting guard must
+    use on a table with delete vectors (footer counts alone overcount)."""
+    dv = dv_rows_by_file(manifest)
+    return {f["path"]: f["rows"] - dv.get(f["path"], 0) for f in manifest["files"]}
+
+
+def carry_deletes(manifest: dict, replaced: set[str]) -> list[dict]:
+    """The child manifest's delete entries after ``replaced`` data files
+    left the table (rewritten or dropped): attribution for replaced files
+    prunes away — a rewrite read the LIVE rows, so its output already
+    materialized those deletes — and entries covering nothing drop whole.
+    The DV parquet itself is immutable; stale rows for replaced files are
+    inert (their uri never matches a live file again)."""
+    out = []
+    for d in manifest.get("deletes") or []:
+        kept = {
+            p: n for p, n in (d.get("data_files") or {}).items()
+            if p not in replaced
+        }
+        if kept:
+            out.append({**d, "data_files": kept})
+    return out
+
+
 def file_survives_eq(f: dict, col_eq: dict) -> bool:
     """Bloom check for equality predicates against one manifest file
     entry; files without a bloom for the column always survive (superset
@@ -479,10 +516,13 @@ def commit_files(
         if p:  # hidden-partitioning tuple (sources/partitioning.py)
             f["partition"] = p
     schema = schema_json
+    deletes: list = []
     if mode == "append" and parent > 0:
         prev = load_manifest(root, parent)
         files = prev["files"] + files
         schema = prev["schema"]
+        # outstanding position deletes survive appends untouched
+        deletes = prev.get("deletes") or []
     manifest = {
         "sequence": seq,
         "parent": parent,
@@ -492,7 +532,10 @@ def commit_files(
         "files": files,
         "summary": dict(summary or {}),
         "total_rows": sum(f["rows"] for f in files),
+        **({"deletes": deletes} if deletes else {}),
     }
+    if deletes:
+        manifest["total_rows"] = sum(live_rows_map(manifest).values())
     mpath = os.path.join(meta, f"snap-{seq:08d}.json")
     if os.path.exists(mpath):
         if cleanup_dir:
@@ -828,6 +871,7 @@ class SnapshotTable:
             files=m["files"],
             schema=StructType(fields).jsonValue(),
             summary={"added": sorted(add or {}), "dropped": sorted(drop or [])},
+            deletes=m.get("deletes"),
         )
 
     def rollback(self, sequence: int) -> int:
@@ -842,6 +886,7 @@ class SnapshotTable:
             files=old["files"],
             schema=old["schema"],
             extra={"rolled_back_to": sequence},
+            deletes=old.get("deletes"),
         )
 
     def compact(
@@ -909,7 +954,11 @@ class SnapshotTable:
         scope = [f for f in m["files"] if f["path"] in scope_set]
         carried = [f for f in m["files"] if f["path"] not in scope_set]
         total = sum(f["bytes"] for f in scope)
-        scope_rows = sum(f["rows"] for f in scope)
+        # LIVE rows: the rewrite reads through the DV mask, so compacting
+        # a masked file MATERIALIZES its position deletes (Iceberg's
+        # rewrite_data_files retiring delete files)
+        live = live_rows_map(m)
+        scope_rows = sum(live[f["path"]] for f in scope)
         n = max(1, -(-total // max(1, target_file_bytes)))  # ceil-div
         unclustered = sort_by is None and zorder_by is None
         if not scope or (unclustered and n >= len(scope)):
@@ -961,6 +1010,7 @@ class SnapshotTable:
                         where_bounds.items()}} if where_bounds else {}),
                 },
                 expected_parent=parent,
+                deletes=carry_deletes(m, scope_set),
             )
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
@@ -976,14 +1026,49 @@ class SnapshotTable:
             return unquote(urlparse(uri).path)
         return unquote(uri)
 
-    def _read_paths(self, manifest: dict, paths: list[str]) -> DataFrame:
-        """Read an explicit file subset against the manifest schema."""
+    def _read_paths(
+        self, manifest: dict, paths: list[str], with_position: bool = False
+    ) -> DataFrame:
+        """Read an explicit file subset against the manifest schema,
+        MINUS any rows the manifest's position delete entries mask
+        (merge-on-read: the anti-join on ``(_metadata.file_path,
+        _metadata.row_index)`` applies deletes at scan time; AQE
+        broadcasts the vector when small). ``with_position`` keeps the
+        ``__uri``/``__pos`` metadata columns in the output — the
+        delete-writer's own hook."""
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(manifest["schema"])
         if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.createDataFrame([], schema)
+            if with_position:
+                df = df.withColumn("__uri", F.lit("")).withColumn(
+                    "__pos", F.lit(0).cast("long")
+                )
+            return df
+        base = self.spark.read.schema(schema).parquet(*paths)
+        dvs = [
+            d
+            for d in (manifest.get("deletes") or [])
+            if set(d.get("data_files") or {}) & set(paths)
+        ]
+        if not dvs and not with_position:
+            return base
+        cols = base.columns
+        out = base.withColumn(
+            "__uri", F.col("_metadata.file_path")
+        ).withColumn("__pos", F.col("_metadata.row_index"))
+        if dvs:
+            dv = self.spark.read.parquet(
+                *sorted({p for d in dvs for p in d["paths"]})
+            ).select("uri", "pos")
+            out = out.join(
+                dv,
+                (out["__uri"] == dv["uri"]) & (out["__pos"] == dv["pos"]),
+                "left_anti",
+            )
+        return out if with_position else out.select(*cols)
 
     def _touched_files(
         self, manifest: dict, cond, stats_bounds: dict | None
@@ -992,14 +1077,20 @@ class SnapshotTable:
         pruning first (``stats_bounds``, {col: (lo, hi)}), then ONE
         column-pruned containment scan over the candidates. The result is
         a path list — file-granular like the manifest itself, so the
-        driver-side collect is bounded by file count, never row count."""
+        driver-side collect is bounded by file count, never row count.
+
+        File identity comes from the ``__uri`` metadata column captured
+        AT THE SCAN by ``_read_paths(with_position=True)`` — never
+        ``input_file_name()`` after it: on a table with outstanding
+        delete vectors the read plan contains the DV anti-join, and
+        ``input_file_name()`` evaluated past a join returns ''."""
         from pyspark.sql import functions as F
 
         cand, _ = self._select_files(manifest, stats_bounds)
         hit = (
-            self._read_paths(manifest, cand)
+            self._read_paths(manifest, cand, with_position=True)
             .filter(cond)
-            .select(F.input_file_name().alias("p"))
+            .select(F.col("__uri").alias("p"))
             .distinct()
             .collect()
         )
@@ -1043,8 +1134,14 @@ class SnapshotTable:
         carried = [
             f for f in manifest["files"] if f["path"] not in touched_set
         ]
+        # LIVE rows (footer minus outstanding position deletes): the
+        # rewrite read through the DV mask, so its output materialized
+        # those deletes — replaced accounting must match what it read
+        live = live_rows_map(manifest)
         replaced_rows = sum(
-            f["rows"] for f in manifest["files"] if f["path"] in touched_set
+            live[f["path"]]
+            for f in manifest["files"]
+            if f["path"] in touched_set
         )
         acct = {
             "files_rewritten": len(touched),
@@ -1061,6 +1158,7 @@ class SnapshotTable:
                 schema=manifest["schema"],
                 summary={**summary, **acct},
                 expected_parent=expected_parent,
+                deletes=carry_deletes(manifest, touched_set),
             )
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
@@ -1071,11 +1169,26 @@ class SnapshotTable:
         predicate,
         stats_bounds: dict | None = None,
         summary: dict | None = None,
+        mode: str = "cow",
     ) -> int:
-        """Row-level DELETE as an Iceberg-style copy-on-write snapshot:
-        rewrite ONLY the files containing a matching row; every other file
-        carries over untouched. Two Spark jobs: one containment scan over
-        the stats-pruned candidates, one rewrite of the touched files.
+        """Row-level DELETE as an Iceberg-style snapshot; two modes.
+
+        ``mode='cow'`` (copy-on-write): rewrite ONLY the files containing
+        a matching row; every other file carries over untouched. Two
+        Spark jobs: one containment scan over the stats-pruned
+        candidates, one rewrite of the touched files.
+
+        ``mode='mor'`` (merge-on-read, Iceberg v2 position deletes): no
+        data file is rewritten at all — one job writes the matching rows'
+        ``(file, row position)`` pairs as a sorted parquet DELETE VECTOR
+        referenced by the manifest, and every subsequent read anti-joins
+        it at scan time. At 100 TB this is the difference between a
+        delete that costs a table-window rewrite and a delete that costs
+        the matching rows' positions: deleting 100 rows from 100 128 MB
+        files writes kilobytes, not 12.8 GB. The read-side tax accrues
+        per outstanding vector; ``compact()`` (or any CoW rewrite of the
+        affected files) MATERIALIZES the deletes and retires the vector's
+        attribution — run it when the masked fraction grows.
 
         ``predicate`` (Column or SQL string) deletes rows where it is
         TRUE; NULL keeps the row, like SQL DELETE. ``stats_bounds``
@@ -1088,8 +1201,12 @@ class SnapshotTable:
         unchanged when nothing matched."""
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(mode)
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         cond = F.coalesce(cond, F.lit(False))
+        if mode == "mor":
+            return self._delete_mor(cond, stats_bounds, dict(summary or {}))
         parent = self.current_sequence()
         m = self.snapshot()
         touched = self._touched_files(m, cond, stats_bounds)
@@ -1099,6 +1216,64 @@ class SnapshotTable:
         return self._rewrite_commit(
             m, parent, touched, kept, "delete", dict(summary or {})
         )
+
+    def _delete_mor(self, cond, stats_bounds, summary: dict) -> int:
+        """Write one position delete vector for the rows matching
+        ``cond`` and commit a manifest referencing it — zero data files
+        touched. The scan reads through ``_read_paths`` (DV-aware), so a
+        row can never be deleted twice: positions already masked by an
+        earlier vector are invisible to this one."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        parent = self.current_sequence()
+        m = self.snapshot()
+        cand, _ = self._select_files(m, stats_bounds)
+        hits = (
+            self._read_paths(m, cand, with_position=True)
+            .filter(cond)
+            .select(F.col("__uri").alias("uri"), F.col("__pos").alias("pos"))
+        )
+        dv_dir = os.path.join(
+            self.data, f"c{max_sequence(self.root) + 1:08d}-dv-{uuid.uuid4().hex[:8]}"
+        )
+
+        # `path` (local form) rides along so executor-side readers (the
+        # snapshot_log data source) can filter a vector by manifest path
+        # without reproducing Spark's URI escaping (Arrow kernel — the
+        # vector is delete-sized, never table-sized)
+        @pandas_udf("string")
+        def local(uris):
+            return uris.map(SnapshotTable._local_path)
+        hits.withColumn("path", local("uri")).sort("uri", "pos").coalesce(
+            1
+        ).write.mode("error").parquet(dv_dir)
+        dv_paths = self._list_parquet(dv_dir)
+        per_file = (
+            self.spark.read.parquet(*dv_paths)
+            .groupBy("path")
+            .count()
+            .collect()
+        )
+        if not per_file:
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return parent
+        data_files = {r["path"]: int(r["count"]) for r in per_file}
+        n = sum(data_files.values())
+        entry = {"paths": dv_paths, "rows": n, "data_files": data_files}
+        try:
+            return self._commit_manifest(
+                operation="delete",
+                files=m["files"],
+                schema=m["schema"],
+                summary={**summary, "mode": "mor", "rows_deleted": n,
+                         "files_masked": len(data_files)},
+                expected_parent=parent,
+                deletes=(m.get("deletes") or []) + [entry],
+            )
+        except SnapshotConflict:
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            raise
 
     def update_where(
         self,
@@ -1151,7 +1326,8 @@ class SnapshotTable:
                 for c in t.columns
             ]
         )
-        expect = sum(f["rows"] for f in m["files"] if f["path"] in set(touched))
+        live = live_rows_map(m)
+        expect = sum(live[p] for p in touched)
         return self._rewrite_commit(
             m, parent, touched, out, "update",
             {"columns": sorted(assignments)}, expect_rows=expect,
@@ -1223,12 +1399,13 @@ class SnapshotTable:
                 )
         keys = src.select(*on).distinct()
         cand, _ = self._select_files(m, stats_bounds)
-        # input_file_name() must bind at the SCAN (post-join it loses the
-        # file context and returns empty strings) — capture it as a column
-        # before the semi-join
+        # file identity must bind at the SCAN (post-join it loses the
+        # file context) — __uri is the metadata column _read_paths
+        # projects there, and it survives the DV anti-join that
+        # input_file_name() would not
         probe = (
-            self._read_paths(m, cand)
-            .select(*on, F.input_file_name().alias("__p"))
+            self._read_paths(m, cand, with_position=True)
+            .select(*on, F.col("__uri").alias("__p"))
             .join(keys, on, "left_semi")
         )
         touched = sorted(
@@ -1270,9 +1447,8 @@ class SnapshotTable:
             rewritten = rewritten.unionByName(ins)
         if not touched and n_inserted == 0:
             return parent
-        touched_rows = sum(
-            f["rows"] for f in m["files"] if f["path"] in set(touched)
-        )
+        live = live_rows_map(m)
+        touched_rows = sum(live[p] for p in touched)
         expect = (
             touched_rows + n_inserted
             if when_matched == "update"
@@ -1296,6 +1472,7 @@ class SnapshotTable:
         summary: dict | None = None,
         extra: dict | None = None,
         expected_parent: int | None = None,
+        deletes: list | None = None,
     ) -> int:
         """Write a manifest for a data-already-on-disk commit (rollback /
         replace) with the same optimistic-concurrency + atomic-hint-swap
@@ -1320,8 +1497,11 @@ class SnapshotTable:
             "files": files,
             "summary": dict(summary or {}),
             "total_rows": sum(f["rows"] for f in files),
+            **({"deletes": deletes} if deletes else {}),
             **(extra or {}),
         }
+        if deletes:
+            manifest["total_rows"] = sum(live_rows_map(manifest).values())
         mpath = self._manifest_path(seq)
         if os.path.exists(mpath):
             raise SnapshotConflict(
@@ -1391,19 +1571,16 @@ class SnapshotTable:
         ({col: (lo, hi)}) prunes whole files by manifest min/max before
         Spark lists anything, ``col_eq`` ({col: value}) prunes by manifest
         bloom (point lookups). Pruning is a superset guard — apply the
-        actual row filter on top (exactly like partition pruning)."""
-        from pyspark.sql.types import StructType
+        actual row filter on top (exactly like partition pruning).
 
+        Reads against the MANIFEST schema (Iceberg-style): files written
+        before an add-evolution null-fill the new column, files holding
+        since-dropped columns project them away — no mergeSchema footer
+        sweep, the metadata already knows the answer. Position deletes
+        (merge-on-read) mask at scan time via ``_read_paths``."""
         manifest = self.snapshot(sequence)
         paths, _ = self._select_files(manifest, col_between, col_eq)
-        schema = StructType.fromJson(manifest["schema"])
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        # read against the MANIFEST schema (Iceberg-style): files written
-        # before an add-evolution null-fill the new column, files holding
-        # since-dropped columns project them away — no mergeSchema footer
-        # sweep, the metadata already knows the answer
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_paths(manifest, paths)
 
     def scan_files(
         self,
@@ -1644,6 +1821,8 @@ class SnapshotTable:
                 "files_dropped": 0,
                 "rows_dropped": 0,
             }
+        live = live_rows_map(m)
+        n_dropped = sum(live[f["path"]] for f in dropped)
         seq = self._commit_manifest(
             operation="delete",
             files=keep,
@@ -1656,14 +1835,15 @@ class SnapshotTable:
                     **({"nulls": True} if nulls else {}),
                 },
                 "files_dropped": len(dropped),
-                "rows_deleted": sum(f["rows"] for f in dropped),
+                "rows_deleted": n_dropped,
             },
             expected_parent=expected_parent,
+            deletes=carry_deletes(m, {f["path"] for f in dropped}),
         )
         return {
             "sequence": seq,
             "files_dropped": len(dropped),
-            "rows_dropped": sum(f["rows"] for f in dropped),
+            "rows_dropped": n_dropped,
         }
 
     # ------------------------------------------------------------------ GC
@@ -1893,10 +2073,14 @@ class SnapshotTable:
         for seq in keep_seqs:
             if seq < 1 or not os.path.exists(self._manifest_path(seq)):
                 continue
-            for f in self._load(seq)["files"]:
+            kept_manifest = self._load(seq)
+            for f in kept_manifest["files"]:
                 # the COMMIT dir, not dirname(): partitioned files nest
                 # hive-style subdirs inside the commit directory
                 live_dirs.add(self._commit_dir_of(f["path"]))
+            for d in kept_manifest.get("deletes") or []:
+                for p in d["paths"]:  # delete vectors live in own dirs
+                    live_dirs.add(self._commit_dir_of(p))
         expired = 0
         for seq in range(1, max_sequence(self.root) + 1):
             if seq in keep_seqs:
@@ -1928,8 +2112,11 @@ class SnapshotTable:
         referenced: set[str] = set()
         for n in os.listdir(self.meta):
             if n.startswith("snap-") and n.endswith(".json"):
-                for f in self._load(int(n[5:-5]))["files"]:
+                man = self._load(int(n[5:-5]))
+                for f in man["files"]:
                     referenced.add(os.path.abspath(f["path"]))
+                for d in man.get("deletes") or []:
+                    referenced.update(os.path.abspath(p) for p in d["paths"])
         now = time.time()
         removed = scanned = 0
         for dirpath, _dirs, files in os.walk(self.data):
