@@ -138,6 +138,17 @@ def main() -> None:
         "file skipping; applied before compaction so the rewrite blooms)",
     )
     ap.add_argument(
+        "--ndv-columns",
+        help="set the table property enabling per-file NDV theta-sketch "
+        "sidecars on these comma-separated columns for future commits",
+    )
+    ap.add_argument(
+        "--analyze",
+        help="report the table-level distinct-count estimate for these "
+        "comma-separated columns (metadata-only: unions the per-file "
+        "sketches, scans no data)",
+    )
+    ap.add_argument(
         "--partition-spec",
         help="set the hidden-partitioning spec table property for future "
         "commits, comma-separated transforms e.g. "
@@ -239,6 +250,8 @@ def main() -> None:
             props = {}
             if args.bloom_columns:
                 props["bloom.columns"] = args.bloom_columns.split(",")
+            if args.ndv_columns:
+                props["stats.ndv.columns"] = args.ndv_columns.split(",")
             if args.partition_spec:
                 props["partition.spec"] = [
                     p.replace(";", ",") for p in args.partition_spec.split(",")
@@ -259,6 +272,10 @@ def main() -> None:
                     )
                 else:
                     ap.error("--drop-partitions needs field<=V or field=V")
+            if args.analyze:
+                entry["ndv"] = {
+                    c: table.column_ndv(c) for c in args.analyze.split(",")
+                }
             if args.delete_where:
                 seq = table.delete_where(
                     args.delete_where,

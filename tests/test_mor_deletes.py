@@ -60,6 +60,10 @@ def test_mor_delete_touches_no_data_files(spark, table):
     dv = dv_rows_by_file(m)
     assert sum(dv.values()) == 10
     assert sum(live_rows_map(m).values()) == 40
+    # files() metadata surfaces both counts
+    meta = table.files().collect()
+    assert sum(r["rows"] for r in meta) == 50
+    assert sum(r["live_rows"] for r in meta) == 40
 
 
 def test_mor_vectors_stack_and_never_double_delete(spark, table):

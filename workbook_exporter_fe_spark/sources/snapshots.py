@@ -388,6 +388,46 @@ def bloom_might_contain(bloom: dict, value) -> bool:
     return True
 
 
+def ndv_stats_for_files(
+    spark: SparkSession, paths: list[str], cols: list[str], lg_k: int = 12
+) -> dict:
+    """Per-file theta sketches of each column's distinct values — the
+    Iceberg puffin-blob idea re-expressed for this log: ONE column-pruned
+    Spark job over the NEW files builds `{path: {col: b64 sketch}}`,
+    and because theta sketches are MERGEABLE, any snapshot's table-level
+    NDV is a union of its files' sketches (``SnapshotTable.column_ndv``)
+    — no data is ever re-scanned, appends stay O(new files), and the
+    estimate a cost-based planner wants (join-side NDV) is a
+    metadata-only question at any table size."""
+    import base64
+
+    from pyspark.sql import functions as F
+
+    if not paths or not cols:
+        return {}
+    df = spark.read.parquet(*paths)
+    present = {f.name for f in df.schema.fields}
+    cols = [c for c in cols if c in present]
+    if not cols:
+        return {}
+    rows = (
+        df.groupBy(F.input_file_name().alias("f"))
+        .agg(*[
+            F.theta_sketch_agg(F.col(c), F.lit(lg_k)).alias(c) for c in cols
+        ])
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        local = SnapshotTable._local_path(r.f)
+        out[local] = {
+            c: base64.b64encode(bytes(r[c])).decode("ascii")
+            for c in cols
+            if r[c] is not None
+        }
+    return out
+
+
 def dv_rows_by_file(manifest: dict) -> dict[str, int]:
     """Deleted-row counts per DATA file from the manifest's position
     delete entries (merge-on-read deletes). {} when the snapshot has no
@@ -480,6 +520,7 @@ def commit_files(
     advance_hint: bool = True,
     blooms: dict | None = None,
     partitions: dict | None = None,
+    ndv: dict | None = None,
 ) -> int:
     """Publish already-written parquet files as a new snapshot.
 
@@ -515,6 +556,9 @@ def commit_files(
         p = (partitions or {}).get(f["path"])
         if p:  # hidden-partitioning tuple (sources/partitioning.py)
             f["partition"] = p
+        nref = (ndv or {}).get(f["path"])
+        if nref:  # NDV theta sketch sidecar ref (column_ndv)
+            f["ndv_ref"] = nref
     schema = schema_json
     deletes: list = []
     if mode == "append" and parent > 0:
@@ -634,6 +678,59 @@ class SnapshotTable:
             int(props.get("bloom.bits") or BLOOM_BITS_DEFAULT),
         )
 
+    def _ndv_conf(self) -> list[str]:
+        return list(self.properties().get("stats.ndv.columns") or [])
+
+    def _build_ndv(self, paths: list[str]) -> dict:
+        """{path: sidecar-ref} of per-file NDV theta sketches for the
+        ``stats.ndv.columns`` property — same sidecar discipline as the
+        blooms (immutable, written once with the data file, GC'd with
+        it; the manifest carries only the ref string)."""
+        cols = self._ndv_conf()
+        if not cols or not paths:
+            return {}
+        inline = ndv_stats_for_files(self.spark, paths, cols)
+        refs = {}
+        for p, per_col in inline.items():
+            ref = p + ".ndv.json"
+            _atomic_write(ref, json.dumps(per_col))
+            refs[p] = ref
+        return refs
+
+    def column_ndv(
+        self, col: str, sequence: int | None = None
+    ) -> float | None:
+        """Estimated distinct count of ``col`` at a snapshot, by UNIONING
+        the per-file theta sketches (mergeability is the whole trick —
+        the union of per-file distinct sets is exactly the table's).
+        Metadata-only: reads file-count-many sidecars, never data. None
+        when no file carries a sketch for the column; files committed
+        before the property was set simply don't contribute (enable the
+        property, compact, and every rewritten file is covered)."""
+        import base64
+
+        from pyspark.sql import functions as F
+
+        m = self.snapshot(sequence)
+        blobs = []
+        covered_rows = 0
+        for f in m["files"]:
+            ref = f.get("ndv_ref")
+            if not ref:
+                continue
+            sk = _load_bloom_sidecar(ref).get(col)  # same memoized loader
+            if sk:
+                blobs.append(base64.b64decode(sk))
+                covered_rows += f["rows"]
+        if not blobs:
+            return None
+        est = (
+            self.spark.createDataFrame([(b,) for b in blobs], "sk binary")
+            .agg(F.theta_sketch_estimate(F.theta_union_agg("sk")))
+            .first()[0]
+        )
+        return float(est)
+
     def _build_blooms(self, paths: list[str]) -> dict:
         """{path: sidecar-ref} for the configured bloom columns. The
         filter bytes live in an immutable ``<file>.bloom.json`` NEXT TO
@@ -738,9 +835,12 @@ class SnapshotTable:
         paths = self._list_parquet(commit_dir)
         files = file_stats_for_paths(paths)
         refs = self._build_blooms(paths)
+        nrefs = self._build_ndv(paths)
         for f in files:
             if f["path"] in refs:
                 f["bloom_ref"] = refs[f["path"]]
+            if f["path"] in nrefs:
+                f["ndv_ref"] = nrefs[f["path"]]
             p = self._partition_from_path(f["path"], commit_dir)
             if p:
                 f["partition"] = p
@@ -796,6 +896,7 @@ class SnapshotTable:
                 for p in new_paths
                 if (t := self._partition_from_path(p, commit_dir))
             },
+            ndv=self._build_ndv(new_paths),
         )
         if branch:
             self._set_branch(branch, seq, expect=parent)
@@ -1706,13 +1807,23 @@ class SnapshotTable:
         )
 
     def files(self, sequence: int | None = None) -> DataFrame:
-        """Iceberg-style ``files`` metadata table for one snapshot."""
+        """Iceberg-style ``files`` metadata table for one snapshot.
+        ``rows`` is the footer count; ``live_rows`` subtracts outstanding
+        position deletes; ``partition`` is the hidden-partitioning tuple
+        (JSON, null for pre-spec files)."""
         m = self.snapshot(sequence)
+        live = live_rows_map(m)
         rows = [
             Row(
                 path=f["path"],
                 rows=f["rows"],
+                live_rows=live[f["path"]],
                 bytes=f["bytes"],
+                partition=(
+                    json.dumps(f["partition"], sort_keys=True)
+                    if f.get("partition") is not None
+                    else None
+                ),
                 min_json=json.dumps(f["min"], sort_keys=True),
                 max_json=json.dumps(f["max"], sort_keys=True),
             )
@@ -1720,8 +1831,8 @@ class SnapshotTable:
         ]
         return self.spark.createDataFrame(
             rows,
-            "path string, rows long, bytes long, min_json string, "
-            "max_json string",
+            "path string, rows long, live_rows long, bytes long, "
+            "partition string, min_json string, max_json string",
         )
 
     def partitions(self, sequence: int | None = None) -> DataFrame:
@@ -2135,9 +2246,10 @@ class SnapshotTable:
                 except OSError:
                     pass  # raced a concurrent GC; the file is gone either way
                 else:
-                    # an orphan's bloom sidecar is orphaned with it
-                    try:
-                        os.remove(p + ".bloom.json")
-                    except OSError:
-                        pass
+                    # an orphan's sidecars are orphaned with it
+                    for ext in (".bloom.json", ".ndv.json"):
+                        try:
+                            os.remove(p + ext)
+                        except OSError:
+                            pass
         return {"orphans_removed": removed, "files_scanned": scanned}
