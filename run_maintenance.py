@@ -196,6 +196,12 @@ def main() -> None:
         "col<=2021-01-01 or col>=X,col2<=Y (skips files whose min/max "
         "exclude the bound before any scan)",
     )
+    ap.add_argument(
+        "--delete-eq",
+        help="key-based DELETE (Iceberg v2 equality delete): "
+        "'col:v1,v2,...' — commits ONLY the key values, never scans the "
+        "table; reads anti-join the keys against pre-delete files",
+    )
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
     if not args.tiers and not args.snapshot_table:
@@ -288,6 +294,20 @@ def main() -> None:
                     else {"rows_deleted": 0}
                 )
                 entry["deleted_to"] = seq
+            if args.delete_eq:
+                col, _, vals = args.delete_eq.partition(":")
+                if not col or not vals:
+                    ap.error("--delete-eq needs col:v1,v2,...")
+                pre = table.current_sequence()
+                seq = table.delete_eq(
+                    [_bound_value(v) for v in vals.split(",")], [col]
+                )
+                entry["delete_eq"] = (
+                    table.snapshot(seq)["summary"]
+                    if seq != pre
+                    else {"keys": 0}
+                )
+                entry["deleted_eq_to"] = seq
             if args.compact_snapshots:
                 entry["compacted_to"] = table.compact(
                     target_file_bytes=args.target_file_mb << 20,

@@ -95,6 +95,8 @@ from workbook_exporter_fe_spark.sources.snapshots import (  # noqa: E402
     current_sequence as _current_sequence,
     file_survives_eq as _file_survives_eq,
     load_manifest as _load_manifest,
+    max_sequence as _max_sequence,
+    path_dseq as _path_dseq,
 )
 
 
@@ -180,6 +182,49 @@ class FilePartition(InputPartition):
     path: str
     rows: int
     dv_paths: tuple = ()
+    #: applicable equality deletes: ((key parquet paths), (eq cols)) pairs
+    eq_deletes: tuple = ()
+
+
+_EQ_NULL = "\x00null"  # equality deletes match NULLs (Iceberg semantics)
+_EQ_SEP = "\x1f"
+
+
+def _eq_canon(arrays) -> "object":
+    """One canonical string per row from the eq columns' arrow arrays:
+    each value casts to string (both sides cast from the SAME logical
+    type, so representations agree), NULL becomes a sentinel, and
+    multi-column keys join on an unprintable separator."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    canon = [
+        pc.fill_null(pc.cast(a, pa.string()), _EQ_NULL) for a in arrays
+    ]
+    if len(canon) == 1:
+        return canon[0]
+    return pc.binary_join_element_wise(*canon, _EQ_SEP)
+
+
+def _eq_keysets(eq_deletes: tuple, target) -> list:
+    """[(cols, canonical key-string set)] for one file's applicable
+    equality deletes — each key parquet is delete-sized, loaded once per
+    file, values cast to the TABLE schema's types first so the canonical
+    form matches the aligned data batches."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for paths, cols in eq_deletes:
+        t = pq.read_table(list(paths), columns=list(cols))
+        arrays = []
+        for c in cols:
+            a = t.column(c).combine_chunks()
+            i = target.get_field_index(c)
+            if i >= 0:
+                a = a.cast(target.field(i).type)
+            arrays.append(a)
+        out.append((cols, set(_eq_canon(arrays).to_pylist())))
+    return out
 
 
 def _dv_positions(dv_paths: tuple, data_path: str):
@@ -203,15 +248,20 @@ def _dv_positions(dv_paths: tuple, data_path: str):
 
 
 def _read_file_batches(
-    path: str, schema: StructType, batch_rows: int, dv_paths: tuple = ()
+    path: str, schema: StructType, batch_rows: int, dv_paths: tuple = (),
+    eq_deletes: tuple = (),
 ) -> Iterator:
     """Yield RecordBatches aligned to the TABLE schema: missing (evolved)
     columns null-fill, extra (dropped) columns project away, physical
     types cast to the manifest schema's arrow types. Position deletes
     mask rows by a running in-file offset (vectors index the FILE's rows,
-    so the offset must count every physical row this reader streams)."""
+    so the offset must count every physical row this reader streams);
+    equality deletes mask AFTER schema alignment (both sides canonicalize
+    from the table types) by one arrow ``is_in`` against the delete-sized
+    key set per outstanding entry."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -220,6 +270,7 @@ def _read_file_batches(
     pf = pq.ParquetFile(path)
     present = [n for n in target.names if n in pf.schema_arrow.names]
     deleted = _dv_positions(dv_paths, path)
+    keysets = _eq_keysets(eq_deletes, target) if eq_deletes else []
     offset = 0
     for batch in pf.iter_batches(batch_size=batch_rows, columns=present):
         n = batch.num_rows
@@ -242,7 +293,18 @@ def _read_file_batches(
                 cols.append(batch.column(field.name).cast(field.type))
             else:
                 cols.append(pa.nulls(batch.num_rows, field.type))
-        yield pa.RecordBatch.from_arrays(cols, schema=target)
+        out = pa.RecordBatch.from_arrays(cols, schema=target)
+        for ecols, keys in keysets:
+            if not keys or out.num_rows == 0:
+                continue
+            canon = _eq_canon(
+                [out.column(target.get_field_index(c)) for c in ecols]
+            )
+            out = out.filter(
+                pc.invert(pc.is_in(canon, value_set=pa.array(list(keys))))
+            )
+        if out.num_rows:
+            yield out
 
 
 # ------------------------------------------------------------------- readers
@@ -276,6 +338,12 @@ class SnapshotLogBatchReader(DataSourceReader):
                     if f["path"] in (d.get("data_files") or {})
                     for p in d["paths"]
                 })),
+                tuple(
+                    (tuple(d["paths"]), tuple(d["eq_cols"]))
+                    for d in deletes
+                    if "eq_cols" in d
+                    and _path_dseq(f["path"]) <= d["seq"]
+                ),
             )
             for f in files
             if _file_survives(f, self.bounds)
@@ -288,7 +356,7 @@ class SnapshotLogBatchReader(DataSourceReader):
     def read(self, partition: FilePartition) -> Iterator:
         yield from _read_file_batches(
             partition.path, self.schema, self.batch_rows,
-            partition.dv_paths,
+            partition.dv_paths, partition.eq_deletes,
         )
 
 
@@ -397,12 +465,14 @@ class _Written(WriterCommitMessage):
     rows: int
 
 
-def _write_task_file(commit_dir: str, iterator: Iterator) -> _Written | None:
+def _write_task_file(commit_dir: str, iterator: Iterator) -> _Written:
     """Executor-side: stream this task's RecordBatches into ONE parquet
-    file under ``commit_dir``. Returns None for an empty partition (no
-    file is created). Only paths returned in commit messages are ever
-    published — a failed attempt's partial file stays unreferenced
-    garbage, which is exactly the snapshot log's crash contract."""
+    file under ``commit_dir``. An empty partition creates no file and
+    returns the ``_Written("", 0)`` sentinel (the streaming writer
+    protocol requires a WriterCommitMessage, never None). Only paths
+    returned in commit messages are ever published — a failed attempt's
+    partial file stays unreferenced garbage, which is exactly the
+    snapshot log's crash contract."""
     import pyarrow.parquet as pq
 
     os.makedirs(commit_dir, exist_ok=True)
@@ -419,8 +489,60 @@ def _write_task_file(commit_dir: str, iterator: Iterator) -> _Written | None:
         if writer is not None:
             writer.close()
     if writer is None:
-        return None
+        return _Written("", 0)
     return _Written(path, rows)
+
+
+def _stage_commit_dir(root: str, paths: list) -> tuple:
+    """Move task-written files from their staging dir into a
+    ``c{seq:08d}-{hex8}`` commit directory (same filesystem: os.replace)
+    so their DATA SEQUENCE is path-derivable — equality deletes/upserts
+    decide applicability by ``path_dseq``, and a file left in the
+    writer's ``s…``/``w…`` staging dir would parse as dseq 0 (always
+    maskable: silent data loss under any outstanding equality delete).
+    The dir number is ``max_sequence+1`` at staging time, which is ≤ the
+    final commit sequence and > every existing delete's anchor — both
+    the directions that matter. Returns (new paths, commit dir)."""
+    if not paths:
+        return [], None
+    dst = os.path.join(
+        root, "data",
+        f"c{_max_sequence(root) + 1:08d}-{uuid.uuid4().hex[:8]}",
+    )
+    os.makedirs(dst, exist_ok=True)
+    out = []
+    for p in paths:
+        q = os.path.join(dst, os.path.basename(p))
+        os.replace(p, q)
+        out.append(q)
+    return out, dst
+
+
+def _eq_entry_from_files(root: str, paths: list, eq_cols: list) -> dict:
+    """Build an equality-delete entry whose keys are the DISTINCT key
+    tuples of the just-written files (driver-side pyarrow, column-pruned
+    — the batch is micro-batch-sized by construction). Used by the
+    stream writer's upsert mode; SnapshotTable.upsert_eq does the same
+    extraction Spark-side for arbitrarily large batches."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(list(paths), columns=list(eq_cols))
+    missing = [c for c in eq_cols if c not in t.column_names]
+    if missing:
+        raise ValueError(f"upsertKeys column(s) {missing} not in batch")
+    distinct = t.group_by(list(eq_cols)).aggregate([])
+    kdir = os.path.join(
+        root, "data",
+        f"c{_max_sequence(root) + 1:08d}-eqdv-{uuid.uuid4().hex[:8]}",
+    )
+    os.makedirs(kdir, exist_ok=True)
+    kpath = os.path.join(kdir, "keys.parquet")
+    pq.write_table(distinct, kpath)
+    return {
+        "eq_cols": list(eq_cols),
+        "paths": [kpath],
+        "rows": distinct.num_rows,
+    }
 
 
 class SnapshotLogBatchWriter(DataSourceArrowWriter):
@@ -444,15 +566,20 @@ class SnapshotLogBatchWriter(DataSourceArrowWriter):
         return _write_task_file(self.commit_dir, iterator)
 
     def commit(self, messages) -> None:
-        paths = [m.path for m in messages if m is not None]
-        _commit_files(
-            self.root,
-            paths,
-            self.schema.jsonValue(),
-            mode=self.mode,
-            summary={"writer": "snapshot_log", "tasks": len(paths)},
-            cleanup_dir=self.commit_dir,
-        )
+        paths = [m.path for m in messages if m is not None and m.path]
+        staged, dst = _stage_commit_dir(self.root, paths)
+        try:
+            _commit_files(
+                self.root,
+                staged,
+                self.schema.jsonValue(),
+                mode=self.mode,
+                summary={"writer": "snapshot_log", "tasks": len(staged)},
+                cleanup_dir=dst,
+            )
+        finally:
+            # staging dir now holds only failed-attempt garbage (if any)
+            shutil.rmtree(self.commit_dir, ignore_errors=True)
 
     def abort(self, messages) -> None:
         shutil.rmtree(self.commit_dir, ignore_errors=True)
@@ -481,11 +608,20 @@ class SnapshotLogStreamWriter(DataSourceStreamArrowWriter):
     _REPLAY_SCAN = 64  # replays target the LAST epoch; 64 is generous
 
     def __init__(self, root: str, schema: StructType,
-                 stream_id: str | None = None, replay_scan: int | None = None):
+                 stream_id: str | None = None, replay_scan: int | None = None,
+                 upsert_keys: list | None = None):
         self.root = root
         self.schema = schema
         self.stream_id = stream_id
         self.replay_scan = replay_scan or self._REPLAY_SCAN
+        self.upsert_keys = list(upsert_keys) if upsert_keys else None
+        if self.upsert_keys:
+            present = {f.name for f in schema.fields}
+            missing = sorted(set(self.upsert_keys) - present)
+            if missing:
+                raise ValueError(
+                    f"upsertKeys column(s) {missing} not in stream schema"
+                )
         # staging dir for this run's task files only — NOT replay identity
         self.stream_dir = os.path.join(
             root, "data", f"s{uuid.uuid4().hex[:12]}"
@@ -514,22 +650,31 @@ class SnapshotLogStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         if self._already_committed(batchId):
             return  # replayed epoch: snapshot already visible
-        paths = [m.path for m in messages if m is not None]
+        paths = [m.path for m in messages if m is not None and m.path]
+        staged, dst = _stage_commit_dir(self.root, paths)
+        eq = (
+            _eq_entry_from_files(self.root, staged, self.upsert_keys)
+            if self.upsert_keys and staged
+            else None
+        )
         _commit_files(
             self.root,
-            paths,
+            staged,
             self.schema.jsonValue(),
             mode="append",
+            cleanup_dir=dst,
             summary={
                 "writer": "snapshot_log_stream",
                 "epoch": batchId,
                 "stream_id": self.stream_id,
+                **({"mode": "upsert"} if eq else {}),
             },
+            eq_delete=eq,
         )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
-            if m is not None:
+            if m is not None and m.path:
                 try:
                     os.remove(m.path)
                 except OSError:
@@ -555,6 +700,11 @@ class SnapshotLogDataSource(DataSource):
     for Python data sources); ``writeStream.format("snapshot_log")``
     appends one snapshot per micro-batch with epoch ids recorded in the
     manifest summary, so replayed epochs are skipped (exactly-once).
+    ``option("upsertKeys", "k1,k2")`` turns each micro-batch into an
+    atomic merge-on-read UPSERT (equality delete on the batch's keys +
+    append in ONE snapshot): an exactly-once streaming CDC sink whose
+    per-batch cost is O(batch) at any table size — no file is ever
+    located or rewritten on the hot path; ``compact()`` materializes.
     """
 
     @classmethod
@@ -626,7 +776,12 @@ class SnapshotLogDataSource(DataSource):
                     os.path.abspath(ckpt).encode()
                 ).hexdigest()[:16]
         replay_scan = self.options.get("replayscan")
+        upsert = self.options.get("upsertkeys")
         return SnapshotLogStreamWriter(
             self._root(), schema, stream_id=stream_id,
             replay_scan=int(replay_scan) if replay_scan else None,
+            upsert_keys=(
+                [c.strip() for c in upsert.split(",") if c.strip()]
+                if upsert else None
+            ),
         )

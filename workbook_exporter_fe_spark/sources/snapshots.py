@@ -442,9 +442,45 @@ def dv_rows_by_file(manifest: dict) -> dict[str, int]:
 def live_rows_map(manifest: dict) -> dict[str, int]:
     """{data file path: LIVE rows} — footer count minus outstanding
     position deletes. This is the number every row-accounting guard must
-    use on a table with delete vectors (footer counts alone overcount)."""
+    use on a table with delete vectors (footer counts alone overcount).
+    EQUALITY deletes carry no per-file attribution, so while one is
+    outstanding this map is an upper bound — exact-count guards go
+    through ``SnapshotTable._live_scope_rows`` instead (Iceberg's
+    total-records has the same asymmetry)."""
     dv = dv_rows_by_file(manifest)
     return {f["path"]: f["rows"] - dv.get(f["path"], 0) for f in manifest["files"]}
+
+
+import re as _re
+
+_DSEQ_RE = _re.compile(r"/c(\d{8})-[0-9a-f]{8}/")
+
+
+def path_dseq(path: str) -> int:
+    """Data sequence number of a data file — the sequence of the commit
+    whose directory wrote it (commit dirs are named ``c{seq:08d}-{hex8}``,
+    and partitioned files nest BELOW that dir, so the pattern is
+    positional, not a basename parse). Iceberg's data_sequence_number
+    re-expressed: an equality delete anchored at sequence S applies to a
+    file iff ``path_dseq(file) <= S``. Rewrite/compaction outputs take
+    the REWRITE's sequence — correct here because every rewrite reads
+    through the delete masks, so its output has already materialized
+    every delete that applied to its inputs. Unknown layout → 0 (always
+    applicable: the conservative direction)."""
+    m = _DSEQ_RE.search(path)
+    return int(m.group(1)) if m else 0
+
+
+def eq_deletes_applying(manifest: dict, paths: list[str]) -> list[dict]:
+    """Equality delete entries applicable to ≥1 of ``paths`` (entry's
+    anchor sequence >= the file's data sequence number)."""
+    out = []
+    for d in manifest.get("deletes") or []:
+        if "eq_cols" not in d:
+            continue
+        if any(path_dseq(p) <= d["seq"] for p in paths):
+            out.append(d)
+    return out
 
 
 def carry_deletes(manifest: dict, replaced: set[str]) -> list[dict]:
@@ -453,9 +489,25 @@ def carry_deletes(manifest: dict, replaced: set[str]) -> list[dict]:
     prunes away — a rewrite read the LIVE rows, so its output already
     materialized those deletes — and entries covering nothing drop whole.
     The DV parquet itself is immutable; stale rows for replaced files are
-    inert (their uri never matches a live file again)."""
+    inert (their uri never matches a live file again).
+
+    Equality delete entries carry by APPLICABILITY, not attribution
+    (they have no per-file map): the entry survives iff any remaining
+    data file still has ``path_dseq <= seq``. A full-table rewrite
+    therefore retires every equality delete (its outputs all carry the
+    rewrite's higher sequence), exactly like Iceberg's
+    rewrite_data_files dropping delete files whose scope is gone."""
     out = []
+    remaining = [
+        f["path"]
+        for f in manifest.get("files") or []
+        if f["path"] not in replaced
+    ]
     for d in manifest.get("deletes") or []:
+        if "eq_cols" in d:
+            if any(path_dseq(p) <= d["seq"] for p in remaining):
+                out.append(d)
+            continue
         kept = {
             p: n for p, n in (d.get("data_files") or {}).items()
             if p not in replaced
@@ -521,6 +573,7 @@ def commit_files(
     blooms: dict | None = None,
     partitions: dict | None = None,
     ndv: dict | None = None,
+    eq_delete: dict | None = None,
 ) -> int:
     """Publish already-written parquet files as a new snapshot.
 
@@ -536,6 +589,13 @@ def commit_files(
     (the caller advances its branch ref instead). Sequence numbers are
     allocated globally (``max_sequence``) so branch and main commits
     never collide.
+
+    ``eq_delete`` ({'eq_cols': [...], 'paths': [...], 'rows': n}) turns
+    an append into an atomic UPSERT (Iceberg v2: equality delete + new
+    data files in ONE snapshot, ``operation='upsert'``): the entry is
+    anchored at the parent, so it masks only pre-existing rows with the
+    same key — the new files carry the child's data sequence and are
+    never self-masked.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(mode)
@@ -567,10 +627,17 @@ def commit_files(
         schema = prev["schema"]
         # outstanding position deletes survive appends untouched
         deletes = prev.get("deletes") or []
+    operation = mode
+    if eq_delete is not None:
+        if mode != "append":
+            raise ValueError("eq_delete composes with mode='append' only")
+        operation = "upsert"
+        if parent > 0:  # empty table: nothing the delete could mask
+            deletes = list(deletes) + [{**eq_delete, "seq": parent}]
     manifest = {
         "sequence": seq,
         "parent": parent,
-        "operation": mode,
+        "operation": operation,
         "committed_at": time.time(),
         "schema": schema,
         "files": files,
@@ -1055,11 +1122,10 @@ class SnapshotTable:
         scope = [f for f in m["files"] if f["path"] in scope_set]
         carried = [f for f in m["files"] if f["path"] not in scope_set]
         total = sum(f["bytes"] for f in scope)
-        # LIVE rows: the rewrite reads through the DV mask, so compacting
-        # a masked file MATERIALIZES its position deletes (Iceberg's
-        # rewrite_data_files retiring delete files)
-        live = live_rows_map(m)
-        scope_rows = sum(live[f["path"]] for f in scope)
+        # LIVE rows: the rewrite reads through the delete masks, so
+        # compacting a masked file MATERIALIZES its position/equality
+        # deletes (Iceberg's rewrite_data_files retiring delete files)
+        scope_rows = self._live_scope_rows(m, [f["path"] for f in scope])
         n = max(1, -(-total // max(1, target_file_bytes)))  # ceil-div
         unclustered = sort_by is None and zorder_by is None
         if not scope or (unclustered and n >= len(scope)):
@@ -1154,7 +1220,8 @@ class SnapshotTable:
             for d in (manifest.get("deletes") or [])
             if set(d.get("data_files") or {}) & set(paths)
         ]
-        if not dvs and not with_position:
+        eqs = eq_deletes_applying(manifest, paths)
+        if not dvs and not eqs and not with_position:
             return base
         cols = base.columns
         out = base.withColumn(
@@ -1169,6 +1236,35 @@ class SnapshotTable:
                 (out["__uri"] == dv["uri"]) & (out["__pos"] == dv["pos"]),
                 "left_anti",
             )
+        if eqs:
+            # equality deletes (Iceberg v2): one broadcast anti-join per
+            # outstanding entry, key-matched NULL-SAFE and scoped to rows
+            # whose file's data sequence <= the delete's anchor — rows
+            # appended (or rewritten) after the delete are untouched. The
+            # key relation is delete-sized; the data never re-shuffles.
+            out = out.withColumn(
+                "__dseq",
+                F.coalesce(
+                    F.regexp_extract(
+                        F.col("__uri"), r"/c(\d{8})-[0-9a-f]{8}/", 1
+                    ).cast("int"),
+                    F.lit(0),  # unknown layout → applicable (path_dseq)
+                ),
+            )
+            for d in eqs:
+                keys = self.spark.read.parquet(*d["paths"]).select(
+                    *d["eq_cols"]
+                )
+                match = functools.reduce(
+                    lambda a, b: a & b,
+                    [out[c].eqNullSafe(keys[c]) for c in d["eq_cols"]],
+                )
+                out = out.join(
+                    F.broadcast(keys),
+                    match & (out["__dseq"] <= F.lit(int(d["seq"]))),
+                    "left_anti",
+                )
+            out = out.drop("__dseq")
         return out if with_position else out.select(*cols)
 
     def _touched_files(
@@ -1235,15 +1331,10 @@ class SnapshotTable:
         carried = [
             f for f in manifest["files"] if f["path"] not in touched_set
         ]
-        # LIVE rows (footer minus outstanding position deletes): the
-        # rewrite read through the DV mask, so its output materialized
+        # LIVE rows (footer minus outstanding deletes): the rewrite read
+        # through the position/equality masks, so its output materialized
         # those deletes — replaced accounting must match what it read
-        live = live_rows_map(manifest)
-        replaced_rows = sum(
-            live[f["path"]]
-            for f in manifest["files"]
-            if f["path"] in touched_set
-        )
+        replaced_rows = self._live_scope_rows(manifest, touched)
         acct = {
             "files_rewritten": len(touched),
             "files_carried": len(carried),
@@ -1376,6 +1467,213 @@ class SnapshotTable:
             shutil.rmtree(dv_dir, ignore_errors=True)
             raise
 
+    def delete_eq(
+        self,
+        keys,
+        eq_cols: list[str],
+        summary: dict | None = None,
+    ) -> int:
+        """Key-based DELETE (Iceberg v2 equality deletes): write ONLY the
+        key values — the table is never scanned at all, not even for
+        containment. Where a position delete costs one scan to find the
+        matching rows' positions, an equality delete costs O(keys): the
+        commit writes the key tuples as one delete-sized parquet and
+        every subsequent read anti-joins it (null-safe) against rows from
+        files whose data sequence <= the delete's anchor sequence — rows
+        appended later, and rewrite outputs (which materialize the delete
+        while reading), are untouched. This is the CDC building block: a
+        streaming upsert deletes-by-key + appends without ever locating
+        the old rows. At 100 TB the delete is a kilobyte commit with ZERO
+        read amplification on the write path.
+
+        ``keys``: a DataFrame holding exactly the key columns, a list of
+        dicts, or (single-column) a list of scalars. Key columns are cast
+        to the table's types. NULL keys match NULL values (Iceberg
+        equality-delete semantics), unlike SQL joins.
+
+        Trade-offs vs ``delete_where(mode='mor')``, honestly: no per-file
+        attribution — ``live_rows``/``total_rows`` become upper bounds
+        while an equality delete is outstanding (row-exact guards fall
+        back to one count through the masks), and the read-side tax is
+        one broadcast anti-join per outstanding entry. ``compact()``
+        materializes and retires entries exactly like position vectors.
+        Commits ``operation='delete'`` (incremental ``changes()``
+        consumers break loudly). Returns the new sequence."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        parent = self.current_sequence()
+        if parent == 0:
+            return parent  # nothing the delete could apply to
+        m = self.snapshot()
+        table = {f.name: f.dataType for f in self._table_schema().fields}
+        unknown = sorted(set(eq_cols) - set(table))
+        if unknown:
+            raise SchemaMismatch(f"delete_eq on unknown column(s) {unknown}")
+        if isinstance(keys, DataFrame):
+            kdf = keys
+        else:
+            rows = [
+                k if isinstance(k, dict) else {eq_cols[0]: k} for k in keys
+            ]
+            if len(eq_cols) == 1:
+                kdf = self.spark.createDataFrame(
+                    [(r[eq_cols[0]],) for r in rows],
+                    StructType([self._table_schema()[eq_cols[0]]]),
+                )
+            else:
+                kdf = self.spark.createDataFrame(
+                    [tuple(r[c] for c in eq_cols) for r in rows],
+                    StructType([self._table_schema()[c] for c in eq_cols]),
+                )
+        kdf = kdf.select(
+            *[F.col(c).cast(table[c]).alias(c) for c in eq_cols]
+        ).distinct()
+        dv_dir = os.path.join(
+            self.data, f"c{max_sequence(self.root) + 1:08d}-eqdv-{uuid.uuid4().hex[:8]}"
+        )
+        kdf.coalesce(1).write.mode("error").parquet(dv_dir)
+        dv_paths = self._list_parquet(dv_dir)
+        n = sum(
+            pq.read_metadata(p).num_rows for p in dv_paths
+        ) if dv_paths else 0
+        if n == 0:
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return parent
+        entry = {
+            "eq_cols": list(eq_cols),
+            "paths": dv_paths,
+            "rows": n,
+            "seq": parent,  # anchor: applies to files with dseq <= parent
+        }
+        try:
+            return self._commit_manifest(
+                operation="delete",
+                files=m["files"],
+                schema=m["schema"],
+                summary={**dict(summary or {}), "mode": "eq",
+                         "eq_cols": list(eq_cols), "keys": n},
+                expected_parent=parent,
+                deletes=(m.get("deletes") or []) + [entry],
+            )
+        except SnapshotConflict:
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            raise
+
+    def upsert_eq(
+        self,
+        df: DataFrame,
+        eq_cols: list[str],
+        summary: dict | None = None,
+        validate_source: bool = True,
+    ) -> int:
+        """UPSERT as ONE atomic merge-on-read commit (Iceberg v2 pattern:
+        equality delete + new data files in the same snapshot,
+        ``operation='upsert'``). The batch appends as ordinary data
+        files; one equality delete anchored at the PARENT masks any
+        pre-existing row with the same key — the new files carry the
+        child's data sequence, so they are never self-masked.
+
+        Against ``merge_into`` (copy-on-write): merge scans for
+        containment and REWRITES every file holding a matched key —
+        cost grows with the table. This writes the batch plus one
+        column-pruned key extraction of the just-written files: cost is
+        O(batch) at ANY table size, which is what a CDC/streaming
+        consumer needs at 100 TB. The price is read-side (one broadcast
+        anti-join per outstanding entry) until ``compact()``
+        materializes. ``validate_source`` rejects duplicate keys in the
+        batch (Delta/Iceberg's merge cardinality rule — last-write-wins
+        inside one batch would be nondeterministic). Commits break
+        ``changes()`` consumers loudly (matched rows are logically
+        replaced); CDC readers use ``row_diff``.
+
+        Reference parity: the reference's keyed YAML merge
+        (workbook_exporter-fe.py:1758-1767 — new rows win per key over
+        the re-read state file) is this exact upsert at toy scale; here
+        the state is the snapshot log and the merge is metadata-only."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        parent = self.current_sequence()
+        table = {
+            f.name: f.dataType for f in self._table_schema().fields
+        } if parent else {f.name: f.dataType for f in df.schema.fields}
+        unknown = sorted(set(eq_cols) - set(table))
+        if unknown:
+            raise SchemaMismatch(f"upsert_eq on unknown column(s) {unknown}")
+        if parent:
+            self._check_append_schema(df, against=parent)
+        commit_dir = os.path.join(
+            self.data,
+            f"c{max_sequence(self.root) + 1:08d}-{uuid.uuid4().hex[:8]}",
+        )
+        self._write_data(df, commit_dir)
+        new_paths = self._list_parquet(commit_dir)
+        rows_new = sum(pq.read_metadata(p).num_rows for p in new_paths)
+        entry = None
+        if rows_new:
+            # keys from the files just written (column-pruned, one job —
+            # never a second evaluation of ``df``)
+            keys = self.spark.read.parquet(*new_paths).select(
+                *[F.col(c).cast(table[c]).alias(c) for c in eq_cols]
+            ).distinct()
+            kdir = os.path.join(
+                self.data,
+                f"c{max_sequence(self.root) + 1:08d}-eqdv-"
+                f"{uuid.uuid4().hex[:8]}",
+            )
+            keys.coalesce(1).write.mode("error").parquet(kdir)
+            kpaths = self._list_parquet(kdir)
+            n_keys = sum(pq.read_metadata(p).num_rows for p in kpaths)
+            if validate_source and n_keys != rows_new:
+                shutil.rmtree(commit_dir, ignore_errors=True)
+                shutil.rmtree(kdir, ignore_errors=True)
+                raise ValueError(
+                    f"upsert batch has {rows_new - n_keys} duplicate "
+                    f"key(s) on {eq_cols}; dedupe the batch first"
+                )
+            entry = {
+                "eq_cols": list(eq_cols),
+                "paths": kpaths,
+                "rows": int(n_keys),
+            }
+        try:
+            return commit_files(
+                self.root,
+                new_paths,
+                df.schema.jsonValue(),
+                mode="append",
+                summary={**dict(summary or {}), "mode": "upsert",
+                         "rows_upserted": rows_new},
+                cleanup_dir=commit_dir,
+                check_schema=False,
+                blooms=self._build_blooms(new_paths),
+                partitions={
+                    p: t
+                    for p in new_paths
+                    if (t := self._partition_from_path(p, commit_dir))
+                },
+                ndv=self._build_ndv(new_paths),
+                eq_delete=entry,
+            )
+        except SnapshotConflict:
+            if entry:
+                shutil.rmtree(os.path.dirname(entry["paths"][0]),
+                              ignore_errors=True)
+            raise
+
+    def _live_scope_rows(self, manifest: dict, paths: list[str]) -> int:
+        """Exact LIVE row count of a file subset. With only position
+        deletes outstanding the live map is per-file exact (footer minus
+        attributed positions); an applicable EQUALITY delete has no
+        per-file attribution (same asymmetry as Iceberg), so the count
+        falls back to one aggregate through the read masks."""
+        if not eq_deletes_applying(manifest, paths):
+            live = live_rows_map(manifest)
+            return sum(live[p] for p in paths)
+        return self._read_paths(manifest, list(paths)).count()
+
     def update_where(
         self,
         predicate,
@@ -1427,8 +1725,7 @@ class SnapshotTable:
                 for c in t.columns
             ]
         )
-        live = live_rows_map(m)
-        expect = sum(live[p] for p in touched)
+        expect = self._live_scope_rows(m, touched)
         return self._rewrite_commit(
             m, parent, touched, out, "update",
             {"columns": sorted(assignments)}, expect_rows=expect,
@@ -1548,8 +1845,7 @@ class SnapshotTable:
             rewritten = rewritten.unionByName(ins)
         if not touched and n_inserted == 0:
             return parent
-        live = live_rows_map(m)
-        touched_rows = sum(live[p] for p in touched)
+        touched_rows = self._live_scope_rows(m, touched)
         expect = (
             touched_rows + n_inserted
             if when_matched == "update"
@@ -1809,8 +2105,12 @@ class SnapshotTable:
     def files(self, sequence: int | None = None) -> DataFrame:
         """Iceberg-style ``files`` metadata table for one snapshot.
         ``rows`` is the footer count; ``live_rows`` subtracts outstanding
-        position deletes; ``partition`` is the hidden-partitioning tuple
-        (JSON, null for pre-spec files)."""
+        position deletes (an UPPER bound per file while an equality
+        delete is outstanding — eq entries carry no attribution);
+        ``dseq`` is the file's data sequence number (equality-delete
+        applicability: masked iff dseq <= the entry's anchor);
+        ``partition`` is the hidden-partitioning tuple (JSON, null for
+        pre-spec files)."""
         m = self.snapshot(sequence)
         live = live_rows_map(m)
         rows = [
@@ -1819,6 +2119,7 @@ class SnapshotTable:
                 rows=f["rows"],
                 live_rows=live[f["path"]],
                 bytes=f["bytes"],
+                dseq=path_dseq(f["path"]),
                 partition=(
                     json.dumps(f["partition"], sort_keys=True)
                     if f.get("partition") is not None
@@ -1832,7 +2133,7 @@ class SnapshotTable:
         return self.spark.createDataFrame(
             rows,
             "path string, rows long, live_rows long, bytes long, "
-            "partition string, min_json string, max_json string",
+            "dseq long, partition string, min_json string, max_json string",
         )
 
     def partitions(self, sequence: int | None = None) -> DataFrame:
