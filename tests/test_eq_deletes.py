@@ -133,6 +133,28 @@ def test_mor_and_eq_stack(spark, table):
     assert table.read().count() == 43
 
 
+def test_stacked_eq_entries_mixed_anchors(spark, table):
+    # two pre-append entries (merge into one union anti-join for old
+    # files), an append between, and a post-append entry (unconditional
+    # for every file) — the dseq scoping must keep the re-insert alive
+    table.delete_eq([1], ["id"])
+    table.delete_eq([2], ["id"])
+    table.commit(_mk(spark, 1, 2))  # re-insert id=1 above both anchors
+    table.delete_eq([3], ["id"])    # anchored after the re-insert
+    got = table.read()
+    assert got.count() == 48  # 50 - {1,2,3} + re-inserted 1
+    assert got.where("id = 1").count() == 1
+    assert got.where("id in (2, 3)").count() == 0
+    # the data source agrees bit-for-bit
+    from workbook_exporter_fe_spark.sources import snapshot_source as ss
+
+    ss.register(spark)
+    src = spark.read.format("snapshot_log").load(table.root)
+    assert sorted(r.id for r in src.select("id").collect()) == sorted(
+        r.id for r in got.select("id").collect()
+    )
+
+
 def test_gc_keeps_eq_key_files(spark, table):
     table.delete_eq([0], ["id"])
     table.commit(_mk(spark, 50, 60))

@@ -210,10 +210,13 @@ def _eq_keysets(eq_deletes: tuple, target) -> list:
     """[(cols, canonical key-string set)] for one file's applicable
     equality deletes — each key parquet is delete-sized, loaded once per
     file, values cast to the TABLE schema's types first so the canonical
-    form matches the aligned data batches."""
+    form matches the aligned data batches. Entries sharing a key-column
+    set merge into one set (every attached entry applies to this whole
+    file — partitions() filtered by data sequence already), so the
+    per-batch cost is one is_in per key set, not one per upsert epoch."""
     import pyarrow.parquet as pq
 
-    out = []
+    grouped: dict[tuple, set] = {}
     for paths, cols in eq_deletes:
         t = pq.read_table(list(paths), columns=list(cols))
         arrays = []
@@ -223,8 +226,10 @@ def _eq_keysets(eq_deletes: tuple, target) -> list:
             if i >= 0:
                 a = a.cast(target.field(i).type)
             arrays.append(a)
-        out.append((cols, set(_eq_canon(arrays).to_pylist())))
-    return out
+        grouped.setdefault(tuple(cols), set()).update(
+            _eq_canon(arrays).to_pylist()
+        )
+    return list(grouped.items())
 
 
 def _dv_positions(dv_paths: tuple, data_path: str):

@@ -1237,34 +1237,58 @@ class SnapshotTable:
                 "left_anti",
             )
         if eqs:
-            # equality deletes (Iceberg v2): one broadcast anti-join per
-            # outstanding entry, key-matched NULL-SAFE and scoped to rows
-            # whose file's data sequence <= the delete's anchor — rows
-            # appended (or rewritten) after the delete are untouched. The
-            # key relation is delete-sized; the data never re-shuffles.
-            out = out.withColumn(
-                "__dseq",
-                F.coalesce(
-                    F.regexp_extract(
-                        F.col("__uri"), r"/c(\d{8})-[0-9a-f]{8}/", 1
-                    ).cast("int"),
-                    F.lit(0),  # unknown layout → applicable (path_dseq)
-                ),
-            )
+            # equality deletes (Iceberg v2): broadcast anti-joins,
+            # key-matched NULL-SAFE and scoped to rows whose file's data
+            # sequence <= the delete's anchor — rows appended (or
+            # rewritten) after the delete are untouched. Entries whose
+            # anchor covers EVERY file in this read (the steady state of
+            # a CDC upsert stream: data predates the deletes) merge per
+            # key-column set into ONE union-read anti-join, so the read
+            # tax stays one join per key set, not one per upsert epoch.
+            # Key relations are delete-sized; the data never re-shuffles.
+            max_dseq = max(path_dseq(p) for p in paths)
+            unconditional: dict[tuple, list] = {}
+            scoped = []
             for d in eqs:
-                keys = self.spark.read.parquet(*d["paths"]).select(
-                    *d["eq_cols"]
+                if d["seq"] >= max_dseq:
+                    unconditional.setdefault(
+                        tuple(d["eq_cols"]), []
+                    ).extend(d["paths"])
+                else:
+                    scoped.append(d)
+            for ecols, kpaths in unconditional.items():
+                keys = self.spark.read.parquet(*sorted(set(kpaths))).select(
+                    *ecols
                 )
                 match = functools.reduce(
                     lambda a, b: a & b,
-                    [out[c].eqNullSafe(keys[c]) for c in d["eq_cols"]],
+                    [out[c].eqNullSafe(keys[c]) for c in ecols],
                 )
-                out = out.join(
-                    F.broadcast(keys),
-                    match & (out["__dseq"] <= F.lit(int(d["seq"]))),
-                    "left_anti",
+                out = out.join(F.broadcast(keys), match, "left_anti")
+            if scoped:
+                out = out.withColumn(
+                    "__dseq",
+                    F.coalesce(
+                        F.regexp_extract(
+                            F.col("__uri"), r"/c(\d{8})-[0-9a-f]{8}/", 1
+                        ).cast("int"),
+                        F.lit(0),  # unknown layout → applicable (path_dseq)
+                    ),
                 )
-            out = out.drop("__dseq")
+                for d in scoped:
+                    keys = self.spark.read.parquet(*d["paths"]).select(
+                        *d["eq_cols"]
+                    )
+                    match = functools.reduce(
+                        lambda a, b: a & b,
+                        [out[c].eqNullSafe(keys[c]) for c in d["eq_cols"]],
+                    )
+                    out = out.join(
+                        F.broadcast(keys),
+                        match & (out["__dseq"] <= F.lit(int(d["seq"]))),
+                        "left_anti",
+                    )
+                out = out.drop("__dseq")
         return out if with_position else out.select(*cols)
 
     def _touched_files(
