@@ -202,6 +202,16 @@ def main() -> None:
         "'col:v1,v2,...' — commits ONLY the key values, never scans the "
         "table; reads anti-join the keys against pre-delete files",
     )
+    ap.add_argument(
+        "--auto", action="store_true",
+        help="metadata-only health check + threshold policy: compact on "
+        "small-file buildup / masked-row fraction / outstanding delete "
+        "entries; with --keep-last also expire + orphan-scan "
+        "(sources/maintenance.py auto_maintain)",
+    )
+    ap.add_argument("--auto-small-ratio", type=float, default=0.5)
+    ap.add_argument("--auto-masked-fraction", type=float, default=0.05)
+    ap.add_argument("--auto-max-delete-entries", type=int, default=8)
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
     if not args.tiers and not args.snapshot_table:
@@ -308,6 +318,20 @@ def main() -> None:
                     else {"keys": 0}
                 )
                 entry["deleted_eq_to"] = seq
+            if args.auto:
+                from workbook_exporter_fe_spark.sources.maintenance import (
+                    auto_maintain,
+                )
+
+                entry["auto"] = auto_maintain(
+                    table,
+                    target_file_bytes=args.target_file_mb << 20,
+                    small_file_ratio=args.auto_small_ratio,
+                    masked_fraction=args.auto_masked_fraction,
+                    max_delete_entries=args.auto_max_delete_entries,
+                    keep_last=args.keep_last if args.expire else None,
+                    orphan_grace_sec=args.orphan_grace_min * 60.0,
+                )
             if args.compact_snapshots:
                 entry["compacted_to"] = table.compact(
                     target_file_bytes=args.target_file_mb << 20,
@@ -315,11 +339,12 @@ def main() -> None:
                     zorder_by=args.zorder.split(",") if args.zorder else None,
                     where_bounds=_parse_bounds(args.compact_bounds),
                 )
-            if args.expire:
+            # --auto already ran expire+orphans when --expire was given
+            if args.expire and not args.auto:
                 entry["expire"] = table.expire_snapshots(
                     keep_last=args.keep_last
                 )
-            if args.remove_orphans:
+            if args.remove_orphans and not (args.auto and args.expire):
                 entry["orphans"] = table.remove_orphan_files(
                     grace_sec=args.orphan_grace_min * 60.0
                 )

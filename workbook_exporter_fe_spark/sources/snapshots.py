@@ -1128,7 +1128,14 @@ class SnapshotTable:
         scope_rows = self._live_scope_rows(m, [f["path"] for f in scope])
         n = max(1, -(-total // max(1, target_file_bytes)))  # ceil-div
         unclustered = sort_by is None and zorder_by is None
-        if not scope or (unclustered and n >= len(scope)):
+        # outstanding delete debt over the scope makes the rewrite worth
+        # it even when the file count would not shrink: materializing the
+        # masks retires the per-scan anti-join tax (Iceberg's
+        # rewrite_data_files with delete files present)
+        scope_debt = any(
+            p in scope_set for p in dv_rows_by_file(m)
+        ) or bool(eq_deletes_applying(m, [f["path"] for f in scope]))
+        if not scope or (unclustered and n >= len(scope) and not scope_debt):
             return self.current_sequence()
         parent = self.current_sequence()
         commit_dir = os.path.join(
