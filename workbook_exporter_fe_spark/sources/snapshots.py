@@ -172,9 +172,124 @@ def current_sequence(root: str) -> int:
         return int(f.read().strip())
 
 
-def load_manifest(root: str, seq: int) -> dict:
+def load_manifest_raw(root: str, seq: int) -> dict:
+    """The manifest JSON exactly as written — file-list segments NOT
+    resolved. Commit paths use this: an append must never pay an
+    O(table-files) read just to chain metadata."""
     with open(os.path.join(root, "metadata", f"snap-{seq:08d}.json")) as f:
         return json.load(f)
+
+
+def load_manifest(root: str, seq: int) -> dict:
+    """Load a manifest with its file list materialized.
+
+    Manifests above ``MANIFEST_INLINE_MAX`` entries store the file list
+    as immutable SEGMENT files (``metadata/filelist-*.json``) and keep
+    only the segment refs inline — see ``commit_files`` for why. This
+    loader concatenates the segments (cached — segments are immutable
+    and shared across consecutive snapshots, so a history walk reads
+    each one once) and returns the same ``{"files": [...]}`` shape every
+    consumer already expects. Returned file entries may be CACHE-SHARED:
+    treat them as read-only (every writer in this module builds fresh
+    entry dicts)."""
+    m = load_manifest_raw(root, seq)
+    segs = m.get("file_segments")
+    if not segs:
+        return m
+    meta = os.path.join(root, "metadata")
+    files: list[dict] = []
+    for ref in segs:
+        files.extend(_load_segment(meta, ref))
+    inline = m.get("files")
+    if inline:
+        files = files + inline
+    return {**m, "files": files}
+
+
+# File-list segments: why and how.
+#
+# An append manifest that inlines the parent's whole file list costs
+# O(table files) JSON per commit — a year of minutely micro-batches is
+# ~500k files, and the CUMULATIVE metadata written is O(files²): the
+# classic small-commit metadata blowup Iceberg solves with manifest
+# files + manifest lists. Same split here: the per-file entries (path,
+# rows, min/max stats, bloom/ndv refs, partition tuple) live in
+# immutable SEGMENT files; the manifest holds only the ordered segment
+# refs (path, entries, rows). An append then writes ONE segment holding
+# just the new files and re-points at the parent's segments — O(batch)
+# metadata per commit.
+#
+# Unchecked, the ref list itself grows O(commits), so segments merge by
+# the binary-counter rule (merge the trailing run while the previous
+# segment is no bigger than the one after it): segment sizes form a
+# geometric series, the manifest carries O(log files) refs, and the
+# total metadata ever written is O(files · log files) — LSM economics
+# for table metadata. Segment files are immutable and shared between
+# snapshots; expire_snapshots GCs the unreferenced ones (grace-windowed,
+# since a racing commit writes its segments before its manifest).
+#
+# Tables at or below MANIFEST_INLINE_MAX files keep the plain inline
+# form — human-readable manifests, zero behavior change for small
+# tables, full back-compat with logs written before segments existed.
+
+MANIFEST_INLINE_MAX = 64
+
+_SEG_CACHE: "dict[str, list]" = {}
+_SEG_CACHE_MAX = 128
+
+
+def _load_segment(meta: str, ref: dict) -> list[dict]:
+    path = os.path.join(meta, ref["path"])
+    key = os.path.abspath(path)
+    hit = _SEG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(path) as f:
+        entries = json.load(f)["entries"]
+    if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+        _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
+    _SEG_CACHE[key] = entries
+    return entries
+
+
+def _write_segment(meta: str, seq: int, entries: list[dict]) -> dict:
+    """Write one immutable file-list segment; returns its manifest ref.
+    The ref carries entry/row counts so commits can chain totals without
+    ever opening the segments."""
+    name = f"filelist-{seq:08d}-{uuid.uuid4().hex[:8]}.json"
+    _atomic_write(
+        os.path.join(meta, name), json.dumps({"entries": entries})
+    )
+    return {
+        "path": name,
+        "entries": len(entries),
+        "rows": sum(int(f["rows"]) for f in entries),
+    }
+
+
+def _merge_tail_segments(
+    meta: str, seq: int, segs: list[dict]
+) -> tuple[list[dict], list[str]]:
+    """Binary-counter merge: while the second-to-last segment is no
+    bigger than the last, fold them into one new segment. Keeps the ref
+    list O(log files) with amortized O(1)·log writes per file entry."""
+    segs = list(segs)
+    created: list[str] = []
+    while len(segs) >= 2 and segs[-2]["entries"] <= segs[-1]["entries"]:
+        merged = _load_segment(meta, segs[-2]) + _load_segment(meta, segs[-1])
+        ref = _write_segment(meta, seq, merged)
+        created.append(os.path.join(meta, ref["path"]))
+        segs = segs[:-2] + [ref]
+    return segs, created
+
+
+def _segments_footer_rows(raw: dict) -> int:
+    """Total FOOTER rows of a raw manifest without resolving segments."""
+    if raw.get("file_segments"):
+        return sum(int(r["rows"]) for r in raw["file_segments"]) + sum(
+            int(f["rows"]) for f in raw.get("files") or []
+        )
+    return sum(int(f["rows"]) for f in raw.get("files") or [])
 
 
 def max_sequence(root: str) -> int:
@@ -536,7 +651,7 @@ def _check_append_schema_json(
     table = {
         f.name: f
         for f in StructType.fromJson(
-            load_manifest(
+            load_manifest_raw(  # schema only — never resolve file lists
                 root, current_sequence(root) if against is None else against
             )["schema"]
         ).fields
@@ -621,12 +736,38 @@ def commit_files(
             f["ndv_ref"] = nref
     schema = schema_json
     deletes: list = []
+    seg_refs: list[dict] | None = None
+    created_segs: list[str] = []
     if mode == "append" and parent > 0:
-        prev = load_manifest(root, parent)
-        files = prev["files"] + files
+        # RAW load: chaining an append must cost O(batch) metadata, not
+        # O(table files) — the parent's segments are referenced, never
+        # read (only a tail merge opens the segments it folds)
+        prev = load_manifest_raw(root, parent)
         schema = prev["schema"]
         # outstanding position deletes survive appends untouched
         deletes = prev.get("deletes") or []
+        prev_segs = prev.get("file_segments")
+        prev_inline = prev.get("files") or []
+        if prev_segs is None and (
+            len(prev_inline) + len(files) <= MANIFEST_INLINE_MAX
+        ):
+            files = prev_inline + files  # small table: stay inline
+        else:
+            segs = list(prev_segs or [])
+            # the new tail segment, folded in memory by the binary-
+            # counter rule so each commit writes AT MOST one segment
+            last = (prev_inline if prev_segs is None else []) + files
+            if last:
+                while segs and segs[-1]["entries"] <= len(last):
+                    last = _load_segment(meta, segs.pop()) + last
+                ref = _write_segment(meta, seq, last)
+                created_segs.append(os.path.join(meta, ref["path"]))
+                segs.append(ref)
+            seg_refs = segs
+    elif len(files) > MANIFEST_INLINE_MAX:
+        ref = _write_segment(meta, seq, files)
+        created_segs.append(os.path.join(meta, ref["path"]))
+        seg_refs = [ref]
     operation = mode
     if eq_delete is not None:
         if mode != "append":
@@ -640,17 +781,39 @@ def commit_files(
         "operation": operation,
         "committed_at": time.time(),
         "schema": schema,
-        "files": files,
         "summary": dict(summary or {}),
-        "total_rows": sum(f["rows"] for f in files),
         **({"deletes": deletes} if deletes else {}),
     }
-    if deletes:
-        manifest["total_rows"] = sum(live_rows_map(manifest).values())
-    mpath = os.path.join(meta, f"snap-{seq:08d}.json")
-    if os.path.exists(mpath):
+    if seg_refs is not None:
+        manifest["file_segments"] = seg_refs
+        footer_rows = sum(int(r["rows"]) for r in seg_refs)
+        # position deletes are the only attributed masks (equality
+        # entries carry no per-file counts — same upper-bound semantics
+        # as live_rows_map, computed from the entries alone)
+        dv = sum(
+            int(n)
+            for d in deletes
+            for n in (d.get("data_files") or {}).values()
+        )
+        manifest["total_rows"] = footer_rows - dv
+    else:
+        manifest["files"] = files
+        manifest["total_rows"] = sum(f["rows"] for f in files)
+        if deletes:
+            manifest["total_rows"] = sum(live_rows_map(manifest).values())
+
+    def _cleanup() -> None:
         if cleanup_dir:
             shutil.rmtree(cleanup_dir, ignore_errors=True)
+        for p in created_segs:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    mpath = os.path.join(meta, f"snap-{seq:08d}.json")
+    if os.path.exists(mpath):
+        _cleanup()
         raise SnapshotConflict(
             f"sequence {seq} already committed by another writer"
         )
@@ -659,8 +822,7 @@ def commit_files(
         # collides on the manifest name — the lost-update guard moves to
         # the ref swap itself (branch commits get the same guard from
         # _set_branch's expect=)
-        if cleanup_dir:
-            shutil.rmtree(cleanup_dir, ignore_errors=True)
+        _cleanup()
         raise SnapshotConflict(
             f"main advanced to {current_sequence(root)} while committing "
             f"against {parent}; retry against the current snapshot"
@@ -1040,6 +1202,8 @@ class SnapshotTable:
             schema=StructType(fields).jsonValue(),
             summary={"added": sorted(add or {}), "dropped": sorted(drop or [])},
             deletes=m.get("deletes"),
+            # metadata-only op: carry the parent's segments verbatim
+            base_raw=load_manifest_raw(self.root, m["sequence"]),
         )
 
     def rollback(self, sequence: int) -> int:
@@ -1055,6 +1219,8 @@ class SnapshotTable:
             schema=old["schema"],
             extra={"rolled_back_to": sequence},
             deletes=old.get("deletes"),
+            # re-reference the OLD snapshot's segments, write nothing
+            base_raw=load_manifest_raw(self.root, sequence),
         )
 
     def compact(
@@ -1185,6 +1351,9 @@ class SnapshotTable:
                 },
                 expected_parent=parent,
                 deletes=carry_deletes(m, scope_set),
+                base_raw=load_manifest_raw(self.root, parent),
+                removed_paths=scope_set,
+                added_files=new_files,
             )
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
@@ -1382,6 +1551,9 @@ class SnapshotTable:
                 summary={**summary, **acct},
                 expected_parent=expected_parent,
                 deletes=carry_deletes(manifest, touched_set),
+                base_raw=load_manifest_raw(self.root, expected_parent),
+                removed_paths=touched_set,
+                added_files=new_files,
             )
         except SnapshotConflict:
             shutil.rmtree(commit_dir, ignore_errors=True)
@@ -1493,6 +1665,8 @@ class SnapshotTable:
                          "files_masked": len(data_files)},
                 expected_parent=parent,
                 deletes=(m.get("deletes") or []) + [entry],
+                # zero data files touched — zero segments rewritten too
+                base_raw=load_manifest_raw(self.root, parent),
             )
         except SnapshotConflict:
             shutil.rmtree(dv_dir, ignore_errors=True)
@@ -1587,6 +1761,8 @@ class SnapshotTable:
                          "eq_cols": list(eq_cols), "keys": n},
                 expected_parent=parent,
                 deletes=(m.get("deletes") or []) + [entry],
+                # key-only commit: the parent's segments carry verbatim
+                base_raw=load_manifest_raw(self.root, parent),
             )
         except SnapshotConflict:
             shutil.rmtree(dv_dir, ignore_errors=True)
@@ -1892,6 +2068,48 @@ class SnapshotTable:
             expect_rows=expect,
         )
 
+    def _delta_segment_refs(
+        self,
+        base_raw: dict,
+        removed_paths: set | None,
+        added_files: list[dict] | None,
+        seq: int,
+    ) -> tuple[list[dict], list[str]]:
+        """Child segment refs = parent refs with only the AFFECTED
+        segments rewritten: a segment containing none of
+        ``removed_paths`` carries verbatim (shared metadata, zero
+        bytes written), one containing any is re-written filtered, and
+        ``added_files`` land as one fresh tail segment. This keeps
+        rewrite-commit metadata O(touched + log) instead of O(table
+        files) — a merge-on-read delete ("zero data files touched")
+        must not pay a full file-list serialization either."""
+        removed = removed_paths or set()
+        refs: list[dict] = []
+        created: list[str] = []
+        for ref in base_raw["file_segments"]:
+            entries = _load_segment(self.meta, ref)  # cached, immutable
+            if removed and any(e["path"] in removed for e in entries):
+                kept = [e for e in entries if e["path"] not in removed]
+                if kept:
+                    nref = _write_segment(self.meta, seq, kept)
+                    created.append(os.path.join(self.meta, nref["path"]))
+                    refs.append(nref)
+            else:
+                refs.append(ref)
+        inline_tail = [
+            e
+            for e in base_raw.get("files") or []
+            if e["path"] not in removed
+        ]
+        tail = inline_tail + list(added_files or [])
+        if tail:
+            nref = _write_segment(self.meta, seq, tail)
+            created.append(os.path.join(self.meta, nref["path"]))
+            refs.append(nref)
+        refs, merged = _merge_tail_segments(self.meta, seq, refs)
+        created += merged
+        return refs, created
+
     def _commit_manifest(
         self,
         operation: str,
@@ -1901,6 +2119,9 @@ class SnapshotTable:
         extra: dict | None = None,
         expected_parent: int | None = None,
         deletes: list | None = None,
+        base_raw: dict | None = None,
+        removed_paths: set | None = None,
+        added_files: list[dict] | None = None,
     ) -> int:
         """Write a manifest for a data-already-on-disk commit (rollback /
         replace) with the same optimistic-concurrency + atomic-hint-swap
@@ -1930,12 +2151,40 @@ class SnapshotTable:
         }
         if deletes:
             manifest["total_rows"] = sum(live_rows_map(manifest).values())
+        created_segs: list[str] = []
+        if base_raw is not None and base_raw.get("file_segments"):
+            # delta path: carry the parent's segments, rewrite only the
+            # ones holding a removed path — O(touched + log) metadata
+            refs, created_segs = self._delta_segment_refs(
+                base_raw, removed_paths, added_files, seq
+            )
+            if sum(r["entries"] for r in refs) != len(files):
+                for p in created_segs:
+                    os.remove(p)
+                raise RuntimeError(
+                    "segment-delta drift: refs cover "
+                    f"{sum(r['entries'] for r in refs)} entries, caller "
+                    f"resolved {len(files)}"
+                )
+            manifest["file_segments"] = refs
+            del manifest["files"]
+        elif len(files) > MANIFEST_INLINE_MAX:
+            # full rewrite of a previously-inline list: the MANIFEST
+            # stays small — one fresh segment holds the entries
+            ref = _write_segment(self.meta, seq, files)
+            created_segs = [os.path.join(self.meta, ref["path"])]
+            manifest["file_segments"] = [ref]
+            del manifest["files"]
         mpath = self._manifest_path(seq)
         if os.path.exists(mpath):
+            for p in created_segs:
+                os.remove(p)
             raise SnapshotConflict(
                 f"sequence {seq} already committed by another writer"
             )
         if self.current_sequence() != parent:
+            for p in created_segs:
+                os.remove(p)
             raise SnapshotConflict(
                 f"table advanced to {self.current_sequence()} while "
                 f"committing against {parent}; retry against the current "
@@ -2282,6 +2531,8 @@ class SnapshotTable:
             },
             expected_parent=expected_parent,
             deletes=carry_deletes(m, {f["path"] for f in dropped}),
+            base_raw=load_manifest_raw(self.root, expected_parent),
+            removed_paths={f["path"] for f in dropped},
         )
         return {
             "sequence": seq,
@@ -2540,7 +2791,43 @@ class SnapshotTable:
             if d not in live_dirs:
                 shutil.rmtree(d)
                 deleted += 1
-        return {"expired_snapshots": expired, "deleted_dirs": deleted}
+        segs = self._gc_segments()
+        return {
+            "expired_snapshots": expired,
+            "deleted_dirs": deleted,
+            "expired_segments": segs,
+        }
+
+    def _gc_segments(self, grace_sec: float = 3600.0) -> int:
+        """Delete file-list segment files no surviving manifest
+        references. Grace-windowed like remove_orphan_files: a racing
+        commit writes its segments BEFORE its manifest, so a fresh
+        unreferenced segment may be a commit in flight, never garbage
+        yet."""
+        referenced: set[str] = set()
+        names = os.listdir(self.meta)
+        for n in names:
+            if n.startswith("snap-") and n.endswith(".json"):
+                raw = load_manifest_raw(self.root, int(n[5:-5]))
+                referenced.update(
+                    r["path"] for r in raw.get("file_segments") or []
+                )
+        now = time.time()
+        removed = 0
+        for n in names:
+            if not (n.startswith("filelist-") and n.endswith(".json")):
+                continue
+            if n in referenced:
+                continue
+            p = os.path.join(self.meta, n)
+            try:
+                if now - os.path.getmtime(p) < grace_sec:
+                    continue
+                os.remove(p)
+                removed += 1
+            except OSError:
+                pass
+        return removed
 
     def remove_orphan_files(self, grace_sec: float = 3600.0) -> dict:
         """Delete parquet data files NO existing manifest references
@@ -2584,4 +2871,9 @@ class SnapshotTable:
                             os.remove(p + ext)
                         except OSError:
                             pass
-        return {"orphans_removed": removed, "files_scanned": scanned}
+        seg_removed = self._gc_segments(grace_sec=grace_sec)
+        return {
+            "orphans_removed": removed,
+            "files_scanned": scanned,
+            "segments_removed": seg_removed,
+        }
