@@ -84,11 +84,14 @@ def test_auto_maintain_pays_delete_debt(spark, tmp_path):
     st = _build(spark, root, batches=3, rows=100)
     st.delete_where("id < 50", mode="mor")  # 50/300 masked > 5%
     st.delete_eq([51], ["id"])
+    # entries threshold tripped too (2 > 1): the scope widens to every
+    # eq-applicable file so the equality entry can actually retire
     rep = auto_maintain(
-        st, target_file_bytes=2, masked_fraction=0.05, max_delete_entries=8
+        st, target_file_bytes=2, masked_fraction=0.05, max_delete_entries=1
     )
     compact = [a for a in rep["actions"] if a["action"] == "compact"][0]
     assert any(r.startswith("masked_fraction") for r in compact["reasons"])
+    assert any(r.startswith("delete_entries") for r in compact["reasons"])
     after = rep["health_after"]
     # the rewrite materialized the masks and retired every entry
     assert after["masked_rows"] == 0
@@ -96,6 +99,33 @@ def test_auto_maintain_pays_delete_debt(spark, tmp_path):
     assert after["eq_delete_entries"] == 0
     assert after["rows_footer"] == 249
     assert st.read().count() == 249
+
+
+def test_auto_maintain_scope_carries_clean_files(spark, tmp_path):
+    """The rewrite tracks the DEBT, not the table: an already-compacted
+    clean file is carried by reference, only the masked file and the
+    micro-batch small files are rewritten."""
+    root = str(tmp_path / "t")
+    st = _build(spark, root, batches=4, rows=1000)
+    st.compact(target_file_bytes=1 << 30)  # one big clean generation
+    big = {f["path"] for f in st.snapshot()["files"]}
+    assert len(big) == 1
+    big_bytes = st.snapshot()["files"][0]["bytes"]
+    for b in range(3):  # fresh micro-batches on top
+        st.commit(
+            spark.range(10000 + b * 5, 10000 + (b + 1) * 5)
+            .selectExpr("id", "id % 7 as k", "cast(id as string) as s")
+            .coalesce(1)
+        )
+    # target chosen so the clean generation is NOT "small" but the
+    # micro-batches are (parquet overhead dominates at test scale)
+    target = min(2 * big_bytes, 1 << 20)
+    rep = auto_maintain(st, target_file_bytes=target)
+    compact = [a for a in rep["actions"] if a["action"] == "compact"][0]
+    assert compact["ran"] and compact["files_carried_clean"] >= 1
+    child_paths = {f["path"] for f in st.snapshot()["files"]}
+    assert big <= child_paths  # clean generation untouched
+    assert st.read().count() == 4015
 
 
 def test_auto_maintain_retention_window(spark, tmp_path):

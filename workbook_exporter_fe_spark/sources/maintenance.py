@@ -37,6 +37,7 @@ from workbook_exporter_fe_spark.sources.snapshots import (
     SnapshotTable,
     dv_rows_by_file,
     live_rows_map,
+    path_dseq,
 )
 
 
@@ -95,6 +96,16 @@ def auto_maintain(
       ``max_delete_entries`` (per-scan join count — equality entries
       merge per key set at read time, but retiring them is still the
       only way to stop paying).
+
+    The rewrite is SCOPED to the files carrying the debt (Iceberg's
+    bin-pack strategy picking its own input files): small files,
+    position-masked files, and — only when the entry threshold tripped —
+    files an equality delete applies to. Already-compacted clean files
+    carry into the child manifest by reference; at 100 TB the compaction
+    cost tracks the debt, never the table. (Retiring an equality entry
+    inherently means rewriting every file it could mask — that is the
+    MoR contract; the threshold decides when that price is paid.)
+
     ``keep_last`` additionally expires old snapshots and orphan-scans
     (time travel shrinks to the kept window — an explicit retention
     decision, so it is opt-in, never a default)."""
@@ -103,34 +114,60 @@ def auto_maintain(
     if health.get("empty"):
         return report
     m = table.snapshot()
-    n_small = sum(
-        1 for f in m["files"] if f["bytes"] < target_file_bytes // 2
+    small = {
+        f["path"] for f in m["files"] if f["bytes"] < target_file_bytes // 2
+    }
+    masked = set(dv_rows_by_file(m))
+    eq_anchors = [
+        int(d["seq"])
+        for d in m.get("deletes") or []
+        if "eq_cols" in d
+    ]
+    eq_applicable = (
+        {
+            f["path"]
+            for f in m["files"]
+            if path_dseq(f["path"]) <= max(eq_anchors)
+        }
+        if eq_anchors
+        else set()
     )
     entries = (
         health["position_delete_entries"] + health["eq_delete_entries"]
     )
     reasons = []
-    if n_small / max(1, health["files"]) > small_file_ratio and (
+    scope: set[str] = set()
+    if len(small) / max(1, health["files"]) > small_file_ratio and (
         health["files"] > 1
     ):
         reasons.append(
-            f"small_files {n_small}/{health['files']} "
+            f"small_files {len(small)}/{health['files']} "
             f"(> {small_file_ratio:.0%} under {target_file_bytes // 2} B)"
         )
+        scope |= small
     if health["masked_fraction"] > masked_fraction:
         reasons.append(
             f"masked_fraction {health['masked_fraction']:.3f} "
             f"(> {masked_fraction})"
         )
+        scope |= masked
     if entries > max_delete_entries:
         reasons.append(
             f"delete_entries {entries} (> {max_delete_entries})"
         )
+        # position-masked files must be rewritten to retire their
+        # vectors; eq entries additionally need every applicable file
+        scope |= masked | eq_applicable
     if reasons:
         before = table.current_sequence()
-        after = table.compact(target_file_bytes=target_file_bytes)
+        after = table.compact(
+            target_file_bytes=target_file_bytes,
+            scope_paths=sorted(scope),
+        )
         report["actions"].append({
             "action": "compact", "reasons": reasons,
+            "files_in_scope": len(scope),
+            "files_carried_clean": health["files"] - len(scope),
             "sequence": after, "ran": after != before,
         })
     if keep_last is not None:

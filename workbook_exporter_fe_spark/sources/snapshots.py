@@ -1230,6 +1230,7 @@ class SnapshotTable:
         zorder_by: list[str] | None = None,
         zorder_bits: int = 8,
         where_bounds: dict | None = None,
+        scope_paths: list[str] | None = None,
     ) -> int:
         """Rewrite the current snapshot's data as fewer, larger files and
         commit the result as an Iceberg-style REPLACE snapshot.
@@ -1276,13 +1277,24 @@ class SnapshotTable:
         mutations). Note the scope is FILE-granular via stats: a file
         straddling the boundary is rewritten whole, which is correct —
         replace snapshots preserve the global row multiset exactly.
+
+        ``scope_paths`` is the explicit-file-set form of the same scope
+        (takes precedence over ``where_bounds``): the caller — typically
+        ``auto_maintain`` — has already decided WHICH files carry debt
+        (small, position-masked, eq-applicable) and only those are
+        rewritten; paths no longer in the current snapshot are ignored.
         """
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         m = self.snapshot()
-        if where_bounds:
-            scope_paths, _ = self._select_files(m, where_bounds)
-            scope_set = set(scope_paths)
+        if scope_paths is not None:
+            # explicit file scope (Iceberg's rewrite strategy picking the
+            # input files itself — auto-maintenance packs ONLY the files
+            # carrying debt, never the table)
+            scope_set = {f["path"] for f in m["files"]} & set(scope_paths)
+        elif where_bounds:
+            bound_paths, _ = self._select_files(m, where_bounds)
+            scope_set = set(bound_paths)
         else:
             scope_set = {f["path"] for f in m["files"]}
         scope = [f for f in m["files"] if f["path"] in scope_set]
