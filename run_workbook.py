@@ -48,59 +48,27 @@ def main() -> None:
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
 
-    from workbook_exporter_fe_spark.operators.workbook import (
-        EXPORTER_SPECS,
-        run_exporter,
+    from workbook_exporter_fe_spark.plans.workbook_run import (
+        run_workbook_pipeline,
     )
     from workbook_exporter_fe_spark.session import get_spark
-    from workbook_exporter_fe_spark.sinks.yaml_sink import write_yaml_document
-    from workbook_exporter_fe_spark.sources.workbook_io import (
-        read_workbook_csv,
-        read_workbook_excel,
-    )
 
     spark = get_spark(app_name="run_workbook", cores=args.cores)
-    if args.input.lower().endswith((".xlsx", ".xls")):
-        wb = read_workbook_excel(
-            spark, args.input, sheet=args.sheet, preamble_rows=args.preamble_rows
+    try:
+        summary = run_workbook_pipeline(
+            spark,
+            args.input,
+            args.out,
+            exporters=args.exporters,
+            default_listen_port=args.default_listen_port,
+            add_snmp_args=args.add_snmp_args,
+            merge=not args.no_merge,
+            sheet=args.sheet,
+            preamble_rows=args.preamble_rows,
         )
-    else:
-        wb = read_workbook_csv(spark, args.input, preamble_rows=args.preamble_rows)
-
-    names = (
-        sorted(EXPORTER_SPECS)
-        if args.exporters == "all"
-        else [n.strip() for n in args.exporters.split(",")]
-    )
-    unknown = [n for n in names if n not in EXPORTER_SPECS]
-    if unknown:
-        raise SystemExit(f"unknown exporters: {unknown}")
-
-    long_parts = [
-        run_exporter(wb, EXPORTER_SPECS[n], default_port_base=args.default_listen_port)
-        for n in names
-    ]
-    long_rows = long_parts[0]
-    for p in long_parts[1:]:
-        long_rows = long_rows.unionByName(p)
-
-    write_yaml_document(
-        long_rows,
-        args.out,
-        merge_existing=not args.no_merge,
-        snmp_args=True if args.add_snmp_args else None,
-    )
-    hosts = {
-        r["exporter"]: r["n"]
-        for r in long_rows.select("exporter", "hostname")
-        .distinct()
-        .groupBy("exporter")
-        .count()
-        .withColumnRenamed("count", "n")
-        .collect()
-    }
-    print(json.dumps({"out": args.out, "hosts_processed": hosts,
-                      "exporters": len(names)}))
+    except ValueError as e:
+        raise SystemExit(str(e))
+    print(json.dumps(summary))
     spark.stop()
 
 
