@@ -28,6 +28,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, v, w) bigram stream — extracted per ROW by an array HOF
+    (sequence + element_at, 1-indexed to mirror DuckDB lists), so the
+    corpus is never shuffled to form pairs; the only exchanges in any
+    bigram computation are the vocabulary-sized count groupBys."""
+    arr = F.split(F.col(text_col), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.struct(
+            F.element_at(arr, i).alias("v"),
+            F.element_at(arr, i + 1).alias("w"),
+        ),
+    )
+    return (
+        docs.filter(F.size(arr) >= 2)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(pairs).alias("p"),
+        )
+        .select("doc_id", "p.v", "p.w")
+    )
+
+
 def unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, c): whitespace unigram counts — the LM's count table."""
     return (
@@ -85,5 +108,106 @@ def doc_cross_entropy(
             F.round(
                 -F.col("_slp").cast("double") / F.col("n_tok"), 6
             ).alias("xent"),
+        )
+    )
+
+
+def bigram_kn(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Count tables of an interpolated Kneser-Ney bigram LM.
+
+    Four relations, all derived from ONE corpus pass (the bigram-type
+    groupBy) and all vocabulary-sized — never corpus-sized:
+
+    - ``big``:  (v, w, c_vw) bigram counts
+    - ``ctx``:  (v, c_v, n1p_v) context totals + distinct-continuation
+      counts N1+(v, *) — the interpolation weight numerator
+    - ``cont``: (w, r_w) distinct LEFT contexts N1+(*, w) — the
+      Kneser-Ney continuation counts ("how many contexts does w
+      complete" rather than "how often does w occur")
+    - ``tot``:  one row (nbt = distinct bigram types N1+(*,*),
+      vc = continuation vocabulary size)
+    """
+    big = _bigrams(docs, text_col, id_col).groupBy("v", "w").agg(
+        F.count("*").alias("c_vw")
+    )
+    ctx = big.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count("*").alias("n1p_v")
+    )
+    cont = big.groupBy("w").agg(F.count("*").alias("r_w"))
+    tot = big.agg(
+        F.count("*").alias("nbt"), F.count_distinct("w").alias("vc")
+    )
+    return {"big": big, "ctx": ctx, "cont": cont, "tot": tot}
+
+
+def doc_cross_entropy_bigram(
+    docs: DataFrame,
+    model: dict[str, DataFrame] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    k: float = 1.0,
+) -> DataFrame:
+    """(doc_id, n_big, xent2): per-document cross-entropy under an
+    interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+    1999 eq. 4.24, bigram case):
+
+        P(w|v) = (max(c(v,w) - D, 0) + D * N1+(v,*) * Pcont(w)) / c(v)
+
+    with the continuation distribution add-k smoothed so unseen words
+    keep finite mass (the OOV floor the pure KN formulation lacks):
+
+        Pcont(w) = (N1+(*,w) + k) / (N1+(*,*) + k * Vcont)
+
+    and P(w|v) = Pcont(w) when the context v is unseen. ``model``
+    defaults to counts trained on ``docs`` itself; pass
+    :func:`bigram_kn` of a reference corpus for held-out scoring.
+
+    Cross-engine exactness: every count is an integer; D = 0.75 and
+    k = 1.0 are exact binaries, so ``c_vw - D``, ``D * n1p_v`` and the
+    add-k sums are EXACT doubles — the probability is then three
+    correctly-rounded IEEE ops (Pcont division, interpolation multiply +
+    add, context division) in a fixed parenthesization mirrored verbatim
+    in the oracle SQL, and the per-token ln is rounded to 6 dp and
+    summed as DECIMAL (the repo's _dsum rule). Scale shape: scoring is a
+    co-partitioned key join of the doc bigram stream against the
+    vocab-sized count tables plus one broadcast one-row totals relation
+    — no corpus-sized shuffle beyond the stream's own groupBy(doc_id).
+    """
+    model = bigram_kn(docs, text_col, id_col) if model is None else model
+    big, ctx, cont, tot = (
+        model["big"], model["ctx"], model["cont"], model["tot"]
+    )
+    stream = _bigrams(docs, text_col, id_col)
+    d, kk = float(discount), float(k)
+    p_cont = (F.coalesce(F.col("r_w"), F.lit(0)) + F.lit(kk)) / (
+        F.col("nbt") + F.lit(kk) * F.col("vc")
+    )
+    p = F.when(
+        F.col("c_v").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("c_vw"), F.lit(0)) - F.lit(d), F.lit(0.0)
+            )
+            + (F.lit(d) * F.col("n1p_v")) * p_cont
+        )
+        / F.col("c_v"),
+    ).otherwise(p_cont)
+    logp = F.round(F.log(p), 6).cast("decimal(28,6)")
+    return (
+        stream.join(big, ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .join(cont, "w", "left")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_big"), F.sum(logp).alias("_slp"))
+        .select(
+            "doc_id",
+            "n_big",
+            F.round(
+                -F.col("_slp").cast("double") / F.col("n_big"), 6
+            ).alias("xent2"),
         )
     )

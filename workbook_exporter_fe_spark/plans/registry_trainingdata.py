@@ -593,6 +593,32 @@ def q36_lang_id(spark, sf_dir):
             FROM documents) tk
       JOIN lm USING (word) CROSS JOIN st
       GROUP BY doc_id
+    ),
+    bgt AS (
+      SELECT doc_id, ws[i] AS v, ws[i + 1] AS w
+      FROM f, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    bigc AS (SELECT v, w, COUNT(*) AS c_vw FROM bgt GROUP BY 1, 2),
+    ctx AS (SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1p_v FROM bigc GROUP BY 1),
+    cont AS (SELECT w, COUNT(*) AS r_w FROM bigc GROUP BY 1),
+    btot2 AS (SELECT COUNT(*) AS nbt, COUNT(DISTINCT w) AS vc FROM bigc),
+    xe2 AS (
+      SELECT doc_id, COUNT(*) AS n_big,
+             ROUND(-CAST(SUM(CAST(ROUND(ln(
+                 CASE WHEN c_v IS NOT NULL THEN
+                   (greatest(COALESCE(c_vw, 0) - 0.75, 0.0)
+                    + (0.75 * n1p_v)
+                      * ((COALESCE(r_w, 0) + 1.0) / (nbt + 1.0 * vc)))
+                   / c_v
+                 ELSE (COALESCE(r_w, 0) + 1.0) / (nbt + 1.0 * vc) END
+               ), 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS xent2
+      FROM bgt
+      LEFT JOIN bigc USING (v, w)
+      LEFT JOIN ctx USING (v)
+      LEFT JOIN cont USING (w)
+      CROSS JOIN btot2
+      GROUP BY doc_id
     )
     SELECT f.doc_id, n_chars, n_tokens_ws, avg_token_len, stopword_ratio, punct_ratio,
            ROUND(least(CAST(n_tokens_ws AS DOUBLE) / 50.0, 1.0) * 0.4
@@ -622,13 +648,18 @@ def q36_lang_id(spark, sf_dir):
                  ELSE 0.0 END, 6) AS top_word_ratio,
            substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench,
            COALESCE(hits.n_hits, 0) AS n_contam_hits,
-           xe.xent
+           xe.xent,
+           COALESCE(xe2.n_big, 0) AS n_big,
+           xe2.xent2
     FROM f LEFT JOIN hits ON f.doc_id = hits.doc_id
            JOIN xe ON f.doc_id = xe.doc_id
+           LEFT JOIN xe2 ON f.doc_id = xe2.doc_id
     """,
 )
 def q37_text_metrics(spark, sf_dir):
-    from workbook_exporter_fe_spark.operators.lm import doc_cross_entropy
+    from workbook_exporter_fe_spark.operators.lm import (
+        doc_cross_entropy, doc_cross_entropy_bigram,
+    )
 
     d = _t(spark, sf_dir, "documents")
     feats = textops.quality_features(F.col("text"))
@@ -638,9 +669,11 @@ def q37_text_metrics(spark, sf_dir):
         d.filter(~is_bench), d.filter(is_bench), k=8, hash_fn="md5"
     )
     xent = doc_cross_entropy(d, k=1.0).select("doc_id", "xent")
+    xent2 = doc_cross_entropy_bigram(d, discount=0.75, k=1.0)
     return (
         d.join(F.broadcast(hits), "doc_id", "left")
         .join(xent, "doc_id")
+        .join(xent2, "doc_id", "left")
         .select(
             "doc_id",
             *[c.alias(name) for name, c in feats.items()],
@@ -650,6 +683,8 @@ def q37_text_metrics(spark, sf_dir):
             is_bench.alias("is_bench"),
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_contam_hits"),
             "xent",
+            F.coalesce(F.col("n_big"), F.lit(0)).alias("n_big"),
+            "xent2",
         )
     )
 
