@@ -715,3 +715,56 @@ def test_group_and_stdvar_aggregations(store):
     gs = _collect(promql(store, "stddev(mem_bytes)"))
     for k, v in gv.items():
         assert v == pytest.approx(gs[k] ** 2, abs=1e-9)
+
+
+def test_mad_over_time_reference(store):
+    """MAD = phi=0.5 item-median of |x - median(window)| — both medians
+    the sorted-item pick / exact midpoint."""
+    def med(a):
+        n, m = len(a), len(a) // 2
+        return a[m] if n % 2 == 1 else (a[m - 1] + a[m]) / 2.0
+
+    got = _collect(promql(store, "mad_over_time(mem_bytes[5m])"))
+    for src in ("s0", "s1"):
+        series = _series(src, "g")
+        for t in series:
+            w = sorted(_window(series, t, 300))
+            want = med(sorted(abs(x - med(w)) for x in w))
+            assert got[(src, t)] == want
+
+
+def test_holt_winters_reference(store):
+    """Bit-exact Prometheus double-exponential smoothing (funcHoltWinters
+    fold: s1=x0, b=x1-x0, then s1' = sf*x + (1-sf)*(s1+b'))."""
+    def ref(xs, sf, tf):
+        if len(xs) < 2:
+            return None
+        s0, s1, b = 0.0, xs[0], xs[1] - xs[0]
+        for i in range(1, len(xs)):
+            x = sf * xs[i]
+            if i >= 2:
+                b = tf * (s1 - s0) + (1 - tf) * b
+            y = (1 - sf) * (s1 + b)
+            s0, s1 = s1, x + y
+        return s1
+
+    got = _collect(promql(store, "holt_winters(mem_bytes[10m], 0.5, 0.25)"))
+    n_checked = 0
+    for src in ("s0", "s1"):
+        series = _series(src, "g")
+        for t in series:
+            w = _window(series, t, 600)
+            want = ref(w, 0.5, 0.25)
+            if want is None:
+                assert (src, t) not in got
+            else:
+                assert got[(src, t)] == want
+                n_checked += 1
+    assert n_checked > 50
+
+
+def test_holt_winters_validates_factors(store):
+    with pytest.raises(PromQLError):
+        promql(store, "holt_winters(mem_bytes[5m], 1.5, 0.25)")
+    with pytest.raises(PromQLError):
+        promql(store, "holt_winters(mem_bytes[5m], 0.5)")

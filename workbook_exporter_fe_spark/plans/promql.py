@@ -19,7 +19,8 @@ Supported subset (documented deviations below):
 - range functions: ``rate irate increase delta idelta avg_over_time
   sum_over_time min_over_time max_over_time count_over_time
   last_over_time stddev_over_time stdvar_over_time quantile_over_time
-  present_over_time resets changes deriv predict_linear``
+  present_over_time resets changes deriv predict_linear mad_over_time
+  holt_winters``
 - instant functions: ``abs ceil floor round sqrt exp ln log2 log10 sgn
   clamp clamp_min clamp_max timestamp sort sort_desc label_replace
   label_join``
@@ -231,7 +232,8 @@ _RANGE_FNS = {
     "predict_linear", "avg_over_time", "sum_over_time", "min_over_time",
     "max_over_time", "count_over_time", "last_over_time",
     "stddev_over_time", "stdvar_over_time", "quantile_over_time",
-    "present_over_time", "resets", "changes",
+    "present_over_time", "resets", "changes", "mad_over_time",
+    "holt_winters",
 }
 _INSTANT_FNS = {"abs", "ceil", "floor", "round", "clamp", "clamp_min",
                 "clamp_max", "histogram_quantile", "sqrt", "exp", "ln",
@@ -452,6 +454,19 @@ def _with_tsec(df: DataFrame) -> DataFrame:
     )
 
 
+def _arr_median(arr):
+    """phi=0.5 of a SORTED double array: the middle item (odd n) or the
+    exact midpoint of the two middle items (even n) — PromQL's quantile
+    interpolation at 0.5, as item arithmetic both engines replay."""
+    n = F.size(arr)
+    mid = F.floor(n / 2).cast("int")
+    return F.when(
+        n % 2 == 1, F.element_at(arr, mid + 1)
+    ).otherwise(
+        (F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / F.lit(2.0)
+    )
+
+
 class PromQL:
     """Compile parsed PromQL to a DataFrame over a :class:`MetricStore`."""
 
@@ -644,11 +659,20 @@ class PromQL:
     def _range_fn(self, call: Call):
         name = call.func
         horizon = phi = None
+        sf = tf = None
         range_node = call.args[0] if call.args else None
         if name == "predict_linear":
             if len(call.args) != 2:
                 raise PromQLError("predict_linear needs (v[r], t)")
             horizon = self._eval(call.args[1])
+        elif name == "holt_winters":
+            if len(call.args) != 3:
+                raise PromQLError("holt_winters needs (v[r], sf, tf)")
+            sf, tf = self._eval(call.args[1]), self._eval(call.args[2])
+            if not (isinstance(sf, float) and isinstance(tf, float)):
+                raise PromQLError("holt_winters needs scalar sf, tf")
+            if not (0 < sf < 1 and 0 < tf < 1):
+                raise PromQLError("holt_winters factors must be in (0, 1)")
         elif name == "quantile_over_time":
             if len(call.args) != 2:
                 raise PromQLError("quantile_over_time needs (phi, v[r])")
@@ -717,6 +741,77 @@ class PromQL:
             # rank phi*(n-1) with linear interpolation — the same formula
             # as PromQL's quantile (and Spark's exact percentile)
             out = F.percentile("value", F.lit(phi)).over(frame)
+        elif name == "mad_over_time":
+            # median absolute deviation from the window median, both
+            # medians the phi=0.5 rank pick: a sorted-array ITEM (odd n)
+            # or the exact midpoint (a+b)/2 (even n) — deterministic
+            # sorted-item arithmetic the oracle mirrors with list_sort.
+            # The median scalar is referenced inside the deviation HOF
+            # (inlined per element by CollapseProject) — acceptable here
+            # because range windows are bounded by the range/step ratio,
+            # not data volume (cf. the drift.py O(V) rule).
+            d = d.withColumn(
+                "_xs", F.sort_array(F.collect_list("value").over(frame))
+            )
+            med = _arr_median(F.col("_xs"))
+            devs = F.sort_array(
+                F.transform(F.col("_xs"), lambda x: F.abs(x - med))
+            )
+            out = _arr_median(devs)
+        elif name == "holt_winters":
+            # Prometheus's smoothed value (double exponential smoothing):
+            #   s_1 = x_0;  b = x_1 - x_0
+            #   for i >= 1:  b'  = tf*(s1 - s0) + (1-tf)*b   (i >= 2)
+            #                s1' = sf*x_i + (1-sf)*(s1 + b')
+            # — a left fold over the window samples in TIME order,
+            # expressed with F.aggregate so the recurrence's IEEE op
+            # sequence is fixed and mirrored verbatim by the oracle's
+            # list_reduce. Needs >= 2 samples, like PromQL.
+            d = d.withColumn(
+                "_hxs",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_tsec").alias("t"), v.alias("x")
+                            )
+                        ).over(frame)
+                    ),
+                    lambda s: s["x"],
+                ),
+            )
+            vals = F.col("_hxs")
+            n = F.size(vals)
+            c_sf, c_tf = F.lit(float(sf)), F.lit(float(tf))
+            c_sf1, c_tf1 = F.lit(1.0 - float(sf)), F.lit(1.0 - float(tf))
+            init = F.struct(
+                F.lit(0.0).alias("s0"),
+                F.element_at(vals, 1).alias("s1"),
+                (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+                F.lit(1).alias("i"),
+            )
+
+            def _hw_merge(a, x):
+                bn = F.when(a["i"] == 1, a["b"]).otherwise(
+                    c_tf * (a["s1"] - a["s0"]) + c_tf1 * a["b"]
+                )
+                s1n = c_sf * x + c_sf1 * (a["s1"] + bn)
+                return F.struct(
+                    a["s1"].alias("s0"),
+                    s1n.alias("s1"),
+                    bn.alias("b"),
+                    (a["i"] + 1).alias("i"),
+                )
+
+            out = F.when(
+                n >= 2,
+                F.aggregate(
+                    F.slice(vals, 2, n - 1),
+                    init,
+                    _hw_merge,
+                    lambda a: a["s1"],
+                ),
+            )
         elif name in ("resets", "changes"):
             prev = F.lag("value").over(wo)
             flag = (

@@ -88,6 +88,7 @@ def _tier1(spark, sf_dir):
              SUM(trel * val) OVER w10 AS sty,
              SUM(trel * trel) OVER w10 AS stt,
              quantile_cont(val, 0.5) OVER w15 AS med15,
+             list(struct_pack(t := tsec, x := val)) OVER w15 AS l15,
              SUM(chg) OVER w15 - FIRST_VALUE(chg) OVER w15 AS chg15,
              val / SUM(val) OVER (PARTITION BY bucket_ts) AS share,
              SUM(dlt) OVER w5 / 300.0 AS rate5,
@@ -150,6 +151,55 @@ def _tier1(spark, sf_dir):
              CASE WHEN p.tsec >= sp.gt - 300 THEN p.avg15 END AS avg15
       FROM spine sp ASOF JOIN pw p
         ON sp.source = p.source AND p.tsec <= sp.gt
+    ),
+    -- mad_over_time + holt_winters replay: the 15m window's items, time-
+    -- sorted for the Prometheus smoothing recurrence (list_reduce over a
+    -- DOUBLE[] state [s0, s1, b, i, v] — a STRUCT accumulator hits a
+    -- DuckDB 1.0 list_reduce aliasing bug where later fields read the
+    -- new s1) and value-sorted for the phi=0.5 item medians
+    mh AS (
+      SELECT source, bucket_ts,
+             list_transform(list_sort(l15), s -> s.x) AS tx,
+             list_sort(list_transform(l15, s -> s.x)) AS sx
+      FROM pw
+    ),
+    mh2 AS (
+      SELECT source, bucket_ts, tx, sx,
+             CASE WHEN len(sx) % 2 = 1 THEN sx[len(sx) // 2 + 1]
+                  ELSE (sx[len(sx) // 2] + sx[len(sx) // 2 + 1]) / 2.0
+             END AS medv
+      FROM mh
+    ),
+    mh3 AS (
+      SELECT source, bucket_ts, tx,
+             list_sort(list_transform(sx, x -> abs(x - medv))) AS dv
+      FROM mh2
+    ),
+    mh4 AS (
+      SELECT source, bucket_ts, tx,
+             CASE WHEN len(dv) % 2 = 1 THEN dv[len(dv) // 2 + 1]
+                  ELSE (dv[len(dv) // 2] + dv[len(dv) // 2 + 1]) / 2.0
+             END AS mad15
+      FROM mh3
+    ),
+    hwm AS (
+      SELECT source, bucket_ts, mad15,
+             CASE WHEN len(tx) >= 2 THEN
+               list_reduce(
+                 list_transform(tx, v -> [0.0::DOUBLE, 0.0::DOUBLE,
+                                          0.0::DOUBLE, 0.0::DOUBLE, v]),
+                 (a, x) -> CASE WHEN a[4] = 0.0
+                   THEN [a[5],
+                         0.5 * x[5] + 0.5 * (a[5] + (x[5] - a[5])),
+                         x[5] - a[5], 1.0, x[5]]
+                   ELSE [a[2],
+                         0.5 * x[5] + 0.5 * (a[2] + (0.25 * (a[2] - a[1])
+                                                     + 0.75 * a[3])),
+                         0.25 * (a[2] - a[1]) + 0.75 * a[3],
+                         a[4] + 1.0, x[5]] END
+               )[2]
+             END AS hw15
+      FROM mh4
     )
     SELECT t1.source, t1.bucket_ts, sum_v, min_v, max_v, cnt,
            ROUND(sum_v / cnt, 6) AS avg_v,
@@ -165,10 +215,13 @@ def _tier1(spark, sf_dir):
            ROUND(share, 6) AS pq_share,
            ROUND(maxrate15, 6) AS pq_maxrate15m,
            ast.pq_alert AS pq_alert,
-           ROUND(qr.avg15 / 100.0, 6) AS pq_qr5m
+           ROUND(qr.avg15 / 100.0, 6) AS pq_qr5m,
+           ROUND(hwm.mad15 / 100.0, 6) AS pq_mad15m,
+           ROUND(hwm.hw15 / 100.0, 6) AS pq_hw15m
     FROM t1
     JOIN pw ON t1.source = pw.source AND t1.bucket_ts = pw.bucket_ts
     JOIN sq ON t1.source = sq.source AND t1.bucket_ts = sq.bucket_ts
+    JOIN hwm ON t1.source = hwm.source AND t1.bucket_ts = hwm.bucket_ts
     LEFT JOIN ast ON t1.source = ast.source
                  AND date_trunc('hour', t1.bucket_ts) = ast.hts
     LEFT JOIN qr ON t1.source = qr.source AND pw.tsec = qr.gt
@@ -227,6 +280,12 @@ def q20_tier1_1m(spark, sf_dir):
         ("tokens_scaled / on () group_left sum(tokens_scaled)",
          "pq_share", 1.0),
         ("max_over_time(rate(events_cum[5m])[15m:])", "pq_maxrate15m", 1.0),
+        # r4 extensions: mad is sorted-item arithmetic (exact on the
+        # integral scaled gauge), holt_winters is the Prometheus
+        # recurrence with exact-binary factors (0.5, 0.25) — both
+        # replayed op-for-op by the oracle's list_sort / list_reduce
+        ("mad_over_time(tokens_scaled[15m])", "pq_mad15m", 100.0),
+        ("holt_winters(tokens_scaled[15m], 0.5, 0.25)", "pq_hw15m", 100.0),
     ]:
         out = out.join(col_of(expr, name, scale), ["source", "bucket_ts"], "left")
     # alerting-rule `for:` state (plans/rules.py RuleEngine island
