@@ -1236,7 +1236,8 @@ def q54_sample_split(spark, sf_dir):
     SELECT source, doc_id, n_chars,
            CAST((cum - n_chars) // 4096 AS BIGINT) AS pack_id,
            CAST((cum - n_chars) % 4096 AS BIGINT) AS pack_offset,
-           TRUE AS bpe_ok
+           TRUE AS bpe_ok,
+           TRUE AS ut_ok
     FROM (
       SELECT source, doc_id, n_chars,
              SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
@@ -1271,6 +1272,29 @@ def q55_sequence_packing(spark, sf_dir):
         F.col("bpe_tokens"),
         lambda t: (F.length(t) == 1) | F.array_contains(vocab, t),
     )
+    # r4: the second tokenizer family — unigram-LM (SentencePiece-style)
+    # trained on the same held-out slice, Viterbi-encoded over the packed
+    # docs; ut_ok pins the Spark plumbing (round-trip + vocab membership)
+    # as a TRUE-envelope, the sanctioned shape for EM-trained models the
+    # oracle engine cannot reproduce
+    from workbook_exporter_fe_spark.operators.unigram import (
+        unigram_encode, unigram_train,
+    )
+
+    model = unigram_train(
+        word_freqs(d.filter(F.col("doc_id") % 20 == 0)),
+        vocab_size=150, max_piece_len=4, seed_size=800,
+        em_iters=1, max_rounds=2,
+    )
+    ut_vocab = F.array(*[F.lit(p) for p in sorted(model) if len(p) >= 2])
+    enc = unigram_encode(enc, model, text_col="text")
+    ut_ok = (
+        F.concat_ws("", F.col("ut_tokens"))
+        == F.regexp_replace(F.col("text"), " ", "")
+    ) & F.forall(
+        F.col("ut_tokens"),
+        lambda t: (F.length(t) == 1) | F.array_contains(ut_vocab, t),
+    )
     return enc.select(
         "source",
         "doc_id",
@@ -1278,6 +1302,7 @@ def q55_sequence_packing(spark, sf_dir):
         "pack_id",
         "pack_offset",
         ok.alias("bpe_ok"),
+        ut_ok.alias("ut_ok"),
     )
 
 
