@@ -402,12 +402,59 @@ _COS_SQL = (
     ),
     z AS (SELECT id_a, id_b, UNNEST(va) AS ax, UNNEST(vb) AS bx FROM cand),
     d AS (SELECT id_a, id_b, {_COS_SQL} AS cos FROM z GROUP BY 1, 2)
-    SELECT id_a, id_b, cos FROM d WHERE cos >= 0.4
+    SELECT id_a, id_b, cos, TRUE AS pca_ok FROM d WHERE cos >= 0.4
     """,
 )
 def q28_embedding_neardup(spark, sf_dir):
-    return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), plane_ids=(1, 2, 3, 4), threshold=0.4
+    # r4: pca_ok — per-pair envelope for the distributed PCA
+    # (operators/pca.py): a FULL-RANK projection is a centering + rotation,
+    # so each pair's squared Euclidean distance must be preserved; the
+    # oracle emits the TRUE literal (EM/eigen math isn't SQL-replayable),
+    # the Spark side re-checks it per pair on the real fitted model.
+    from workbook_exporter_fe_spark.operators.pca import (
+        pca_fit, pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, plane_ids=(1, 2, 3, 4), threshold=0.4
+    )
+    model = pca_fit(emb)
+    pr = pca_project(emb, model).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double")
+        ).alias("raw"),
+        "pca",
+    )
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pa = pr.select(
+        F.col("vec_id").alias("id_a"), F.col("raw").alias("ra"),
+        F.col("pca").alias("qa"),
+    )
+    pb = pr.select(
+        F.col("vec_id").alias("id_b"), F.col("raw").alias("rb"),
+        F.col("pca").alias("qb"),
+    )
+    d_raw = _d2(F.col("ra"), F.col("rb"))
+    d_pca = _d2(F.col("qa"), F.col("qb"))
+    return (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a", "id_b", "cos",
+            (
+                F.abs(d_pca - d_raw)
+                <= F.lit(1e-6) * F.greatest(d_raw, F.lit(1.0))
+            ).alias("pca_ok"),
+        )
     )
 
 
