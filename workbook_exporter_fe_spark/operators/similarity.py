@@ -226,6 +226,72 @@ def ivf_topk(
     )
 
 
+def pca_topk(
+    embeddings: DataFrame,
+    model,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via a PCA-reduced shortlist scan + exact raw-space rerank.
+
+    The reduced scan ranks candidates by squared Euclidean distance in
+    the model's top-k subspace (operators/pca.py — projection preserves
+    the dominant-variance geometry, so true neighbors land in a small
+    shortlist), then the shortlist is re-scored with the SAME
+    integer-exact cosine as brute force (``cosine_topk``) — the result
+    contract matches the quantized path (``cosine_topk_quantized``):
+    approximate candidate generation, exact final scores.
+
+    Scale: the scan touches k_dims doubles per row instead of d (the
+    storage/bandwidth win quantization couldn't show at int8 — 64→16
+    dims is 4×), the shortlist is top-N via TakeOrdered (no full sort),
+    and the rerank reads only ``shortlist`` raw vectors.
+
+    For COSINE retrieval, fit the model on (and pass) L2-NORMALIZED
+    embeddings: on the unit sphere cosine is monotone in Euclidean
+    distance (cos = 1 − d²/2), so the subspace-L2 shortlist targets the
+    right neighbors; on raw vectors with a large common mean the two
+    rankings diverge and recall suffers (pinned in tests/test_pca.py).
+    The rerank's cosine is scale-invariant, so scores are unchanged."""
+    from workbook_exporter_fe_spark.operators.pca import pca_project
+
+    sl = shortlist if shortlist is not None else 4 * k
+    proj = pca_project(embeddings, model, vec_col=vec_col, out_col="_p")
+    qp = proj.filter(F.col(id_col) == query_vec_id).select(
+        F.col("_p").alias("_qp")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_p"), F.col("_qp"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        proj.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qp))
+        .select(F.col(id_col), d2.alias("_d2"))
+        .orderBy(F.asc("_d2"), F.asc(id_col))
+        .limit(sl)
+        .select(id_col)
+    )
+    v = embeddings.select(
+        F.col(id_col), _ivec(F.col(vec_col)).alias("iv")
+    ).select(id_col, "iv", _idot(F.col("iv"), F.col("iv")).alias("n"))
+    q = v.filter(F.col(id_col) == query_vec_id).select(
+        F.col("iv").alias("qv"), F.col("n").alias("nq")
+    )
+    cos = _cos(_idot(F.col("iv"), F.col("qv")), F.col("n"), F.col("nq"))
+    return (
+        v.join(cand, id_col)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,
