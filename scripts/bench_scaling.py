@@ -154,6 +154,40 @@ spark.stop()
 """
 
 
+KNXENT_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from workbook_exporter_fe_spark.session import get_spark
+from workbook_exporter_fe_spark.operators.lm import doc_cross_entropy_bigram
+from workbook_exporter_fe_spark.sources.datagen import gen_sequences, write_sequences
+
+cores = {cores}
+spark = get_spark(app_name=f"scale_knxent{{cores}}", cores=cores,
+                  shuffle_partitions=cores,
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "32m"}})
+path = {corpus!r}
+if not os.path.exists(path + "/_SUCCESS"):
+    write_sequences(gen_sequences(spark, {n_docs}, seed=42), path)
+seq = spark.read.parquet(path)
+
+def job():
+    doc_cross_entropy_bigram(
+        seq, text_col="tokens", pre_tokenized=True
+    ).write.format("noop").mode("overwrite").save()
+
+job()  # warmup, discarded
+times = []
+for i in range({repeats}):
+    t0 = time.perf_counter()
+    job()
+    times.append(time.perf_counter() - t0)
+n_bigrams = seq.selectExpr("sum(greatest(n_tok - 1, 0)) AS s").first().s
+print("RESULT " + json.dumps({{"cores": cores, "times": times,
+      "best": min(times), "bigrams": int(n_bigrams), "docs": seq.count()}}))
+spark.stop()
+"""
+
+
 def run_at(cores: int, events: str, repeats: int) -> dict:
     code = RUNNER.format(repo=REPO, cores=cores, events=events, repeats=repeats)
     out = subprocess.run(
@@ -274,6 +308,51 @@ vocabulary-sized output.
 """
     _splice_section(BIGRAM_MARKER, section)
     print(json.dumps({"job": "bigram", "efficiency": round(eff, 3),
+                      "t4": round(t4, 2), "t16": round(t16, 2)}))
+
+
+KNXENT_MARKER = (
+    "## Corpus-scale LM scoring class: Kneser-Ney bigram cross-entropy"
+)
+
+
+def knxent_main(corpus: str, n_docs: int, repeats: int) -> None:
+    """Scaling evidence for the r4 LM-scoring class: the corpus bigram
+    STREAM joined back against its own count relations (operators/lm.py
+    doc_cross_entropy_bigram). Appends to BENCH/BASELINE.md."""
+    results = {c: run_generic_at(KNXENT_RUNNER, c, corpus, n_docs, repeats)
+               for c in (4, 16)}
+    t4, t16 = results[4]["best"], results[16]["best"]
+    eff = (t4 / t16) / 4
+    bg = results[4]["bigrams"]
+    section = f"""{KNXENT_MARKER}
+
+Same protocol (fresh JVM per level, warmup discarded, best of {repeats}):
+`doc_cross_entropy_bigram` (operators/lm.py — interpolated Kneser-Ney,
+int-token path) over {results[4]['docs']:,} generated sequences
+({bg:,} bigram occurrences). Plan shape: the bigram stream is extracted
+per ROW by an array HOF (no shuffle), the count tables come from one
+partial-agg groupBy over it, and scoring joins the stream back against
+(v,w)/(v)/(w) count relations on primitive int keys plus one broadcast
+one-row totals relation, ending in the per-doc DECIMAL-sum groupBy.
+NOTE the synthetic corpus is an adversarial case for this class: tokens
+are ~uniform over the 50,257-token vocab, so nearly every bigram TYPE is
+distinct ({bg:,} occurrences → a bigram-type relation of almost the same
+size) and the (v,w) join shuffles corpus-scale rows on BOTH sides. A
+natural-language corpus is Zipfian — its bigram-type table is orders of
+magnitude smaller than the corpus — so these numbers are a lower bound
+on the production shape.
+
+| quantity | local[4] (N) | local[16] (4N) |
+|---|---|---|
+| wall-clock (s) | {round(t4, 2)} | {round(t16, 2)} |
+| scored bigrams/s | {round(bg / t4):,} | {round(bg / t16):,} |
+
+- **scaling efficiency (T_N/T_4N)/4 = {round(eff, 3)}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- repeat timings (s): local[4] {[round(x, 2) for x in results[4]['times']]}, local[16] {[round(x, 2) for x in results[16]['times']]}
+"""
+    _splice_section(KNXENT_MARKER, section)
+    print(json.dumps({"job": "knxent", "efficiency": round(eff, 3),
                       "t4": round(t4, 2), "t16": round(t16, 2)}))
 
 
@@ -709,7 +788,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument(
         "--job",
-        choices=("tier1", "dedup", "bigram", "components", "series", "spans"),
+        choices=("tier1", "dedup", "bigram", "components", "series", "spans",
+                 "knxent"),
         default="tier1",
     )
     ap.add_argument(
@@ -717,6 +797,12 @@ def main() -> None:
     )
     ap.add_argument("--dedup-corpus", default="/tmp/spark_graft_bench/seq_dedup_1m")
     ap.add_argument("--dedup-docs", type=int, default=1_000_000)
+    # 250k docs (not 1M): the uniform-token corpus makes the bigram-type
+    # relation corpus-sized (see the section note), so the job is ~6x the
+    # bigram count job per doc — 250k keeps the local[4] leg inside the
+    # subprocess timeout while still shuffling ~64M-row join sides
+    ap.add_argument("--kn-corpus", default="/tmp/spark_graft_bench/seq_kn_250k")
+    ap.add_argument("--kn-docs", type=int, default=250_000)
     ap.add_argument("--cc-graph", default="/tmp/spark_graft_bench/cc_graph_32m")
     ap.add_argument("--cc-vertices", type=int, default=32_000_000)
     ap.add_argument(
@@ -735,6 +821,9 @@ def main() -> None:
         return
     if args.job == "bigram":
         bigram_main(args.dedup_corpus, args.dedup_docs, args.repeats)
+        return
+    if args.job == "knxent":
+        knxent_main(args.kn_corpus, args.kn_docs, args.repeats)
         return
     if args.job == "spans":
         spans_main(

@@ -28,12 +28,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _bigrams(
+    docs: DataFrame, text_col: str, id_col: str, pre_tokenized: bool = False
+) -> DataFrame:
     """(doc_id, v, w) bigram stream — extracted per ROW by an array HOF
     (sequence + element_at, 1-indexed to mirror DuckDB lists), so the
     corpus is never shuffled to form pairs; the only exchanges in any
-    bigram computation are the vocabulary-sized count groupBys."""
-    arr = F.split(F.col(text_col), " ")
+    bigram computation are the vocabulary-sized count groupBys.
+
+    ``pre_tokenized=True`` reads ``text_col`` as an existing token ARRAY
+    (any primitive element type — int tokens keep the downstream count
+    joins on primitive shuffle keys, the CLAUDE.md hot-path rule)."""
+    arr = (
+        F.col(text_col) if pre_tokenized else F.split(F.col(text_col), " ")
+    )
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(arr) - 1),
         lambda i: F.struct(
@@ -114,6 +122,7 @@ def doc_cross_entropy(
 
 def bigram_kn(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    pre_tokenized: bool = False,
 ) -> dict[str, DataFrame]:
     """Count tables of an interpolated Kneser-Ney bigram LM.
 
@@ -129,9 +138,9 @@ def bigram_kn(
     - ``tot``:  one row (nbt = distinct bigram types N1+(*,*),
       vc = continuation vocabulary size)
     """
-    big = _bigrams(docs, text_col, id_col).groupBy("v", "w").agg(
-        F.count("*").alias("c_vw")
-    )
+    big = _bigrams(docs, text_col, id_col, pre_tokenized).groupBy(
+        "v", "w"
+    ).agg(F.count("*").alias("c_vw"))
     ctx = big.groupBy("v").agg(
         F.sum("c_vw").alias("c_v"), F.count("*").alias("n1p_v")
     )
@@ -149,6 +158,7 @@ def doc_cross_entropy_bigram(
     id_col: str = "doc_id",
     discount: float = 0.75,
     k: float = 1.0,
+    pre_tokenized: bool = False,
 ) -> DataFrame:
     """(doc_id, n_big, xent2): per-document cross-entropy under an
     interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
@@ -176,11 +186,15 @@ def doc_cross_entropy_bigram(
     vocab-sized count tables plus one broadcast one-row totals relation
     — no corpus-sized shuffle beyond the stream's own groupBy(doc_id).
     """
-    model = bigram_kn(docs, text_col, id_col) if model is None else model
+    model = (
+        bigram_kn(docs, text_col, id_col, pre_tokenized)
+        if model is None
+        else model
+    )
     big, ctx, cont, tot = (
         model["big"], model["ctx"], model["cont"], model["tot"]
     )
-    stream = _bigrams(docs, text_col, id_col)
+    stream = _bigrams(docs, text_col, id_col, pre_tokenized)
     d, kk = float(discount), float(k)
     p_cont = (F.coalesce(F.col("r_w"), F.lit(0)) + F.lit(kk)) / (
         F.col("nbt") + F.lit(kk) * F.col("vc")

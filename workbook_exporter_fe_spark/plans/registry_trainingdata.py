@@ -416,11 +416,22 @@ def q28_embedding_neardup(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # the pair set is tiny (near-dup survivors) and read three times
+    # below (twice as join probes, once for the id set) — pin it
     pairs = embedding_neardup_pairs(
         emb, plane_ids=(1, 2, 3, 4), threshold=0.4
-    )
+    ).localCheckpoint(eager=True)
     model = pca_fit(emb)
-    pr = pca_project(emb, model).select(
+    # project ONLY the vectors the pairs reference — the fit needs the
+    # full corpus (one mapInPandas pass), the check does not
+    need = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .union(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    pr = pca_project(
+        emb.join(F.broadcast(need), "vec_id"), model
+    ).select(
         "vec_id",
         F.transform(
             F.col("embedding"), lambda x: x.cast("double")
@@ -1329,7 +1340,7 @@ def q55_sequence_packing(spark, sf_dir):
     )
 
     model = unigram_train(
-        word_freqs(d.filter(F.col("doc_id") % 20 == 0)),
+        word_freqs(d.filter(F.col("doc_id") % 40 == 0)),
         vocab_size=150, max_piece_len=4, seed_size=800,
         em_iters=1, max_rounds=2,
     )
