@@ -101,6 +101,16 @@ def main() -> None:
     )
     ap.add_argument("--label-col", default="label")
     ap.add_argument("--model-epochs", type=int, default=30)
+    ap.add_argument(
+        "--tokenize",
+        help="append a tokens_enc column to the shards: 'bpe:<n_merges>' "
+        "or 'unigram:<vocab_size>' — trained driver-side on a hash-sample "
+        "of the raw input, encoded in the same shard-write scan",
+    )
+    ap.add_argument(
+        "--tokenize-train-rate", type=float, default=0.05,
+        help="hash-sample rate of the raw input the tokenizer trains on",
+    )
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
 
@@ -202,6 +212,8 @@ def main() -> None:
         quality_model=quality_model,
         quality_p_min=args.quality_p_min,
         model_tokens_col=args.model_tokens_col,
+        tokenize=args.tokenize,
+        tokenize_train_rate=args.tokenize_train_rate,
     )
     print(json.dumps({**pre_metrics, **metrics}, default=str))
 

@@ -292,3 +292,47 @@ def test_run_corpus_cli_quality_classifier(spark, tmp_path, monkeypatch,
     # the classifier actually separates (not a degenerate all-pass)
     assert 0 < expect < 80
     assert expect >= 35  # nearly all clean rows survive
+
+
+def test_curate_corpus_tokenize_stage(spark, docs_with_dups, tmp_path):
+    """--tokenize: the shards carry a tokens_enc column that round-trips
+    the text, the metrics carry the encoded token count, and both
+    tokenizer families ride the same single-action chain."""
+    from workbook_exporter_fe_spark.plans.corpus_pipeline import curate_corpus
+
+    for spec in ("bpe:25", "unigram:80"):
+        out = str(tmp_path / spec.replace(":", "_"))
+        final, metrics = curate_corpus(
+            docs_with_dups, out, tokenize=spec, tokenize_train_rate=0.2,
+        )
+        assert metrics["tokenizer"].startswith(spec.split(":")[0] + ":")
+        assert metrics["encoded_tokens"] > 0
+        shards = spark.read.parquet(out)
+        row = shards.filter(F.size("tokens_enc") > 0).first()
+        assert "".join(row["tokens_enc"]) == row["text"].replace(" ", "")
+        total = shards.agg(
+            F.sum(F.size("tokens_enc")).alias("s")
+        ).first()["s"]
+        assert total == metrics["encoded_tokens"]
+
+
+def test_run_corpus_cli_tokenize(spark, tmp_path, monkeypatch, capsys):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import run_corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs_tok")
+    docs.write.parquet(src)
+    monkeypatch.setattr(sys, "argv", [
+        "run_corpus.py", "--input", src, "--out", str(tmp_path / "out_tok"),
+        "--tokenize", "unigram:60", "--tokenize-train-rate", "0.1",
+    ])
+    run_corpus.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["tokenizer"].startswith("unigram:")
+    assert report["encoded_tokens"] > 0
+    shards = spark.read.parquet(str(tmp_path / "out_tok"))
+    assert "tokens_enc" in shards.columns

@@ -134,3 +134,27 @@ def test_compact_partitions(spark, tmp_path):
 
 def _rows_simple(df):
     return sorted((r["source"], r["bucket"], r["v"]) for r in df.collect())
+
+
+def test_downsample_minmax_tie_break_deterministic(spark):
+    """Equal values in a bucket: min resolves to the EARLIEST point, max
+    to the LATEST (lexicographic (v, ts) struct order) — identical on
+    any partitioning, matching the q21 oracle's row_number tie order."""
+    import datetime as dt
+
+    from workbook_exporter_fe_spark.operators.downsample import (
+        downsample_minmax,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        ("s", t0 + dt.timedelta(minutes=m), v)
+        for m, v in [(0, 5.0), (10, 1.0), (20, 1.0), (30, 9.0), (40, 9.0)]
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_ts timestamp, avg_v double"
+    )
+    for parts in (1, 7):
+        got = downsample_minmax(df.repartition(parts), to="1h").collect()[0]
+        assert got.v_min == 1.0 and got.ts_min.minute == 10  # earliest tie
+        assert got.v_max == 9.0 and got.ts_max.minute == 40  # latest tie

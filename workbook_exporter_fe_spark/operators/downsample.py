@@ -35,14 +35,33 @@ def downsample_minmax(
     key: str = "source",
 ) -> DataFrame:
     """(key, bucket_ts, ts_min, v_min, ts_max, v_max) per coarse bucket:
-    the argmin/argmax POINTS with their original fine timestamps."""
-    bucket = F.date_trunc(TIER_TRUNC[to], F.col("bucket_ts")).alias("bucket_ts")
-    v = F.col(value_col)
-    return tier.groupBy(F.col(key), bucket).agg(
-        F.min_by(F.col("bucket_ts"), v).alias("ts_min"),
-        F.min(v).alias("v_min"),
-        F.max_by(F.col("bucket_ts"), v).alias("ts_max"),
-        F.max(v).alias("v_max"),
+    the argmin/argmax POINTS with their original fine timestamps.
+
+    Deterministic under value ties (min_by/arg_min leave tie order to
+    partition order): the aggregate is a lexicographic min/max over the
+    (value, fine_ts) STRUCT — tied minima resolve to the earliest point,
+    tied maxima to the latest, identically on any engine/partitioning
+    (the q21 gate hash-checks this against a row_number oracle)."""
+    src = tier.select(
+        F.col(key),
+        F.date_trunc(TIER_TRUNC[to], F.col("bucket_ts")).alias("bucket_ts"),
+        F.col("bucket_ts").alias("fine_ts"),
+        F.col(value_col).alias("v"),
+    )
+    return (
+        src.groupBy(key, "bucket_ts")
+        .agg(
+            F.min(F.struct("v", "fine_ts")).alias("_mn"),
+            F.max(F.struct("v", "fine_ts")).alias("_mx"),
+        )
+        .select(
+            key,
+            "bucket_ts",
+            F.col("_mn.fine_ts").alias("ts_min"),
+            F.col("_mn.v").alias("v_min"),
+            F.col("_mx.fine_ts").alias("ts_max"),
+            F.col("_mx.v").alias("v_max"),
+        )
     )
 
 

@@ -80,6 +80,8 @@ def curate_corpus(
     quality_model: dict | None = None,
     quality_p_min: float = 0.5,
     model_tokens_col: str | None = None,
+    tokenize: str | None = None,
+    tokenize_train_rate: float = 0.05,
 ) -> tuple[DataFrame, dict]:
     """Run the curation chain; returns (final DataFrame, stage metrics).
 
@@ -100,7 +102,19 @@ def curate_corpus(
     the filters via :func:`mixture_sample` — adds the one per-source
     window exchange that an exact greedy fill requires) and
     ``shuffle_seed`` (+ ``target_files``: the shard export becomes the
-    deterministic global shuffle instead of id-sorted shards)."""
+    deterministic global shuffle instead of id-sorted shards).
+
+    ``tokenize`` ("bpe:<n_merges>" | "unigram:<vocab_size>") appends a
+    ``tokens_enc`` array column to the shards — the curation →
+    tokenization → packed-shards hand-off in one pass. The tokenizer
+    trains DRIVER-SIDE (operators/bpe.bpe_train_local /
+    operators/unigram.unigram_train_local — the documented production
+    path: the vocab fits the driver at any corpus size) on a
+    ``tokenize_train_rate`` hash-sample of the RAW input (one word_freqs
+    collect; training never re-executes the curation chain's dedup
+    shuffle), and the encode rides the shard-write scan as one more
+    Arrow kernel — still a single action, with the encoded token count
+    joining the split observation."""
     from pyspark.sql import Observation
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -154,6 +168,49 @@ def curate_corpus(
             obs_mix, n, F.sum(mixture_token_col).alias("tokens")
         )
 
+    tok_meta: dict = {}
+    if tokenize is not None:
+        kind, _, param = tokenize.partition(":")
+        from workbook_exporter_fe_spark.operators.bpe import word_freqs
+
+        train_src = (
+            hash_sample(docs, tokenize_train_rate, key_col=id_col)
+            if tokenize_train_rate < 1.0
+            else docs
+        )
+        freqs = {
+            r["word"]: r["freq"]
+            for r in word_freqs(train_src, text_col).collect()
+        }
+        if kind == "bpe":
+            from workbook_exporter_fe_spark.operators.bpe import (
+                bpe_encode,
+                bpe_train_local,
+            )
+
+            merges = bpe_train_local(freqs, n_merges=int(param or 200))
+            kept = bpe_encode(
+                kept, merges, text_col=text_col, out_col="tokens_enc"
+            )
+            tok_meta = {"tokenizer": f"bpe:{len(merges)}"}
+        elif kind == "unigram":
+            from workbook_exporter_fe_spark.operators.unigram import (
+                unigram_encode,
+                unigram_train_local,
+            )
+
+            model = unigram_train_local(
+                freqs, vocab_size=int(param or 300)
+            )
+            kept = unigram_encode(
+                kept, model, text_col=text_col, out_col="tokens_enc"
+            )
+            tok_meta = {"tokenizer": f"unigram:{len(model)}"}
+        else:
+            raise ValueError(
+                f"unknown tokenizer {tokenize!r} (bpe:<n>|unigram:<n>)"
+            )
+
     final = hash_split(kept, splits, key_col=id_col).observe(
         obs_split,
         n,
@@ -161,6 +218,11 @@ def curate_corpus(
             F.sum(F.when(F.col("split") == s, 1).otherwise(0)).alias(f"n_{s}")
             for s in splits
         ],
+        *(
+            [F.sum(F.size("tokens_enc")).alias("enc_tokens")]
+            if tokenize is not None
+            else []
+        ),
     )
 
     if out_dir is not None:
@@ -193,6 +255,9 @@ def curate_corpus(
         metrics["after_mixture"] = obs_mix.get["rows"]
         metrics["mixture_tokens"] = obs_mix.get["tokens"]
     metrics["dup_rows_removed"] = metrics["input_rows"] - metrics["after_dedup"]
+    if tokenize is not None:
+        metrics.update(tok_meta)
+        metrics["encoded_tokens"] = split_obs["enc_tokens"]
     if out_dir is not None:
         metrics["out_dir"] = out_dir
     return final, metrics

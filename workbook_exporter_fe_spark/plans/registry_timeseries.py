@@ -344,21 +344,47 @@ def q20_tier1_1m(spark, sf_dir):
              ROUND(CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) / SUM(cnt), 6) AS avg_v
       FROM t1 GROUP BY 1, 2
     )
+    -- r4: min/max POINT downsample (operators/downsample.py) — per hour
+    -- the argmin/argmax tier-1 points with their fine timestamps; ties
+    -- resolve (v ASC, ts ASC) for minima and (v DESC, ts DESC) for
+    -- maxima, the operator's lexicographic struct order
+    , fine AS (
+      SELECT source, date_trunc('hour', bucket_ts) AS bucket_ts,
+             bucket_ts AS fine_ts, ROUND(sum_v / cnt, 6) AS av
+      FROM t1
+    ),
+    mmr AS (
+      SELECT source, bucket_ts, fine_ts, av,
+             ROW_NUMBER() OVER (PARTITION BY source, bucket_ts
+                                ORDER BY av ASC, fine_ts ASC) AS rn_min,
+             ROW_NUMBER() OVER (PARTITION BY source, bucket_ts
+                                ORDER BY av DESC, fine_ts DESC) AS rn_max
+      FROM fine
+    ),
+    mmin AS (SELECT source, bucket_ts, fine_ts AS mm_ts_min,
+                    av AS mm_v_min FROM mmr WHERE rn_min = 1),
+    mmax AS (SELECT source, bucket_ts, fine_ts AS mm_ts_max,
+                    av AS mm_v_max FROM mmr WHERE rn_max = 1)
     -- win6h_*: the tier router's 6h trailing window answered FROM the 1h
     -- tier (RANGE 18000s = 6h minus one 1h bucket, over bucket starts);
     -- count/max only — order-independent, so exact cross-engine
-    SELECT '1h' AS tier, source, bucket_ts, sum_v, min_v, max_v, cnt, avg_v,
+    SELECT '1h' AS tier, h.source, h.bucket_ts, sum_v, min_v, max_v, cnt, avg_v,
            CAST(SUM(cnt) OVER w6 AS BIGINT) AS win6h_cnt,
-           MAX(max_v) OVER w6 AS win6h_max
+           MAX(max_v) OVER w6 AS win6h_max,
+           mmin.mm_ts_min, mmin.mm_v_min, mmax.mm_ts_max, mmax.mm_v_max
     FROM h
-    WINDOW w6 AS (PARTITION BY source ORDER BY epoch(bucket_ts)
+    JOIN mmin ON h.source = mmin.source AND h.bucket_ts = mmin.bucket_ts
+    JOIN mmax ON h.source = mmax.source AND h.bucket_ts = mmax.bucket_ts
+    WINDOW w6 AS (PARTITION BY h.source ORDER BY epoch(h.bucket_ts)
                   RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
     UNION ALL
     SELECT '1d', source, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP),
            CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE),
            MIN(min_v), MAX(max_v), CAST(SUM(cnt) AS BIGINT),
            ROUND(CAST(ROUND(SUM(CAST(sum_v AS DECIMAL(28,6))), 6) AS DOUBLE) / SUM(cnt), 6),
-           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE)
     FROM t1 GROUP BY 2, 3
     """,
 )
@@ -400,9 +426,34 @@ def q21_tier23_reagg(spark, sf_dir):
     hourly = hourly.join(wcnt, ["source", "bucket_ts"]).join(
         wmax, ["source", "bucket_ts"]
     )
-    daily = reagg("day", "1d").withColumn(
-        "win6h_cnt", F.lit(None).cast("long")
-    ).withColumn("win6h_max", F.lit(None).cast("double"))
+    # r4: hourly min/max POINT downsample of the tier-1 avg (argmin /
+    # argmax with fine timestamps, lexicographic-struct tie-break)
+    from workbook_exporter_fe_spark.operators.downsample import (
+        downsample_minmax,
+    )
+
+    mm = downsample_minmax(
+        t1.withColumn("avg_v", F.round(F.col("sum_v") / F.col("cnt"), 6)),
+        to="1h",
+        value_col="avg_v",
+    ).select(
+        "source",
+        "bucket_ts",
+        F.col("ts_min").alias("mm_ts_min"),
+        F.col("v_min").alias("mm_v_min"),
+        F.col("ts_max").alias("mm_ts_max"),
+        F.col("v_max").alias("mm_v_max"),
+    )
+    hourly = hourly.join(mm, ["source", "bucket_ts"])
+    daily = (
+        reagg("day", "1d")
+        .withColumn("win6h_cnt", F.lit(None).cast("long"))
+        .withColumn("win6h_max", F.lit(None).cast("double"))
+        .withColumn("mm_ts_min", F.lit(None).cast("timestamp"))
+        .withColumn("mm_v_min", F.lit(None).cast("double"))
+        .withColumn("mm_ts_max", F.lit(None).cast("timestamp"))
+        .withColumn("mm_v_max", F.lit(None).cast("double"))
+    )
     return hourly.unionByName(daily)
 
 
