@@ -768,3 +768,42 @@ def test_holt_winters_validates_factors(store):
         promql(store, "holt_winters(mem_bytes[5m], 1.5, 0.25)")
     with pytest.raises(PromQLError):
         promql(store, "holt_winters(mem_bytes[5m], 0.5)")
+
+
+def test_at_modifier_pins_evaluation_time(store):
+    """`m @ t` is the as-of value at t, constant across the series' own
+    grid; `offset` composes relative to t; stale series are absent."""
+    pts = sorted(_series("s0", "g").items())
+    t_pin = pts[10][0]
+    got = _collect(promql(store, f'mem_bytes{{source="s0"}} @ {t_pin}'))
+    # every grid timestamp of s0 carries the pinned value
+    want_v = dict(pts)[t_pin]
+    assert set(got.values()) == {want_v}
+    assert len(got) == len(pts)
+    # offset shifts the pin: value as-of (t_pin - 120)
+    got_off = _collect(
+        promql(store, f'mem_bytes{{source="s0"}} offset 2m @ {t_pin}')
+    )
+    want_off = max(
+        (t for t, _ in pts if t <= t_pin - 120), default=None
+    )
+    assert set(got_off.values()) == {dict(pts)[want_off]}
+
+
+def test_at_modifier_share_of_final(store):
+    """The normalization idiom `m / m @ end` — per-sample share of the
+    final value, one IEEE division per row."""
+    pts = dict(_series("s0", "g"))
+    t_end = max(pts)
+    got = _collect(
+        promql(store, f'mem_bytes{{source="s0"}} / mem_bytes{{source="s0"}} @ {t_end}')
+    )
+    for (_, t), v in got.items():
+        assert v == pts[t] / pts[t_end]
+
+
+def test_at_modifier_errors(store):
+    with pytest.raises(PromQLError):
+        promql(store, "rate(tokens_total[5m] @ 100)")
+    with pytest.raises(PromQLError):
+        promql(store, "mem_bytes @ end()")

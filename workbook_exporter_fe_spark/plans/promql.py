@@ -12,7 +12,9 @@ registered in a :class:`MetricStore`.
 Supported subset (documented deviations below):
 
 - selectors: ``metric``, ``metric{l="x", l2!="y", l3=~"re", l4!~"re"}``,
-  range ``[5m]``, ``offset 1h``; subqueries ``expr[30m:]`` feed any
+  range ``[5m]``, ``offset 1h``, ``@ <unix-ts>`` (instant selectors;
+  literal timestamps — start()/end() only exist inside query_range);
+  subqueries ``expr[30m:]`` feed any
   range function with an expression's result (explicit re-sampling
   steps are rejected — the inner expression's own grid supplies the
   samples, per deviation 1)
@@ -130,7 +132,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>\d+\.\d*|\.\d+|\d+|[iI]nf|[nN]a[nN])
   | (?P<IDENT>[a-zA-Z_:][a-zA-Z0-9_:]*)
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>])
+  | (?P<OP>=~|!~|==|!=|>=|<=|[-+*/%^(){}\[\],=<>@])
     """,
     re.VERBOSE,
 )
@@ -183,6 +185,7 @@ class Selector:
     matchers: list[tuple[str, str, str]] = field(default_factory=list)
     range_s: float | None = None
     offset_s: float = 0.0
+    at_s: float | None = None  # `@ <unix seconds>` evaluation-time pin
 
 
 @dataclass
@@ -378,9 +381,22 @@ class _Parser:
                         "expr[range:] for subqueries"
                     )
                 node.range_s = dur
-        if isinstance(node, Selector) and self.peek()[0] == "OFFSET":
-            self.next()
-            node.offset_s = duration_seconds(self.expect("DURATION"))
+        # offset / @ modifiers, in either order (Prometheus grammar)
+        while isinstance(node, Selector) and (
+            self.peek()[0] == "OFFSET" or self.peek() == ("OP", "@")
+        ):
+            if self.peek()[0] == "OFFSET":
+                self.next()
+                node.offset_s = duration_seconds(self.expect("DURATION"))
+            else:
+                self.next()
+                k, v = self.next()
+                if k != "NUMBER":
+                    raise PromQLError(
+                        "@ needs a literal unix timestamp (start()/end() "
+                        "only exist inside query_range — unsupported here)"
+                    )
+                node.at_s = float(v)
         return node
 
     def selector(self) -> Selector:
@@ -521,6 +537,37 @@ class PromQL:
                 df = df.filter(c.rlike(f"^(?:{val})$"))
             else:
                 df = df.filter(~c.rlike(f"^(?:{val})$"))
+        if sel.at_s is not None:
+            # `m @ t` (+ optional offset, applied relative to t): the
+            # as-of value at t − offset per series (5m Prometheus
+            # staleness window), materialized as a TIME-CONSTANT vector
+            # on the metric's own grid — so binary matching against any
+            # same-grid vector works unchanged (the range-query reading
+            # of @: the same value at every evaluation step). Series
+            # with no sample inside the staleness window are absent,
+            # like Prometheus's stale series.
+            if sel.range_s is not None:
+                raise PromQLError(
+                    "@ on range vectors is not supported; apply @ to "
+                    "the instant selector"
+                )
+            eff = int(sel.at_s - sel.offset_s)
+            w = Window.partitionBy(*vec.labels).orderBy(F.desc("__t"))
+            asof = (
+                df.withColumn(
+                    "__t", F.col("ts").cast("timestamp").cast("long")
+                )
+                .filter((F.col("__t") <= eff) & (F.col("__t") > eff - 300))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(*vec.labels, F.col("value").alias("__v"))
+            )
+            out = (
+                df.select(*vec.labels, "ts")
+                .join(asof, list(vec.labels))
+                .select(*vec.labels, "ts", F.col("__v").alias("value"))
+            )
+            return Vector(out, vec.labels)
         if sel.offset_s:
             df = df.withColumn(
                 "ts",

@@ -78,7 +78,7 @@ def _tier1(spark, sf_dir):
       FROM c
     ),
     pw AS (
-      SELECT source, bucket_ts,
+      SELECT source, bucket_ts, val,
              AVG(val) OVER w15 AS avg15,
              MAX(val) OVER w60 AS max60,
              SUM(dlt) OVER w5 AS inc5,
@@ -182,6 +182,17 @@ def _tier1(spark, sf_dir):
              END AS mad15
       FROM mh3
     ),
+    -- @ modifier replay: as-of value at the global end (5m staleness),
+    -- ROW_NUMBER tie-free (one sample per (source, tsec))
+    ate AS (
+      SELECT source, val AS vend FROM (
+        SELECT s.source, s.val,
+               ROW_NUMBER() OVER (PARTITION BY s.source
+                                  ORDER BY s.tsec DESC) AS rn
+        FROM s, (SELECT MAX(tsec) AS tmax FROM s) tm
+        WHERE s.tsec <= tm.tmax AND s.tsec > tm.tmax - 300
+      ) WHERE rn = 1
+    ),
     hwm AS (
       SELECT source, bucket_ts, mad15,
              CASE WHEN len(tx) >= 2 THEN
@@ -217,7 +228,8 @@ def _tier1(spark, sf_dir):
            ast.pq_alert AS pq_alert,
            ROUND(qr.avg15 / 100.0, 6) AS pq_qr5m,
            ROUND(hwm.mad15 / 100.0, 6) AS pq_mad15m,
-           ROUND(hwm.hw15 / 100.0, 6) AS pq_hw15m
+           ROUND(hwm.hw15 / 100.0, 6) AS pq_hw15m,
+           ROUND(pw.val / ate.vend, 6) AS pq_at
     FROM t1
     JOIN pw ON t1.source = pw.source AND t1.bucket_ts = pw.bucket_ts
     JOIN sq ON t1.source = sq.source AND t1.bucket_ts = sq.bucket_ts
@@ -225,6 +237,7 @@ def _tier1(spark, sf_dir):
     LEFT JOIN ast ON t1.source = ast.source
                  AND date_trunc('hour', t1.bucket_ts) = ast.hts
     LEFT JOIN qr ON t1.source = qr.source AND pw.tsec = qr.gt
+    LEFT JOIN ate ON t1.source = ate.source
     """,
 )
 def q20_tier1_1m(spark, sf_dir):
@@ -327,7 +340,18 @@ def q20_tier1_1m(spark, sf_dir):
         F.col("ts").alias("bucket_ts"),
         F.round(F.col("value") / 100.0, 6).alias("pq_qr5m"),
     )
-    return out.join(qr, ["source", "bucket_ts"], "left")
+    out = out.join(qr, ["source", "bucket_ts"], "left")
+    # r4: the @ modifier — share-of-final normalization `m / m @ end`
+    # (one IEEE division per row; series stale at the global end drop
+    # to null, mirroring the oracle's staleness-windowed as-of)
+    pat = promql(
+        store, f"tokens_scaled / tokens_scaled @ {int(b.t1)}"
+    ).select(
+        "source",
+        F.col("ts").alias("bucket_ts"),
+        F.round(F.col("value"), 6).alias("pq_at"),
+    )
+    return out.join(pat, ["source", "bucket_ts"], "left")
 
 
 # Tier-2 (1h) AND tier-3 (1d) re-aggregation in one union-tagged query —
