@@ -111,6 +111,14 @@ def main() -> None:
         "--tokenize-train-rate", type=float, default=0.05,
         help="hash-sample rate of the raw input the tokenizer trains on",
     )
+    ap.add_argument(
+        "--tokenizer-save",
+        help="write the trained tokenizer artifact (JSON) here",
+    )
+    ap.add_argument(
+        "--tokenizer-load",
+        help="skip training: encode with a previously saved artifact",
+    )
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
 
@@ -214,6 +222,8 @@ def main() -> None:
         model_tokens_col=args.model_tokens_col,
         tokenize=args.tokenize,
         tokenize_train_rate=args.tokenize_train_rate,
+        tokenizer_save=args.tokenizer_save,
+        tokenizer_load=args.tokenizer_load,
     )
     print(json.dumps({**pre_metrics, **metrics}, default=str))
 

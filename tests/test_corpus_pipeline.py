@@ -336,3 +336,24 @@ def test_run_corpus_cli_tokenize(spark, tmp_path, monkeypatch, capsys):
     assert report["encoded_tokens"] > 0
     shards = spark.read.parquet(str(tmp_path / "out_tok"))
     assert "tokens_enc" in shards.columns
+
+
+def test_tokenizer_save_load_roundtrip(spark, docs_with_dups, tmp_path):
+    """Train+save in one run, load in a second: identical tokens_enc
+    (the artifact carries the full model, no retraining drift)."""
+    from workbook_exporter_fe_spark.plans.corpus_pipeline import curate_corpus
+
+    art = str(tmp_path / "tok.json")
+    out1 = str(tmp_path / "o1")
+    out2 = str(tmp_path / "o2")
+    _, m1 = curate_corpus(
+        docs_with_dups, out1, tokenize="bpe:20",
+        tokenize_train_rate=0.2, tokenizer_save=art,
+    )
+    assert m1["tokenizer_saved"] == art
+    _, m2 = curate_corpus(docs_with_dups, out2, tokenizer_load=art)
+    assert m2["tokenizer"] == m1["tokenizer"]
+    assert m2["encoded_tokens"] == m1["encoded_tokens"]
+    a = spark.read.parquet(out1).select("doc_id", "tokens_enc")
+    b = spark.read.parquet(out2).select("doc_id", "tokens_enc")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -30,6 +30,32 @@ from workbook_exporter_fe_spark.operators.sampling import hash_sample, hash_spli
 from workbook_exporter_fe_spark.sources.tableio import write_shards
 
 
+def save_tokenizer(art: dict, path: str) -> None:
+    """Persist a trained tokenizer artifact as JSON: {"type": "bpe",
+    "merges": [[a, b], ...]} or {"type": "unigram", "model":
+    {piece: logprob}} — portable, diffable, re-loadable by
+    :func:`load_tokenizer` / run_corpus --tokenizer-load."""
+    import json
+
+    out = dict(art)
+    if art["type"] == "bpe":
+        out["merges"] = [list(p) for p in art["merges"]]
+    with open(path, "w") as f:
+        json.dump(out, f)
+
+
+def load_tokenizer(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        art = json.load(f)
+    if art.get("type") == "bpe":
+        art["merges"] = [tuple(p) for p in art["merges"]]
+    elif art.get("type") != "unigram":
+        raise ValueError(f"unknown tokenizer artifact type in {path!r}")
+    return art
+
+
 def annotate_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Add lang_pred + quality signal columns (no shuffle, scan-stage)."""
     t = F.col(text_col)
@@ -82,6 +108,8 @@ def curate_corpus(
     model_tokens_col: str | None = None,
     tokenize: str | None = None,
     tokenize_train_rate: float = 0.05,
+    tokenizer_save: str | None = None,
+    tokenizer_load: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation chain; returns (final DataFrame, stage metrics).
 
@@ -169,47 +197,67 @@ def curate_corpus(
         )
 
     tok_meta: dict = {}
-    if tokenize is not None:
-        kind, _, param = tokenize.partition(":")
-        from workbook_exporter_fe_spark.operators.bpe import word_freqs
-
-        train_src = (
-            hash_sample(docs, tokenize_train_rate, key_col=id_col)
-            if tokenize_train_rate < 1.0
-            else docs
+    if tokenize is not None or tokenizer_load is not None:
+        from workbook_exporter_fe_spark.operators.bpe import bpe_encode
+        from workbook_exporter_fe_spark.operators.unigram import (
+            unigram_encode,
         )
-        freqs = {
-            r["word"]: r["freq"]
-            for r in word_freqs(train_src, text_col).collect()
-        }
-        if kind == "bpe":
-            from workbook_exporter_fe_spark.operators.bpe import (
-                bpe_encode,
-                bpe_train_local,
-            )
 
-            merges = bpe_train_local(freqs, n_merges=int(param or 200))
-            kept = bpe_encode(
-                kept, merges, text_col=text_col, out_col="tokens_enc"
-            )
-            tok_meta = {"tokenizer": f"bpe:{len(merges)}"}
-        elif kind == "unigram":
-            from workbook_exporter_fe_spark.operators.unigram import (
-                unigram_encode,
-                unigram_train_local,
-            )
-
-            model = unigram_train_local(
-                freqs, vocab_size=int(param or 300)
-            )
-            kept = unigram_encode(
-                kept, model, text_col=text_col, out_col="tokens_enc"
-            )
-            tok_meta = {"tokenizer": f"unigram:{len(model)}"}
+        if tokenizer_load is not None:
+            art = load_tokenizer(tokenizer_load)
         else:
-            raise ValueError(
-                f"unknown tokenizer {tokenize!r} (bpe:<n>|unigram:<n>)"
+            kind, _, param = tokenize.partition(":")
+            from workbook_exporter_fe_spark.operators.bpe import word_freqs
+
+            train_src = (
+                hash_sample(docs, tokenize_train_rate, key_col=id_col)
+                if tokenize_train_rate < 1.0
+                else docs
             )
+            freqs = {
+                r["word"]: r["freq"]
+                for r in word_freqs(train_src, text_col).collect()
+            }
+            if kind == "bpe":
+                from workbook_exporter_fe_spark.operators.bpe import (
+                    bpe_train_local,
+                )
+
+                art = {
+                    "type": "bpe",
+                    "merges": bpe_train_local(
+                        freqs, n_merges=int(param or 200)
+                    ),
+                }
+            elif kind == "unigram":
+                from workbook_exporter_fe_spark.operators.unigram import (
+                    unigram_train_local,
+                )
+
+                art = {
+                    "type": "unigram",
+                    "model": unigram_train_local(
+                        freqs, vocab_size=int(param or 300)
+                    ),
+                }
+            else:
+                raise ValueError(
+                    f"unknown tokenizer {tokenize!r} (bpe:<n>|unigram:<n>)"
+                )
+            if tokenizer_save is not None:
+                save_tokenizer(art, tokenizer_save)
+                tok_meta["tokenizer_saved"] = tokenizer_save
+        if art["type"] == "bpe":
+            kept = bpe_encode(
+                kept, art["merges"], text_col=text_col, out_col="tokens_enc"
+            )
+            tok_meta["tokenizer"] = f"bpe:{len(art['merges'])}"
+        else:
+            kept = unigram_encode(
+                kept, art["model"], text_col=text_col, out_col="tokens_enc"
+            )
+            tok_meta["tokenizer"] = f"unigram:{len(art['model'])}"
+        tokenize = tokenize or art["type"]  # drives the observe column
 
     final = hash_split(kept, splits, key_col=id_col).observe(
         obs_split,
