@@ -807,3 +807,27 @@ def test_at_modifier_errors(store):
         promql(store, "rate(tokens_total[5m] @ 100)")
     with pytest.raises(PromQLError):
         promql(store, "mem_bytes @ end()")
+
+
+def test_time_component_functions(store):
+    """minute/hour/day_of_week/... read sample VALUES as unix timestamps
+    (UTC), the Prometheus `f(timestamp(v))` idiom; day_of_week is
+    0=Sunday."""
+    import datetime as dt
+
+    got = {
+        name: _collect(promql(store, f"{name}(timestamp(mem_bytes))"))
+        for name in ("minute", "hour", "day_of_week", "day_of_month",
+                     "month", "year", "days_in_month")
+    }
+    for (src, t) in got["minute"]:
+        d = dt.datetime.fromtimestamp(t, dt.timezone.utc)
+        key = (src, t)
+        assert got["minute"][key] == d.minute
+        assert got["hour"][key] == d.hour
+        assert got["day_of_week"][key] == (d.weekday() + 1) % 7
+        assert got["day_of_month"][key] == d.day
+        assert got["month"][key] == d.month
+        assert got["year"][key] == d.year
+        nxt = (d.replace(day=28) + dt.timedelta(days=4)).replace(day=1)
+        assert got["days_in_month"][key] == (nxt - dt.timedelta(days=1)).day

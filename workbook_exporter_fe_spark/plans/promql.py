@@ -241,7 +241,9 @@ _RANGE_FNS = {
 _INSTANT_FNS = {"abs", "ceil", "floor", "round", "clamp", "clamp_min",
                 "clamp_max", "histogram_quantile", "sqrt", "exp", "ln",
                 "log2", "log10", "sgn", "timestamp", "sort", "sort_desc",
-                "label_replace", "label_join"}
+                "label_replace", "label_join", "minute", "hour",
+                "day_of_week", "day_of_month", "month", "year",
+                "days_in_month"}
 
 
 class _Parser:
@@ -655,6 +657,26 @@ class PromQL:
                     F.col("ts").cast("timestamp").cast("long").cast("double"),
                 ),
                 vec.labels,
+            )
+        if name in ("minute", "hour", "day_of_week", "day_of_month",
+                    "month", "year", "days_in_month"):
+            # Prometheus time-component functions read the sample VALUES
+            # as unix timestamps (UTC) — the idiom is f(timestamp(v)) or
+            # f(process_start_time_seconds)
+            vec = self._eval(call.args[0])
+            t = F.timestamp_seconds(F.col("value").cast("long"))
+            comp = {
+                "minute": F.minute(t),
+                "hour": F.hour(t),
+                # Spark dayofweek: 1=Sunday; PromQL: 0=Sunday
+                "day_of_week": F.dayofweek(t) - 1,
+                "day_of_month": F.dayofmonth(t),
+                "month": F.month(t),
+                "year": F.year(t),
+                "days_in_month": F.dayofmonth(F.last_day(t)),
+            }[name]
+            return Vector(
+                vec.df.withColumn("value", comp.cast("double")), vec.labels
             )
         if name == "label_replace":
             return self._label_replace(call)
