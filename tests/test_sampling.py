@@ -253,3 +253,66 @@ def test_mixture_sample_stable_under_repartition(spark, sequences):
     a = mixture_sample(sequences, budgets)
     b = mixture_sample(sequences.repartition(13), budgets)
     assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+
+def test_mixture_oversample_epoch_repeats(spark, sequences):
+    """Budget beyond the corpus: docs replay across epochs until the
+    token budget is met; epoch 0 is exactly the single-pass selection."""
+    from workbook_exporter_fe_spark.operators.sampling import (
+        mixture_oversample,
+        mixture_sample,
+    )
+
+    src = sequences.filter(F.col("source") == "src-00").select(
+        "doc_id", "n_tok", "source"
+    )
+    tot = src.agg(F.sum("n_tok")).first()[0]
+    budget = int(tot * 2.5)  # forces k = 3 replicas
+    got = mixture_oversample(src, {"src-00": budget})
+    rows = got.collect()
+    sel_tok = sum(r.n_tok for r in rows)
+    max_tok = src.agg(F.max("n_tok")).first()[0]
+    assert budget <= sel_tok < budget + max_tok  # first-crossing inclusive
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.mix_epoch, []).append(r.doc_id)
+    assert set(by_epoch) == {0, 1, 2}
+    n_docs = src.count()
+    # full epochs replay the whole source; the last is a partial prefix
+    assert len(by_epoch[0]) == len(by_epoch[1]) == n_docs
+    assert 0 < len(by_epoch[2]) <= n_docs
+    # within-budget case degenerates to mixture_sample + epoch 0
+    small = int(tot * 0.4)
+    a = sorted(
+        r.doc_id
+        for r in mixture_oversample(src, {"src-00": small}).collect()
+    )
+    b = sorted(
+        r.doc_id for r in mixture_sample(src, {"src-00": small}).collect()
+    )
+    assert a == b
+
+
+def test_mixture_oversample_stable_under_repartition(spark, sequences):
+    from workbook_exporter_fe_spark.operators.sampling import (
+        mixture_oversample,
+    )
+
+    src = sequences.filter(F.col("source").isin("src-00", "src-01")).select(
+        "doc_id", "n_tok", "source"
+    )
+    tots = {
+        r.source: r.t
+        for r in src.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    budgets = {"src-00": int(tots["src-00"] * 1.7),
+               "src-01": int(tots["src-01"] * 0.6)}
+    a = sorted(
+        (r.source, r.mix_epoch, r.doc_id)
+        for r in mixture_oversample(src.repartition(1), budgets).collect()
+    )
+    b = sorted(
+        (r.source, r.mix_epoch, r.doc_id)
+        for r in mixture_oversample(src.repartition(13), budgets).collect()
+    )
+    assert a == b and len(a) > 0

@@ -332,3 +332,56 @@ def mixture_sample(
         )
         .drop("_cum_before")
     )
+
+
+def mixture_oversample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tok",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`mixture_sample` with EPOCH-REPEAT upsampling: a source
+    whose budget exceeds its corpus is replayed across epochs until the
+    token budget is met — the Pile/DoReMi recipe for weighting small
+    high-quality sources above their natural share. Output adds
+    ``mix_epoch`` (0-based replica index); selection order is
+    (epoch, md5(key), key), so epoch 0 is exactly
+    :func:`mixture_sample`'s selection whenever budget ≤ corpus tokens
+    (one full pass of the source precedes any repeat).
+
+    Replicas per source: ceil(budget / source_tokens) — computed from a
+    broadcast per-source totals relation; the replication is a per-row
+    ``explode(sequence(...))`` (no shuffle beyond mixture_sample's own
+    per-source window sort, whose volume grows only by the oversample
+    factor — bounded by budget/corpus, i.e. exactly the data a trainer
+    would read anyway)."""
+    totals = df.groupBy(source_col).agg(
+        F.sum(token_col).cast("long").alias("_tot")
+    )
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    bud = F.element_at(budget, F.col(source_col)).cast("long")
+    k = F.ceil(bud.cast("double") / F.col("_tot")).cast("int")
+    rep = (
+        df.join(F.broadcast(totals), source_col)
+        .withColumn("_k", k)
+        .filter(F.col("_k") >= 1)  # unbudgeted / empty sources drop
+        .withColumn(
+            "mix_epoch",
+            F.explode(F.sequence(F.lit(0), F.col("_k") - 1)),
+        )
+    )
+    order_h = F.md5(F.col(key_col).cast("string"))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("mix_epoch", order_h, key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("long"))
+    return (
+        rep.withColumn("_cum_before", cum_before)
+        .filter(F.col("_cum_before") < bud)
+        .drop("_cum_before", "_tot", "_k")
+    )

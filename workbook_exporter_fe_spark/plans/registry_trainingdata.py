@@ -1193,6 +1193,33 @@ def q52_multimodal(spark, sf_dir):
                             WHEN 'val' THEN 2000
                             ELSE 1000 END
       GROUP BY split
+    ),
+    -- epoch-repeat oversampling replay: replicas = ceil(budget / corpus
+    -- tokens), selection order (epoch, md5(id), id), first-crossing
+    mo_rep AS (
+      SELECT sp.split, sp.n_chars, sp.doc_id, u.i AS mix_epoch, b.bud
+      FROM sp
+      JOIN (SELECT split, CAST(SUM(n_chars) AS BIGINT) AS tot
+            FROM sp GROUP BY 1) tt USING (split)
+      JOIN (VALUES ('train', 6000000), ('val', 600000),
+                   ('test', 300000)) b(split, bud) USING (split),
+           UNNEST(range(CAST(CEIL(CAST(b.bud AS DOUBLE) / tt.tot) AS INT)))
+             AS u(i)
+    ),
+    mixo AS (
+      SELECT split, COUNT(*) AS mo_n, CAST(SUM(n_chars) AS BIGINT) AS mo_tok,
+             CAST(MAX(mix_epoch) AS BIGINT) AS mo_epochs
+      FROM (
+        SELECT split, n_chars, mix_epoch, bud,
+               COALESCE(SUM(n_chars) OVER (
+                 PARTITION BY split
+                 ORDER BY mix_epoch, md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cb
+        FROM mo_rep
+      )
+      WHERE cb < bud
+      GROUP BY split
     )
     SELECT sp.split, COUNT(*) AS n, MIN(sp.doc_id) AS min_id,
            COUNT(*) FILTER (WHERE sp.h < 16384) AS n_sampled,
@@ -1201,11 +1228,15 @@ def q52_multimodal(spark, sf_dir):
            ANY_VALUE(es_agg.es_id_sum) AS es_id_sum,
            ANY_VALUE(es_agg.es_min) AS es_min,
            COALESCE(ANY_VALUE(mix.mix_n), 0) AS mix_n,
-           COALESCE(ANY_VALUE(mix.mix_tok), 0) AS mix_tok
+           COALESCE(ANY_VALUE(mix.mix_tok), 0) AS mix_tok,
+           COALESCE(ANY_VALUE(mixo.mo_n), 0) AS mo_n,
+           COALESCE(ANY_VALUE(mixo.mo_tok), 0) AS mo_tok,
+           COALESCE(ANY_VALUE(mixo.mo_epochs), 0) AS mo_epochs
     FROM sp
     LEFT JOIN strat ON sp.split = strat.split
     LEFT JOIN es_agg ON sp.split = es_agg.split
     LEFT JOIN mix ON sp.split = mix.split
+    LEFT JOIN mixo ON sp.split = mixo.split
     GROUP BY sp.split
     """,
 )
@@ -1265,15 +1296,38 @@ def q54_sample_split(spark, sf_dir):
             F.sum("n_chars").alias("mix_tok"),
         )
     )
+    # r4: epoch-repeat oversampling (mixture_oversample) — budgets set
+    # ABOVE each split's corpus at the gate's sf so small strata replay
+    # across epochs; summarized as selected count / token sum / max epoch
+    from workbook_exporter_fe_spark.operators.sampling import (
+        mixture_oversample,
+    )
+
+    mixo = (
+        mixture_oversample(
+            sp, {"train": 6_000_000, "val": 600_000, "test": 300_000},
+            token_col="n_chars", source_col="split",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("mo_n"),
+            F.sum("n_chars").alias("mo_tok"),
+            F.max("mix_epoch").cast("long").alias("mo_epochs"),
+        )
+    )
     return (
         totals.join(sampled, "split", "left")
         .join(strat, "split", "left")
         .join(es_agg, "split", "left")
         .join(mix, "split", "left")
+        .join(mixo, "split", "left")
         .withColumn("n_sampled", F.coalesce(F.col("n_sampled"), F.lit(0)))
         .withColumn("n_strat", F.coalesce(F.col("n_strat"), F.lit(0)))
         .withColumn("mix_n", F.coalesce(F.col("mix_n"), F.lit(0)))
         .withColumn("mix_tok", F.coalesce(F.col("mix_tok"), F.lit(0)))
+        .withColumn("mo_n", F.coalesce(F.col("mo_n"), F.lit(0)))
+        .withColumn("mo_tok", F.coalesce(F.col("mo_tok"), F.lit(0)))
+        .withColumn("mo_epochs", F.coalesce(F.col("mo_epochs"), F.lit(0)))
     )
 
 
