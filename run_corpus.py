@@ -59,6 +59,11 @@ def main() -> None:
     ap.add_argument(
         "--mixture", help="per-source token budgets, e.g. web=2000000,code=500000",
     )
+    ap.add_argument(
+        "--mixture-epochs", action="store_true",
+        help="epoch-repeat oversampling: budgets above a source's corpus "
+        "replay it across epochs (shards gain a mix_epoch column)",
+    )
     ap.add_argument("--mixture-token-col", default="n_chars")
     ap.add_argument("--mixture-source-col", default="source")
     ap.add_argument(
@@ -213,6 +218,7 @@ def main() -> None:
         splits=_kv_floats(args.splits),
         max_records_per_file=args.max_records_per_file,
         mixture=mixture,
+        mixture_epochs=args.mixture_epochs,
         mixture_token_col=args.mixture_token_col,
         mixture_source_col=args.mixture_source_col,
         shuffle_seed=args.shuffle_seed,

@@ -357,3 +357,26 @@ def test_tokenizer_save_load_roundtrip(spark, docs_with_dups, tmp_path):
     a = spark.read.parquet(out1).select("doc_id", "tokens_enc")
     b = spark.read.parquet(out2).select("doc_id", "tokens_enc")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_curate_corpus_mixture_epochs(spark, docs_with_dups, tmp_path):
+    """mixture_epochs: a budget above a source's corpus replays it across
+    epochs; shards carry mix_epoch and the token sum reaches the budget."""
+    from workbook_exporter_fe_spark.plans.corpus_pipeline import curate_corpus
+
+    tot = {
+        r.source: r.t
+        for r in docs_with_dups.groupBy("source").agg(
+            F.sum("n_chars").alias("t")
+        ).collect()
+    }
+    src = max(tot, key=tot.get)
+    budget = int(tot[src] * 2)
+    out = str(tmp_path / "mo")
+    _, m = curate_corpus(
+        docs_with_dups, out,
+        mixture={src: budget}, mixture_epochs=True,
+    )
+    assert m["mixture_tokens"] >= budget
+    shards = spark.read.parquet(out)
+    assert shards.agg(F.max("mix_epoch")).first()[0] >= 1

@@ -99,6 +99,7 @@ def curate_corpus(
     splits: dict[str, float] | None = None,
     max_records_per_file: int = 100_000,
     mixture: dict[str, int] | None = None,
+    mixture_epochs: bool = False,
     mixture_token_col: str = "n_chars",
     mixture_source_col: str = "source",
     shuffle_seed: int | None = None,
@@ -128,7 +129,10 @@ def curate_corpus(
     Two optional stages extend the chain past the map-side gates:
     ``mixture`` (per-``mixture_source_col`` token budgets applied after
     the filters via :func:`mixture_sample` — adds the one per-source
-    window exchange that an exact greedy fill requires) and
+    window exchange that an exact greedy fill requires;
+    ``mixture_epochs=True`` switches to :func:`mixture_oversample`, so
+    budgets above a source's corpus replay it across epochs and the
+    shards gain a ``mix_epoch`` column) and
     ``shuffle_seed`` (+ ``target_files``: the shard export becomes the
     deterministic global shuffle instead of id-sorted shards).
 
@@ -187,9 +191,13 @@ def curate_corpus(
         kept = hash_sample(kept, sample_rate, key_col=id_col).observe(obs_sample, n)
 
     if mixture is not None:
-        from workbook_exporter_fe_spark.operators.sampling import mixture_sample
+        from workbook_exporter_fe_spark.operators.sampling import (
+            mixture_oversample,
+            mixture_sample,
+        )
 
-        kept = mixture_sample(
+        fill = mixture_oversample if mixture_epochs else mixture_sample
+        kept = fill(
             kept, mixture, token_col=mixture_token_col,
             source_col=mixture_source_col, key_col=id_col,
         ).observe(
