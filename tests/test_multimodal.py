@@ -146,3 +146,58 @@ def test_resize_images_real_nearest_neighbour(spark):
     yi = (np.arange(8) * sh) // 8
     xi = (np.arange(8) * sw) // 8
     assert bytes(r0.payload) == img[yi][:, xi].tobytes()
+
+
+def test_spectrogram_matches_direct_rfft():
+    import numpy as np
+
+    from workbook_exporter_fe_spark.operators.multimodal import spectrogram
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-1000, 1000, size=37).astype(np.float64)
+    spec = spectrogram(s, n_fft=8)
+    assert spec.shape == (4, 5)  # 37 // 8 frames, 8//2+1 bins
+    for i in range(4):
+        want = np.abs(np.fft.rfft(s[i * 8:(i + 1) * 8])) ** 2
+        assert np.allclose(spec[i], want)
+    assert spectrogram(s[:5], n_fft=8).shape == (0, 5)
+
+
+def test_spectral_centroid_tracks_tone():
+    import numpy as np
+
+    from workbook_exporter_fe_spark.operators.multimodal import spectrogram
+
+    n_fft = 32
+    t = np.arange(n_fft * 8)
+    for k in (2, 9):  # pure tones at bin k
+        s = np.cos(2 * np.pi * k * t / n_fft) * 1000
+        spec = spectrogram(s, n_fft)
+        tot = spec.sum(axis=1)
+        cents = (spec * np.arange(spec.shape[1])).sum(axis=1) / tot
+        assert np.allclose(cents, k, atol=1e-6)
+
+
+def test_audio_spectral_parseval_and_framecount(spark):
+    from workbook_exporter_fe_spark.operators.multimodal import (
+        audio_spectral,
+        gen_media,
+    )
+
+    media = gen_media(spark, 120, seed=7)
+    got = audio_spectral(media, n_fft=8)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r.spec_ok for r in rows)
+    # frame count is the closed form the q52 oracle replays
+    n = {
+        r.media_id: r.n_vals
+        for r in media.filter(F.col("kind") == "audio")
+        .selectExpr("media_id", "CAST(n_samples AS INT) AS n_vals")
+        .collect()
+    } if "n_samples" in media.columns else None
+    for r in rows:
+        if n is not None:
+            assert r.spec_frames == n[r.media_id] // 8
+        assert r.spec_centroid is None or 0 <= r.spec_centroid <= 4
+        assert r.spec_flatness is None or 0 < r.spec_flatness <= 1 + 1e-9

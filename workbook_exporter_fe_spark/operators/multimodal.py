@@ -357,3 +357,97 @@ def resize_images(
         .select("media_id", "payload")
         .mapInPandas(run, schema=out_schema)
     )
+
+
+def spectrogram(samples: np.ndarray, n_fft: int = 8) -> np.ndarray:
+    """Power spectrogram (|rfft|²) over non-overlapping boxcar frames;
+    the trailing partial frame is dropped. Pure numpy — the container
+    has no audio libraries, and none are needed for an STFT."""
+    n = len(samples) // n_fft
+    if n == 0:
+        return np.zeros((0, n_fft // 2 + 1))
+    frames = np.asarray(samples, dtype=np.float64)[: n * n_fft].reshape(
+        n, n_fft
+    )
+    return np.abs(np.fft.rfft(frames, axis=1)) ** 2
+
+
+def audio_spectral(media: DataFrame, n_fft: int = 8) -> DataFrame:
+    """(media_id, spec_frames, spec_centroid, spec_flatness, spec_ok):
+    STFT analysis of decoded WAV audio via one mapInPandas pass.
+
+    - ``spec_centroid``: power-weighted mean rfft bin index, averaged
+      over frames (the brightness feature); null when no frame or all
+      frames silent.
+    - ``spec_flatness``: geometric/arithmetic power-spectrum mean in
+      (0, 1] (tonality vs noise), averaged over non-silent frames.
+    - ``spec_ok``: Parseval check — per frame, the time-domain energy
+      Σx² must equal the spectrum energy (|X₀|² + 2·Σ|Xₖ|² + |X_{N/2}|²)/N
+      to 1e-6 relative; ties the FFT output back to the decoded samples,
+      the same self-verifying-envelope role as the decode checksums.
+
+    Scale: plan-side kind pruning + one Arrow batch kernel per
+    partition, no shuffle — the extract_features contract."""
+    out_schema = (
+        "media_id string, spec_frames int, spec_centroid double, "
+        "spec_flatness double, spec_ok boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames_n, cents, flats, oks = [], [], [], []
+            for p in pdf["payload"]:
+                _, s = decode_wav(bytes(p))
+                spec = spectrogram(s, n_fft)
+                frames_n.append(spec.shape[0])
+                x = np.asarray(s, dtype=np.float64)[
+                    : spec.shape[0] * n_fft
+                ].reshape(spec.shape[0], n_fft)
+                te = (x**2).sum(axis=1)
+                fe = (
+                    spec[:, 0] + spec[:, -1] + 2 * spec[:, 1:-1].sum(axis=1)
+                ) / n_fft
+                oks.append(
+                    bool(
+                        np.all(
+                            np.abs(te - fe) <= 1e-6 * np.maximum(te, 1.0)
+                        )
+                    )
+                )
+                tot = spec.sum(axis=1)
+                live = tot > 0
+                if live.any():
+                    k = np.arange(spec.shape[1], dtype=np.float64)
+                    cents.append(
+                        float(((spec[live] * k).sum(axis=1) / tot[live]).mean())
+                    )
+                    flats.append(
+                        float(
+                            (
+                                np.exp(
+                                    np.log(
+                                        np.maximum(spec[live], 1e-300)
+                                    ).mean(axis=1)
+                                )
+                                / spec[live].mean(axis=1)
+                            ).mean()
+                        )
+                    )
+                else:
+                    cents.append(None)
+                    flats.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "spec_frames": frames_n,
+                    "spec_centroid": cents,
+                    "spec_flatness": flats,
+                    "spec_ok": oks,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=out_schema)
+    )

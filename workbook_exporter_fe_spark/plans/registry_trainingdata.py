@@ -1096,7 +1096,10 @@ def q25_word_histogram(spark, sf_dir):
            CAST(CASE WHEN s + L <= m THEN L * s + L * (L - 1) // 2
                      ELSE (m - s) * s + (m - s) * (m - s - 1) // 2
                           + (L - (m - s)) * (L - (m - s) - 1) // 2
-                END + offs AS BIGINT) AS val_sum
+                END + offs AS BIGINT) AS val_sum,
+           CASE WHEN kind = 'audio' THEN CAST(L // 8 AS INTEGER) END
+             AS spec_frames,
+           CASE WHEN kind = 'audio' THEN TRUE END AS spec_ok
     FROM allrows
     """,
 )
@@ -1112,13 +1115,30 @@ def q52_multimodal(spark, sf_dir):
         sample_frames,
     )
 
+    from workbook_exporter_fe_spark.operators.multimodal import (
+        audio_spectral,
+    )
+
     media = gen_media(spark, 300, seed=7)
-    feats = extract_features(media, with_stats=True).select(
-        "media_id",
-        "kind",
-        F.lit(None).cast("int").alias("frame_idx"),
-        "n_vals",
-        "val_sum",
+    # r4: STFT analysis of the decoded audio — spec_frames is the exact
+    # closed-form frame count (n_samples // n_fft, SQL-replayable), and
+    # spec_ok is the per-row Parseval envelope tying the FFT back to the
+    # decoded samples (TRUE literal oracle-side)
+    spec = audio_spectral(media, n_fft=8).select(
+        "media_id", "spec_frames", "spec_ok"
+    )
+    feats = (
+        extract_features(media, with_stats=True)
+        .join(spec, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            F.lit(None).cast("int").alias("frame_idx"),
+            "n_vals",
+            "val_sum",
+            "spec_frames",
+            "spec_ok",
+        )
     )
     frames = sample_frames(media, every_n=30, with_stats=True).select(
         "media_id",
@@ -1126,6 +1146,8 @@ def q52_multimodal(spark, sf_dir):
         F.col("frame_idx").cast("int").alias("frame_idx"),
         "n_vals",
         "val_sum",
+        F.lit(None).cast("int").alias("spec_frames"),
+        F.lit(None).cast("boolean").alias("spec_ok"),
     )
     return feats.unionByName(frames)
 
