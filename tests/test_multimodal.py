@@ -201,3 +201,107 @@ def test_audio_spectral_parseval_and_framecount(spark):
             assert r.spec_frames == n[r.media_id] // 8
         assert r.spec_centroid is None or 0 <= r.spec_centroid <= 4
         assert r.spec_flatness is None or 0 < r.spec_flatness <= 1 + 1e-9
+
+
+def _ppm(w, h, arr):
+    import numpy as np
+
+    return b"P6 %d %d 255\n" % (w, h) + np.asarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+def test_phash_bits_vs_direct_dct():
+    """The matmul DCT inside _phash_bits equals an independently coded
+    O(n²) DCT-II on the resized grayscale grid."""
+    import numpy as np
+
+    from workbook_exporter_fe_spark.operators.multimodal import _phash_bits
+
+    rng = np.random.default_rng(11)
+    w = h = 48
+    px = rng.integers(0, 256, size=w * h * 3).astype(np.uint8)
+    bits = _phash_bits(px, w, h)
+    img = px.reshape(h, w, 3).astype(np.float64)
+    gray = img @ np.array([299.0, 587.0, 114.0])
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    g = gray[yi][:, xi]
+    n = 32
+    dct = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = np.sqrt(1.0 / n) if u == 0 else np.sqrt(2.0 / n)
+            cv = np.sqrt(1.0 / n) if v == 0 else np.sqrt(2.0 / n)
+            acc = 0.0
+            for x in range(n):
+                for y in range(n):
+                    acc += (
+                        g[x, y]
+                        * np.cos(np.pi * (2 * x + 1) * u / (2 * n))
+                        * np.cos(np.pi * (2 * y + 1) * v / (2 * n))
+                    )
+            dct[u, v] = cu * cv * acc
+    low = dct.ravel()
+    want = (low > np.median(low[1:])).astype(np.uint8)
+    assert np.array_equal(bits, want)
+
+
+def test_phash_upscale_invariant_and_perturbation_near():
+    import numpy as np
+
+    from workbook_exporter_fe_spark.operators.multimodal import _phash_bits
+
+    rng = np.random.default_rng(5)
+    w = h = 32
+    base = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    # smooth it so structure survives resize (pHash targets structure)
+    sm = base.astype(np.float64)
+    for _ in range(3):
+        sm = (np.roll(sm, 1, 0) + np.roll(sm, -1, 0)
+              + np.roll(sm, 1, 1) + np.roll(sm, -1, 1) + sm) / 5.0
+    img = sm.astype(np.uint8)
+    bits = _phash_bits(img.ravel(), w, h)
+    up = img.repeat(2, axis=0).repeat(2, axis=1)  # exact 2x upscale
+    bits_up = _phash_bits(up.ravel(), 2 * w, 2 * h)
+    assert np.array_equal(bits, bits_up)
+    # a few perturbed pixels: small hamming; unrelated image: large
+    pert = img.copy()
+    pert[0:2, 0:2] = 255 - pert[0:2, 0:2]
+    bits_p = _phash_bits(pert.ravel(), w, h)
+    assert (bits != bits_p).sum() <= 6
+    other = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    bits_o = _phash_bits(other.ravel(), w, h)
+    assert (bits != bits_o).sum() > 10
+
+
+def test_phash_candidate_pairs_finds_planted_neardups(spark):
+    import numpy as np
+
+    from workbook_exporter_fe_spark.operators.multimodal import (
+        phash_candidate_pairs,
+        phash_images,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(12):
+        img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.float64)
+        for _ in range(3):
+            img = (np.roll(img, 1, 0) + np.roll(img, -1, 0)
+                   + np.roll(img, 1, 1) + np.roll(img, -1, 1) + img) / 5.0
+        img = img.astype(np.uint8)
+        rows.append((f"img-{i:03d}", "image", _ppm(32, 32, img)))
+        if i < 3:  # plant a near-dup twin with a tiny perturbation
+            twin = img.copy()
+            twin[0, 0] = 255 - twin[0, 0]
+            rows.append((f"img-{i:03d}-twin", "image", _ppm(32, 32, twin)))
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary"
+    )
+    pairs = phash_candidate_pairs(phash_images(media), max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(3):
+        assert (f"img-{i:03d}", f"img-{i:03d}-twin") in got
+    # no unrelated images pair up at this threshold
+    assert all(a.split("-")[1][:3] == b.split("-")[1][:3] for a, b in got)

@@ -451,3 +451,132 @@ def audio_spectral(media: DataFrame, n_fft: int = 8) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(run, schema=out_schema)
     )
+
+
+def _phash_bits(px: np.ndarray, w: int, h: int, grid: int = 32,
+                keep: int = 8) -> np.ndarray:
+    """64-bit perceptual hash of one decoded RGB image (classic pHash):
+    grayscale → nearest-resize to grid×grid → 2-D DCT-II (numpy matmul
+    against the orthonormal DCT basis) → keep×keep low-frequency block →
+    median threshold (DC excluded from the median, as usual). Returns the
+    keep² bit array.
+
+    Luminance uses INTEGER weights (299, 587, 114 — BT.601 ×1000): every
+    product/sum is an exact float64 integer, so the grayscale is
+    bit-identical no matter how BLAS orders the reduction — fractional
+    weights measurably flip threshold-adjacent bits between differently
+    SHAPED inputs (the 2× upscale check caught exactly that), and the
+    ×1000 scale cancels in the scale-invariant median threshold."""
+    img = px.reshape(h, w, 3).astype(np.float64)
+    gray = img @ np.array([299.0, 587.0, 114.0])
+    yi = (np.arange(grid) * h) // grid
+    xi = (np.arange(grid) * w) // grid
+    g = gray[yi][:, xi]
+    n = grid
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+    )
+    basis[0] *= np.sqrt(0.5)
+    dct = basis @ g @ basis.T
+    low = dct[:keep, :keep].ravel()
+    med = np.median(low[1:])  # exclude DC
+    return (low > med).astype(np.uint8)
+
+
+def phash_images(
+    media: DataFrame, n_bands: int = 4, stability_check: bool = False
+) -> DataFrame:
+    """(media_id, phash, band, sig): perceptual hashes of the image rows
+    plus their LSH band decomposition — the image arm of the dedup
+    family. ``phash`` is the 64-bit hash as a signed long; the 64 bits
+    split into ``n_bands`` contiguous band signatures, so Hamming-near
+    images (≤ a few differing bits) collide on at least one (band, sig)
+    with high probability — EXACTLY the MinHash/SimHash banding scheme,
+    and the same downstream join: ``phash_candidate_pairs`` below.
+
+    Scale: one mapInPandas decode/DCT kernel, no shuffle; the pair join
+    is a bucketed equi-join on (band, sig) like every other dedup family
+    (no all-pairs comparison anywhere).
+
+    ``stability_check=True`` adds a ``stable`` boolean: the hash of the
+    exact 2× pixel-repeated upscale must equal the original's — true by
+    the floor arithmetic of the nearest-resize (⌊⌊2x⌋/2⌋ = ⌊x⌋), and
+    re-verified per row against the REAL re-decoded upscale; the q52
+    gate's envelope column for this family."""
+    out_schema = "media_id string, phash long, band int, sig long"
+    if stability_check:
+        out_schema += ", stable boolean"
+    bits_per = 64 // n_bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, bands, sigs, stabs = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(p))
+                bits = _phash_bits(px, w, h)
+                if stability_check:
+                    up = (
+                        px.reshape(h, w, 3)
+                        .repeat(2, axis=0)
+                        .repeat(2, axis=1)
+                    )
+                    st = bool(
+                        np.array_equal(
+                            bits, _phash_bits(up.ravel(), 2 * w, 2 * h)
+                        )
+                    )
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                signed = val - (1 << 64) if val >= (1 << 63) else val
+                for band in range(n_bands):
+                    chunk = (val >> (band * bits_per)) & (
+                        (1 << bits_per) - 1
+                    )
+                    ids.append(mid)
+                    hashes.append(signed)
+                    bands.append(band)
+                    sigs.append(chunk)
+                    if stability_check:
+                        stabs.append(st)
+            out = {
+                "media_id": ids,
+                "phash": pd.array(hashes, dtype="int64"),
+                "band": pd.array(bands, dtype="int32"),
+                "sig": pd.array(sigs, dtype="int64"),
+            }
+            if stability_check:
+                out["stable"] = stabs
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=out_schema)
+    )
+
+
+def phash_candidate_pairs(
+    hashed: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """(id_a, id_b, hamming): image near-dup pairs from the banded
+    signatures — candidates share a (band, sig) bucket, then the exact
+    Hamming distance over the full 64-bit hash verifies (bit_count of
+    XOR, JVM-side). Same candidate/verify split as every dedup family."""
+    a = hashed.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("ha"),
+        "band", "sig",
+    )
+    b = hashed.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("hb"),
+        "band", "sig",
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1099,7 +1099,8 @@ def q25_word_histogram(spark, sf_dir):
                 END + offs AS BIGINT) AS val_sum,
            CASE WHEN kind = 'audio' THEN CAST(L // 8 AS INTEGER) END
              AS spec_frames,
-           CASE WHEN kind = 'audio' THEN TRUE END AS spec_ok
+           CASE WHEN kind = 'audio' THEN TRUE END AS spec_ok,
+           CASE WHEN kind = 'image' THEN TRUE END AS phash_ok
     FROM allrows
     """,
 )
@@ -1117,6 +1118,7 @@ def q52_multimodal(spark, sf_dir):
 
     from workbook_exporter_fe_spark.operators.multimodal import (
         audio_spectral,
+        phash_images,
     )
 
     media = gen_media(spark, 300, seed=7)
@@ -1127,9 +1129,17 @@ def q52_multimodal(spark, sf_dir):
     spec = audio_spectral(media, n_fft=8).select(
         "media_id", "spec_frames", "spec_ok"
     )
+    # r4: pHash (DCT perceptual hash) with the upscale-invariance
+    # envelope — real 2x-repeat re-decode + re-hash per image row
+    pimg = (
+        phash_images(media, stability_check=True)
+        .select("media_id", F.col("stable").alias("phash_ok"))
+        .distinct()
+    )
     feats = (
         extract_features(media, with_stats=True)
         .join(spec, "media_id", "left")
+        .join(pimg, "media_id", "left")
         .select(
             "media_id",
             "kind",
@@ -1138,6 +1148,7 @@ def q52_multimodal(spark, sf_dir):
             "val_sum",
             "spec_frames",
             "spec_ok",
+            "phash_ok",
         )
     )
     frames = sample_frames(media, every_n=30, with_stats=True).select(
@@ -1148,6 +1159,7 @@ def q52_multimodal(spark, sf_dir):
         "val_sum",
         F.lit(None).cast("int").alias("spec_frames"),
         F.lit(None).cast("boolean").alias("spec_ok"),
+        F.lit(None).cast("boolean").alias("phash_ok"),
     )
     return feats.unionByName(frames)
 
