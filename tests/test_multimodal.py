@@ -305,3 +305,23 @@ def test_phash_candidate_pairs_finds_planted_neardups(spark):
         assert (f"img-{i:03d}", f"img-{i:03d}-twin") in got
     # no unrelated images pair up at this threshold
     assert all(a.split("-")[1][:3] == b.split("-")[1][:3] for a, b in got)
+
+
+def test_video_motion_exact(spark):
+    import numpy as np
+
+    from workbook_exporter_fe_spark.operators.multimodal import (
+        decode_rvid,
+        gen_media,
+        video_motion,
+    )
+
+    media = gen_media(spark, 60, seed=7)
+    got = {r.media_id: (r.n_frame_pairs, r.motion_sum)
+           for r in video_motion(media).collect()}
+    vids = media.filter(F.col("kind") == "video").collect()
+    assert len(got) == len(vids) > 0
+    for r in vids:
+        _, _, frames = decode_rvid(bytes(r.payload))
+        want = int(np.abs(np.diff(frames.astype(np.int64), axis=0)).sum())
+        assert got[r.media_id] == (max(frames.shape[0] - 1, 0), want)

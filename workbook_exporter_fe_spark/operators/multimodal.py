@@ -580,3 +580,37 @@ def phash_candidate_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def video_motion(media: DataFrame) -> DataFrame:
+    """(media_id, n_frame_pairs, motion_sum): temporal motion energy of
+    the video rows — the exact int64 sum of |frame_{f+1} - frame_f| over
+    every consecutive frame pair and pixel, via one mapInPandas decode
+    kernel (the q52 gate replays this closed-form against the generated
+    content). The per-media scalar is the shot-boundary / static-clip
+    signal a video curation pipeline thresholds on."""
+    out_schema = "media_id string, n_frame_pairs int, motion_sum bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pairs, sums = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, _, frames = decode_rvid(bytes(p))
+                f = frames.astype(np.int64)
+                d = np.abs(np.diff(f, axis=0))
+                ids.append(mid)
+                pairs.append(max(frames.shape[0] - 1, 0))
+                sums.append(int(d.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frame_pairs": pd.array(pairs, dtype="int32"),
+                    "motion_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=out_schema)
+    )

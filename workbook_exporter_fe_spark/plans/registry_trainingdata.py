@@ -1090,6 +1090,22 @@ def q25_word_histogram(spark, sf_dir):
     ),
     allrows AS (
       SELECT * FROM im UNION ALL SELECT * FROM au UNION ALL SELECT * FROM vf
+    ),
+    -- motion energy replay: consecutive-frame pixel diff is +13 mod 256,
+    -- i.e. |diff| = 13 except the wrap pixels (value >= 243) where it is
+    -- 243; wrap count per frame = overlap of the ramp interval with
+    -- [243, 256)
+    mv AS (
+      SELECT i, CAST(13 * L * (nf - 1) + 230 * SUM(
+               GREATEST(0, LEAST(((i + 7 + 13 * f) % 256) + L, 256)
+                           - GREATEST((i + 7 + 13 * f) % 256, 243))
+             ) AS BIGINT) AS motion_sum
+      FROM (
+        SELECT i, (i % 6 + 2) * (i % 5 + 2) AS L, i % 90 + 1 AS nf,
+               UNNEST(range(0, i % 90)) AS f
+        FROM ids WHERE i % 3 = 2
+      )
+      GROUP BY i, L, nf
     )
     SELECT printf('media-%09d', i) AS media_id, kind, frame_idx,
            CAST(L AS INTEGER) AS n_vals,
@@ -1100,8 +1116,10 @@ def q25_word_histogram(spark, sf_dir):
            CASE WHEN kind = 'audio' THEN CAST(L // 8 AS INTEGER) END
              AS spec_frames,
            CASE WHEN kind = 'audio' THEN TRUE END AS spec_ok,
-           CASE WHEN kind = 'image' THEN TRUE END AS phash_ok
-    FROM allrows
+           CASE WHEN kind = 'image' THEN TRUE END AS phash_ok,
+           CASE WHEN kind = 'video'
+                THEN COALESCE(mv.motion_sum, 0) END AS motion_sum
+    FROM allrows LEFT JOIN mv USING (i)
     """,
 )
 def q52_multimodal(spark, sf_dir):
@@ -1119,6 +1137,7 @@ def q52_multimodal(spark, sf_dir):
     from workbook_exporter_fe_spark.operators.multimodal import (
         audio_spectral,
         phash_images,
+        video_motion,
     )
 
     media = gen_media(spark, 300, seed=7)
@@ -1149,17 +1168,27 @@ def q52_multimodal(spark, sf_dir):
             "spec_frames",
             "spec_ok",
             "phash_ok",
+            F.lit(None).cast("bigint").alias("motion_sum"),
         )
     )
-    frames = sample_frames(media, every_n=30, with_stats=True).select(
-        "media_id",
-        F.lit("video").alias("kind"),
-        F.col("frame_idx").cast("int").alias("frame_idx"),
-        "n_vals",
-        "val_sum",
-        F.lit(None).cast("int").alias("spec_frames"),
-        F.lit(None).cast("boolean").alias("spec_ok"),
-        F.lit(None).cast("boolean").alias("phash_ok"),
+    # r4: temporal motion energy — exact int64 Σ|frame diff|, replayed
+    # closed-form by the oracle (13 everywhere except the 243-valued
+    # mod-256 wrap pixels)
+    motion = video_motion(media).select("media_id", "motion_sum")
+    frames = (
+        sample_frames(media, every_n=30, with_stats=True)
+        .join(motion, "media_id", "left")
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            "n_vals",
+            "val_sum",
+            F.lit(None).cast("int").alias("spec_frames"),
+            F.lit(None).cast("boolean").alias("spec_ok"),
+            F.lit(None).cast("boolean").alias("phash_ok"),
+            "motion_sum",
+        )
     )
     return feats.unionByName(frames)
 
