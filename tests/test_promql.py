@@ -831,3 +831,21 @@ def test_time_component_functions(store):
         assert got["year"][key] == d.year
         nxt = (d.replace(day=28) + dt.timedelta(days=4)).replace(day=1)
         assert got["days_in_month"][key] == (nxt - dt.timedelta(days=1)).day
+
+
+def test_trig_and_pi_functions(store):
+    import math as _m
+
+    got = _collect(promql(store, "sin(rad(deg(rad(mem_bytes))))"))
+    pts = _series("s0", "g")
+    for (src, t), v in got.items():
+        if src == "s0":
+            assert v == pytest.approx(_m.sin(_m.radians(_m.degrees(
+                _m.radians(pts[t])))), abs=1e-12)
+    # pi() is a scalar usable in arithmetic
+    gp = _collect(promql(store, "mem_bytes * pi()"))
+    for (src, t), v in gp.items():
+        if src == "s0":
+            assert v == pts[t] * _m.pi
+    with pytest.raises(PromQLError):
+        promql(store, "pi(mem_bytes)")

@@ -66,6 +66,7 @@ on operators/rates.linear_fit).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -243,7 +244,8 @@ _INSTANT_FNS = {"abs", "ceil", "floor", "round", "clamp", "clamp_min",
                 "log2", "log10", "sgn", "timestamp", "sort", "sort_desc",
                 "label_replace", "label_join", "minute", "hour",
                 "day_of_week", "day_of_month", "month", "year",
-                "days_in_month"}
+                "days_in_month", "sin", "cos", "tan", "asin", "acos",
+                "atan", "sinh", "cosh", "tanh", "deg", "rad", "pi"}
 
 
 class _Parser:
@@ -638,13 +640,21 @@ class PromQL:
                 F.col("value").desc()
             )
             return Vector(vec.df.orderBy(col), vec.labels)
+        if name == "pi":
+            if call.args:
+                raise PromQLError("pi() takes no arguments")
+            return float(math.pi)
         if name in ("abs", "ceil", "floor", "round", "sqrt", "exp", "ln",
-                    "log2", "log10", "sgn"):
+                    "log2", "log10", "sgn", "sin", "cos", "tan", "asin",
+                    "acos", "atan", "sinh", "cosh", "tanh", "deg", "rad"):
             vec = self._eval(call.args[0])
             fn = {"abs": F.abs, "ceil": F.ceil, "floor": F.floor,
                   "round": F.round, "sqrt": F.sqrt, "exp": F.exp,
                   "ln": F.log, "log2": F.log2, "log10": F.log10,
-                  "sgn": F.signum}[name]
+                  "sgn": F.signum, "sin": F.sin, "cos": F.cos,
+                  "tan": F.tan, "asin": F.asin, "acos": F.acos,
+                  "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
+                  "tanh": F.tanh, "deg": F.degrees, "rad": F.radians}[name]
             return Vector(
                 vec.df.withColumn("value", fn(F.col("value")).cast("double")),
                 vec.labels,
