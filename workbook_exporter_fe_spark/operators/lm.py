@@ -141,6 +141,17 @@ def bigram_kn(
     big = _bigrams(docs, text_col, id_col, pre_tokenized).groupBy(
         "v", "w"
     ).agg(F.count("*").alias("c_vw"))
+    # FOUR consumers derive from `big` (ctx/cont/tot + the scoring join);
+    # without reuse each one re-explodes and re-aggregates the whole
+    # corpus — the executed plan showed 5 Generate branches. Persist the
+    # bigram-type relation once; DISK_ONLY, not localCheckpoint: on the
+    # adversarial uniform-token corpus the relation is near corpus-sized
+    # and heap-resident checkpoint blocks from successive runs GC-thrash
+    # a shared JVM, while a disk-persisted copy costs one spill write and
+    # is reclaimed by the ContextCleaner when the plan is dropped.
+    from pyspark import StorageLevel
+
+    big = big.persist(StorageLevel.DISK_ONLY)
     ctx = big.groupBy("v").agg(
         F.sum("c_vw").alias("c_v"), F.count("*").alias("n1p_v")
     )
