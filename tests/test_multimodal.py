@@ -203,6 +203,20 @@ def test_audio_spectral_parseval_and_framecount(spark):
         assert r.spec_flatness is None or 0 < r.spec_flatness <= 1 + 1e-9
 
 
+def test_audio_spectral_parseval_odd_nfft(spark):
+    """r5 ADVICE fix: for odd n_fft the last rfft bin is NOT Nyquist and
+    must be doubled — spec_ok must hold on non-silent signals."""
+    from workbook_exporter_fe_spark.operators.multimodal import (
+        audio_spectral,
+        gen_media,
+    )
+
+    media = gen_media(spark, 120, seed=7)
+    rows = audio_spectral(media, n_fft=7).collect()
+    assert len(rows) > 0
+    assert all(r.spec_ok for r in rows)
+
+
 def _ppm(w, h, arr):
     import numpy as np
 

@@ -581,6 +581,15 @@ def test_subquery_over_aggregation(store):
         assert got[(t,)] == pytest.approx(sum(win) / len(win)), t
 
 
+def test_time_component_zero_arg_is_promql_error():
+    """r5 ADVICE fix: Prometheus's 0-arg eval-time form (`minute()`)
+    is unsupported here — must raise PromQLError, not IndexError."""
+    with pytest.raises(PromQLError, match="eval-time form"):
+        promql(MetricStore(), "minute()")
+    with pytest.raises(PromQLError, match="eval-time form"):
+        promql(MetricStore(), "day_of_week()")
+
+
 def test_subquery_parse_errors():
     with pytest.raises(PromQLError, match="re-sampling is not supported"):
         parse("max_over_time(rate(x[5m])[30m:1m])")

@@ -293,6 +293,29 @@ def test_mixture_oversample_epoch_repeats(spark, sequences):
     assert a == b
 
 
+def test_mixture_oversample_max_epochs_guard(spark, sequences):
+    """r5 ADVICE fix: a typo'd budget (1e12 over a tiny source) must
+    raise instead of fabricating ~budget/corpus replica rows per input
+    row; an explicit higher max_epochs re-enables it."""
+    import pytest
+
+    from workbook_exporter_fe_spark.operators.sampling import (
+        mixture_oversample,
+    )
+
+    src = sequences.filter(F.col("source") == "src-00").select(
+        "doc_id", "n_tok", "source"
+    )
+    tot = int(src.agg(F.sum("n_tok")).first()[0])
+    with pytest.raises(ValueError, match="max_epochs"):
+        mixture_oversample(src, {"src-00": tot * 1000})
+    # explicit opt-in still works
+    got = mixture_oversample(
+        src, {"src-00": tot * 100}, max_epochs=128
+    )
+    assert got.agg(F.max("mix_epoch")).first()[0] == 99
+
+
 def test_mixture_oversample_stable_under_repartition(spark, sequences):
     from workbook_exporter_fe_spark.operators.sampling import (
         mixture_oversample,

@@ -138,6 +138,24 @@ def test_corpus_loglik_distributed_matches_local(spark):
     assert got == pytest.approx(want, abs=1e-6)
 
 
+def test_mstep_insertion_order_independent():
+    """r5 ADVICE fix: the M-step must reduce in sorted-key order — the
+    distributed path hands counts in collect() (partitioning-dependent)
+    order, and float sums are not associative. Same multiset of counts
+    in reversed insertion order must yield BIT-identical logprobs."""
+    from workbook_exporter_fe_spark.operators.unigram import _normalize
+
+    counts = {
+        f"p{i:03d}": (1.0 + i * 0.1) * (10 ** (i % 7)) for i in range(97)
+    }
+    alphabet = {"a", "b"}
+    fwd = _normalize(counts, alphabet)
+    rev = _normalize(dict(reversed(list(counts.items()))), alphabet)
+    assert list(fwd) == list(rev)  # same (sorted) key order out
+    for p in fwd:
+        assert fwd[p] == rev[p], p  # bit-exact, not approx
+
+
 def test_train_distributed_equals_local(spark):
     words = spark.createDataFrame(
         list(CORPUS.items()), "word string, freq long"

@@ -5,9 +5,13 @@ re-aggregation, operators/tiers.py) does not cover:
 
 - ``downsample_minmax``: per coarse bucket keep the extreme POINTS (argmin
   and argmax rows, original timestamps preserved) — the shape-preserving
-  reducer for threshold/spike analysis. Pure DataFrame ops (`min_by` /
-  `max_by` per bucket): one partial-aggregating groupBy, no window, no
-  Python — runs at full codegen speed at any scale.
+  reducer for threshold/spike analysis. Pure DataFrame ops: a
+  lexicographic ``min``/``max`` over a (value, fine_ts) STRUCT per bucket
+  (deterministic under ties, unlike ``min_by``), one partial-aggregating
+  groupBy, no window, no Python — full codegen speed at any scale. NULL
+  values participate in the struct ordering (Spark sorts NULL first in
+  ``min``-struct comparisons), so a NULL-v row can win the min — callers
+  that want NULLs ignored (min_by semantics) must filter them first.
 - ``lttb``: Largest-Triangle-Three-Buckets (Steinarsson 2013), the
   standard fixed-budget downsample for plotting: picks, per bucket, the
   point forming the largest triangle with the previously selected point

@@ -382,9 +382,11 @@ def audio_spectral(media: DataFrame, n_fft: int = 8) -> DataFrame:
     - ``spec_flatness``: geometric/arithmetic power-spectrum mean in
       (0, 1] (tonality vs noise), averaged over non-silent frames.
     - ``spec_ok``: Parseval check — per frame, the time-domain energy
-      Σx² must equal the spectrum energy (|X₀|² + 2·Σ|Xₖ|² + |X_{N/2}|²)/N
-      to 1e-6 relative; ties the FFT output back to the decoded samples,
-      the same self-verifying-envelope role as the decode checksums.
+      Σx² must equal the spectrum energy to 1e-6 relative; ties the FFT
+      output back to the decoded samples, the same self-verifying-envelope
+      role as the decode checksums. For even n_fft the last rfft bin is
+      the (undoubled) Nyquist bin, (|X₀|² + 2·Σ|Xₖ|² + |X_{N/2}|²)/N; for
+      odd n_fft there is no Nyquist bin and every non-DC bin is doubled.
 
     Scale: plan-side kind pruning + one Arrow batch kernel per
     partition, no shuffle — the extract_features contract."""
@@ -404,9 +406,18 @@ def audio_spectral(media: DataFrame, n_fft: int = 8) -> DataFrame:
                     : spec.shape[0] * n_fft
                 ].reshape(spec.shape[0], n_fft)
                 te = (x**2).sum(axis=1)
-                fe = (
-                    spec[:, 0] + spec[:, -1] + 2 * spec[:, 1:-1].sum(axis=1)
-                ) / n_fft
+                if n_fft % 2 == 0:
+                    # last rfft bin IS Nyquist — counted once
+                    fe = (
+                        spec[:, 0]
+                        + spec[:, -1]
+                        + 2 * spec[:, 1:-1].sum(axis=1)
+                    ) / n_fft
+                else:
+                    # odd n_fft: no Nyquist bin; every non-DC bin doubles
+                    fe = (
+                        spec[:, 0] + 2 * spec[:, 1:].sum(axis=1)
+                    ) / n_fft
                 oks.append(
                     bool(
                         np.all(

@@ -340,6 +340,7 @@ def mixture_oversample(
     token_col: str = "n_tok",
     source_col: str = "source",
     key_col: str = "doc_id",
+    max_epochs: int = 64,
 ) -> DataFrame:
     """:func:`mixture_sample` with EPOCH-REPEAT upsampling: a source
     whose budget exceeds its corpus is replayed across epochs until the
@@ -355,10 +356,24 @@ def mixture_oversample(
     ``explode(sequence(...))`` (no shuffle beyond mixture_sample's own
     per-source window sort, whose volume grows only by the oversample
     factor — bounded by budget/corpus, i.e. exactly the data a trainer
-    would read anyway)."""
+    would read anyway). ``max_epochs`` is a fat-finger guard: a typo'd
+    budget over a tiny source would otherwise fabricate an unbounded
+    number of replica rows per input row before the window sort ever
+    runs — we validate the replica counts driver-side (the totals
+    relation is per-source, tiny) and raise instead."""
     totals = df.groupBy(source_col).agg(
         F.sum(token_col).cast("long").alias("_tot")
     )
+    tot_map = {r[source_col]: r["_tot"] for r in totals.collect()}
+    for src, b in budgets.items():
+        t = tot_map.get(src)
+        if t and t > 0 and -(-int(b) // int(t)) > max_epochs:
+            raise ValueError(
+                f"mixture_oversample: source {src!r} needs "
+                f"{-(-int(b) // int(t))} epochs (budget {b} over "
+                f"{t} tokens) > max_epochs={max_epochs}; raise "
+                "max_epochs if this is intentional"
+            )
     budget = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )

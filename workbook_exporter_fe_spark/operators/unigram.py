@@ -164,8 +164,14 @@ def _normalize(counts: dict[str, float],
     for ch in alphabet:
         if c.get(ch, 0.0) <= 0.0:
             c[ch] = 1e-9
-    total = sum(c.values())
-    return {p: math.log(v / total) for p, v in c.items() if v > 0.0}
+    # Reduce in sorted-key order: the distributed E-step hands us counts in
+    # collect() order (partitioning-dependent), and float addition is not
+    # associative — an insertion-order sum could differ in the last ulp and
+    # flip near-tie Viterbi segmentations. Sorted keys make the M-step (and
+    # therefore the whole trained model) bit-identical across partitionings.
+    keys = sorted(c)
+    total = sum(c[p] for p in keys)
+    return {p: math.log(c[p] / total) for p in keys if c[p] > 0.0}
 
 
 _ESTEP_TYPE = "array<struct<p:string,e:double>>"

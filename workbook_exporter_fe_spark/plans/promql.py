@@ -673,6 +673,11 @@ class PromQL:
             # Prometheus time-component functions read the sample VALUES
             # as unix timestamps (UTC) — the idiom is f(timestamp(v)) or
             # f(process_start_time_seconds)
+            if not call.args:
+                raise PromQLError(
+                    f"{name}() needs a vector argument — the 0-arg "
+                    "eval-time form is unsupported"
+                )
             vec = self._eval(call.args[0])
             t = F.timestamp_seconds(F.col("value").cast("long"))
             comp = {

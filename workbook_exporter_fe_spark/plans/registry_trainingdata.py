@@ -1370,6 +1370,9 @@ def q54_sample_split(spark, sf_dir):
         mixture_oversample(
             sp, {"train": 6_000_000, "val": 600_000, "test": 300_000},
             token_col="n_chars", source_col="split",
+            # gate budgets sit far above the sf0.01 corpus by design;
+            # opt past the fat-finger guard explicitly
+            max_epochs=100_000,
         )
         .groupBy("split")
         .agg(
