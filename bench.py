@@ -50,6 +50,49 @@ HEADLINE = [
 ]
 
 
+# Quiet-box sentinel values (sec) for queries whose CODE has been frozen
+# since round 3 — the r3 artifact was captured on an idle box
+# (BENCH/PLANS.md). If these inflate in lockstep the box is contended and
+# the capture must not become the round artifact (r4 lesson: the committed
+# JSON showed untouched queries at ~1.5× and poisoned the round-over-round
+# comparison).
+SENTINELS = {
+    "q01_scan_agg": 0.606,
+    "q03_join_dims": 0.521,
+    "q27_codec_roundtrip": 1.911,
+}
+SENTINEL_RATIO_MAX = 1.2   # VERDICT r4: >1.2× lockstep inflation = do not commit
+CONTROL_SCALING_MIN = 0.85
+
+
+def _cpu_work(_i: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(8_000_000):
+        x += i * i % 7
+    return time.perf_counter() - t0
+
+
+def _contention_control() -> dict:
+    """CPU-availability probe, independent of Spark: per-process time of a
+    fixed pure-python loop, solo vs 8-way parallel (medians of ≥3 each).
+    On an idle box the 8-way median matches solo (scaling ≈ 1.0); external
+    load inflates the parallel legs. Run BEFORE the SparkSession exists."""
+    import multiprocessing as mp
+
+    with mp.Pool(1) as p:
+        s = sorted(p.map(_cpu_work, range(3)))
+    solo = s[len(s) // 2]
+    with mp.Pool(8) as p:
+        par = sorted(p.map(_cpu_work, range(24)))
+    med = par[len(par) // 2]
+    return {
+        "control_solo_sec": round(solo, 4),
+        "control_par8_median_sec": round(med, 4),
+        "control_scaling": round(solo / med, 3) if med else None,
+    }
+
+
 def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -79,6 +122,7 @@ def _prepare_corpus(spark) -> tuple[str, int]:
 
 
 def main() -> None:
+    control = _contention_control()  # before the JVM exists
     spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
     import workbook_exporter_fe_spark.plans.registry as registry  # noqa: F401
     import workbook_exporter_fe_spark.plans.registry_olap  # noqa: F401
@@ -131,6 +175,18 @@ def main() -> None:
         timings[name] = round(_best_of(lambda: fn(spark, SF_DIR)), 3)
 
     total = round(sum(timings.values()), 3)
+    sent = {
+        q: {"sec": timings[q], "quiet_sec": ref,
+            "ratio": round(timings[q] / ref, 3)}
+        for q, ref in SENTINELS.items() if q in timings
+    }
+    ratios = [s["ratio"] for s in sent.values()]
+    # contended when the CPU control degrades OR the majority of frozen
+    # sentinel queries inflate past the do-not-commit line in lockstep
+    contended = bool(
+        (control["control_scaling"] or 0) < CONTROL_SCALING_MIN
+        or (ratios and sorted(ratios)[len(ratios) // 2] > SENTINEL_RATIO_MAX)
+    )
     out = {
         "metric": "headline wall-clock (flagship tier-1 rollup + operator suite)",
         "value": total,
@@ -144,6 +200,8 @@ def main() -> None:
             "events_per_sec": round(n_events / flagship_sec),
             "rolled_points_per_sec": round(rolled_points / flagship_sec),
         },
+        "contended": contended,
+        "contention": {**control, "sentinels": sent},
     }
     print(json.dumps(out))
     spark.stop()

@@ -117,6 +117,16 @@ def main() -> None:
         help="hash-sample rate of the raw input the tokenizer trains on",
     )
     ap.add_argument(
+        "--tokenize-min-count", type=int, default=1,
+        help="frequency floor pushed into word_freqs BEFORE the driver "
+        "collect (SentencePiece-style; bounds >1e9-type web vocabularies)",
+    )
+    ap.add_argument(
+        "--tokenize-top-k", type=int, default=None,
+        help="cap the collected vocabulary to the K most frequent words "
+        "(distributed TakeOrdered, ties freq DESC then word ASC)",
+    )
+    ap.add_argument(
         "--tokenizer-save",
         help="write the trained tokenizer artifact (JSON) here",
     )
@@ -228,6 +238,8 @@ def main() -> None:
         model_tokens_col=args.model_tokens_col,
         tokenize=args.tokenize,
         tokenize_train_rate=args.tokenize_train_rate,
+        tokenize_min_count=args.tokenize_min_count,
+        tokenize_top_k=args.tokenize_top_k,
         tokenizer_save=args.tokenizer_save,
         tokenizer_load=args.tokenizer_load,
     )

@@ -80,10 +80,15 @@ def _epoch(x) -> int:
     applies)."""
     if isinstance(x, (int, float)):
         return int(x)
+    s = str(x).strip()
+    try:  # numeric STRING epoch (HTTP params arrive as strings)
+        return int(float(s))
+    except ValueError:
+        pass
     import calendar
     import datetime as _dt
 
-    return calendar.timegm(_dt.datetime.fromisoformat(str(x)).timetuple())
+    return calendar.timegm(_dt.datetime.fromisoformat(s).timetuple())
 
 
 def build_rules(cfg: dict):

@@ -19,6 +19,26 @@ merged YAML write):
 - ``GET /terminal``        log view page (:2068)
 - ``POST /finish_and_clean`` delete the session's staged files (:2018)
 
+r5 addition — the engine's PromQL surface over the same server
+(Prometheus HTTP API shape, delegating to plans/promql over a
+MetricStore built from ``--metric``/``--metrics-config``):
+
+- ``GET/POST /api/v1/query``        params: query — the instant form,
+                                    evaluated on the NATIVE tier grid
+                                    (engine deviation 1), returned as a
+                                    resultType=matrix over that grid
+- ``GET/POST /api/v1/query_range``  params: query, start, end,
+                                    step (default 1m), lookback (5m) —
+                                    the explicit-grid as-of resample
+                                    (promql.query_range)
+
+Responses follow Prometheus's envelope: ``{"status": "success",
+"data": {"resultType": "matrix", "result": [{"metric": {labels},
+"values": [[epoch_sec, "value"], ...]}]}}``; PromQL errors come back
+``{"status": "error", "errorType": "bad_data", "error": ...}`` with
+HTTP 400. tests/test_server.py pins HTTP JSON ≡ the direct
+promql()/query_range() evaluation (run_query.py's path).
+
 Deliberate deviations, mirrored from the repo's Appendix-A
 adjudications: the exporter list is the REAL spec registry (the
 reference UI's `exporter_wmware` typo made vmware unreachable, and its
@@ -66,7 +86,10 @@ def secure_filename(name: str) -> str:
 class AppState:
     """Process-wide state: staged files per session, logs, lazy Spark."""
 
-    def __init__(self, upload_dir: str, cores: str = "*"):
+    def __init__(
+        self, upload_dir: str, cores: str = "*",
+        metrics_cfg: dict | None = None,
+    ):
         self.upload_dir = upload_dir
         os.makedirs(upload_dir, exist_ok=True)
         self.cores = cores
@@ -74,6 +97,8 @@ class AppState:
         self.logs: list[str] = []
         self.spark = None
         self.run_lock = threading.Lock()
+        self.metrics_cfg = metrics_cfg
+        self._store = None
 
     def log(self, msg: str) -> None:
         self.logs.append(msg)
@@ -84,6 +109,17 @@ class AppState:
 
             self.spark = get_spark(app_name="run_server", cores=self.cores)
         return self.spark
+
+    def get_store(self):
+        """Lazy MetricStore over the configured tier tables (same loader
+        as run_rules/run_query — parquet dirs or SnapshotTable roots)."""
+        if self._store is None:
+            if not (self.metrics_cfg or {}).get("metrics"):
+                return None
+            from run_rules import build_store
+
+            self._store = build_store(self.get_spark(), self.metrics_cfg)
+        return self._store
 
 
 def _allowed_file(name: str) -> bool:
@@ -176,7 +212,12 @@ def make_handler(state: AppState):
         def do_GET(self):
             sess = self._session()
             path = unquote(self.path.split("?", 1)[0])
-            if path == "/":
+            if path in ("/api/v1/query", "/api/v1/query_range"):
+                qs = self.path.partition("?")[2]
+                self._api_query(
+                    parse_qs(qs), range_=path.endswith("_range")
+                )
+            elif path == "/":
                 self._respond(self._upload_page())
             elif path == "/process":
                 self._respond(self._process_page(sess))
@@ -201,7 +242,11 @@ def make_handler(state: AppState):
             body = self._read_body()
             if body is None:
                 return
-            if path == "/":
+            if path in ("/api/v1/query", "/api/v1/query_range"):
+                self._api_query(
+                    parse_qs(body.decode()), range_=path.endswith("_range")
+                )
+            elif path == "/":
                 self._upload(sess, body)
             elif path == "/process":
                 self._process(sess, body)
@@ -326,6 +371,99 @@ def make_handler(state: AppState):
             state.log(f"cleaned: {removed}")
             self._redirect("/")
 
+        # ------------------------------------------------- PromQL API
+        def _api_json(self, obj: dict, status=HTTPStatus.OK):
+            self._respond(
+                json.dumps(obj).encode(),
+                status=status,
+                ctype="application/json",
+            )
+
+        def _api_error(self, msg: str, etype: str = "bad_data",
+                       status=HTTPStatus.BAD_REQUEST):
+            self._api_json(
+                {"status": "error", "errorType": etype, "error": msg},
+                status=status,
+            )
+
+        def _api_query(self, params: dict, range_: bool):
+            """Prometheus HTTP API shape over plans/promql. Instant form
+            evaluates on the native tier grid (engine deviation 1) and is
+            returned as a matrix over that grid; range form is the
+            explicit-grid as-of resample (promql.query_range)."""
+            query = (params.get("query") or [None])[0]
+            if not query:
+                self._api_error("missing 'query' parameter")
+                return
+            store = state.get_store()
+            if store is None:
+                self._api_error(
+                    "no metrics configured — start the server with "
+                    "--metric/--metrics-config", etype="unavailable",
+                    status=HTTPStatus.SERVICE_UNAVAILABLE,
+                )
+                return
+            from workbook_exporter_fe_spark.plans.promql import (
+                PromQLError,
+                promql,
+                query_range,
+            )
+
+            try:
+                with state.run_lock:
+                    if range_:
+                        start = (params.get("start") or [None])[0]
+                        end = (params.get("end") or [None])[0]
+                        if start is None or end is None:
+                            self._api_error(
+                                "query_range needs 'start' and 'end'"
+                            )
+                            return
+                        from run_rules import _epoch
+
+                        df = query_range(
+                            store, query, _epoch(start), _epoch(end),
+                            step=(params.get("step") or ["1m"])[0],
+                            lookback=(
+                                params.get("lookback") or ["5m"]
+                            )[0],
+                        )
+                    else:
+                        df = promql(store, query)
+                    label_cols = [
+                        c for c in df.columns if c not in ("ts", "value")
+                    ]
+                    rows = df.collect()
+            except PromQLError as e:
+                self._api_error(str(e))
+                return
+            from datetime import timezone
+
+            series: dict = {}
+            for r in rows:
+                key = tuple(
+                    (c, "" if r[c] is None else str(r[c]))
+                    for c in sorted(label_cols)
+                )
+                ts = r["ts"]
+                epoch = (
+                    ts.replace(tzinfo=timezone.utc).timestamp()
+                    if ts is not None else None
+                )
+                v = r["value"]
+                series.setdefault(key, []).append(
+                    [epoch, None if v is None else str(float(v))]
+                )
+            result = [
+                {"metric": dict(k),
+                 "values": sorted(vs, key=lambda t: (t[0] is None, t[0]))}
+                for k, vs in sorted(series.items())
+            ]
+            self._api_json({
+                "status": "success",
+                "data": {"resultType": "matrix", "result": result},
+            })
+
         # -------------------------------------------------------- pages
         def _upload_page(self) -> bytes:
             return (
@@ -368,9 +506,9 @@ def make_handler(state: AppState):
 
 def make_server(
     upload_dir: str, host: str = "127.0.0.1", port: int = 8001,
-    cores: str = "*",
+    cores: str = "*", metrics_cfg: dict | None = None,
 ) -> tuple[ThreadingHTTPServer, AppState]:
-    state = AppState(upload_dir, cores=cores)
+    state = AppState(upload_dir, cores=cores, metrics_cfg=metrics_cfg)
     server = ThreadingHTTPServer((host, port), make_handler(state))
     return server, state
 
@@ -383,10 +521,31 @@ def main() -> None:
         "--upload-dir", default="/tmp/workbook_uploads",
         help="staging dir (the reference used /tmp directly, :1927)",
     )
+    ap.add_argument(
+        "--metric", action="append", default=[],
+        help="NAME=PATH[:VALUECOL[:LABEL1+LABEL2]] (repeatable) — tier "
+        "tables served under /api/v1/query[_range] (run_query.py syntax)",
+    )
+    ap.add_argument(
+        "--metrics-config",
+        help="YAML with a metrics: section (run_rules.py shape) for the "
+        "PromQL API",
+    )
     ap.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     args = ap.parse_args()
+    metrics: list[dict] = []
+    if args.metrics_config:
+        import yaml
+
+        with open(args.metrics_config) as fh:
+            metrics += list(yaml.safe_load(fh).get("metrics", []))
+    if args.metric:
+        from run_query import _parse_metric
+
+        metrics += [_parse_metric(s) for s in args.metric]
     server, state = make_server(
-        args.upload_dir, host=args.host, port=args.port, cores=args.cores
+        args.upload_dir, host=args.host, port=args.port, cores=args.cores,
+        metrics_cfg={"metrics": metrics} if metrics else None,
     )
     print(json.dumps({
         "listening": f"http://{args.host}:{server.server_address[1]}/",

@@ -71,6 +71,30 @@ def test_word_freqs(spark, corpus, freqs):
     assert got == freqs
 
 
+def test_word_freqs_min_count_floor(spark, corpus, freqs):
+    """r5: the SentencePiece-style frequency floor is pushed into the
+    DISTRIBUTED relation — a below-floor word never reaches the driver
+    dict (the bound for >1e9-type raw web vocabularies)."""
+    floor = 2
+    got = {
+        r.word: r.freq
+        for r in word_freqs(corpus, min_count=floor).collect()
+    }
+    assert got == {w: f for w, f in freqs.items() if f >= floor}
+    assert any(f < floor for f in freqs.values())  # the floor pruned some
+    # trainers stay green over the floored vocab
+    from workbook_exporter_fe_spark.operators.bpe import bpe_train_local
+
+    assert bpe_train_local(got, n_merges=5)
+
+
+def test_word_freqs_top_k_cap(spark, corpus, freqs):
+    got = word_freqs(corpus, top_k=5).collect()
+    assert len(got) == 5
+    want = sorted(freqs.items(), key=lambda t: (-t[1], t[0]))[:5]
+    assert sorted((r.word, r.freq) for r in got) == sorted(want)
+
+
 def test_merge_sequence_matches_reference(spark, corpus, freqs):
     merges = bpe_train(word_freqs(corpus), n_merges=12)
     ref_merges, _ = _ref_train(freqs, 12)

@@ -169,3 +169,154 @@ def test_oversize_upload_rejected(served, monkeypatch):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(opener, base + "/", body, ctype)
     assert e.value.code == 413
+
+
+# ------------------------------------------------------- PromQL API (r5)
+
+
+@pytest.fixture()
+def tier1_path(spark, tmp_path):
+    """Tiny tier-1-shaped table (mirrors tests/test_run_query.py)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tier1")
+    (
+        spark.range(60)
+        .select(
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string"))
+            .alias("source"),
+            F.timestamp_seconds(
+                1700000000 + (F.col("id") / 2).cast("long") * 60
+            ).alias("bucket_ts"),
+            (F.col("id") * 1.0).alias("sum_v"),
+        )
+        .write.parquet(path)
+    )
+    return path
+
+
+@pytest.fixture()
+def promql_served(spark, tmp_path, tier1_path):
+    server, state = make_server(
+        str(tmp_path / "uploads"), port=0,
+        metrics_cfg={"metrics": [{
+            "name": "tok", "table": tier1_path,
+            "value": "sum_v", "labels": ["source"],
+        }]},
+    )
+    state.spark = spark
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", state
+    server.shutdown()
+
+
+def _get_json(url):
+    import json
+
+    with urllib.request.urlopen(url) as r:
+        return json.loads(r.read())
+
+
+def _series_map(payload):
+    assert payload["status"] == "success"
+    assert payload["data"]["resultType"] == "matrix"
+    return {
+        tuple(sorted(s["metric"].items())): s["values"]
+        for s in payload["data"]["result"]
+    }
+
+
+def test_api_query_instant_matches_direct_eval(promql_served, spark):
+    """HTTP /api/v1/query ≡ plans.promql.promql() over the same store
+    (run_query.py's path) — VERDICT r4 item #7's pin."""
+    from datetime import timezone
+    from urllib.parse import quote
+
+    from workbook_exporter_fe_spark.plans.promql import promql
+
+    base, state = promql_served
+    expr = "sum by (source) (sum_over_time(tok[5m]))"
+    got = _series_map(_get_json(base + "/api/v1/query?query=" + quote(expr)))
+    want: dict = {}
+    for r in promql(state.get_store(), expr).collect():
+        want.setdefault(
+            (("source", r["source"]),), []
+        ).append(
+            [r["ts"].replace(tzinfo=timezone.utc).timestamp(),
+             str(float(r["value"]))]
+        )
+    want = {k: sorted(v) for k, v in want.items()}
+    assert got == want and len(got) == 2
+
+
+def test_api_query_range_matches_direct_eval(promql_served, spark):
+    from datetime import timezone
+    from urllib.parse import quote, urlencode
+
+    from workbook_exporter_fe_spark.plans.promql import query_range
+
+    base, state = promql_served
+    expr = "avg_over_time(tok[5m])"
+    start, end = 1700000000, 1700001800
+    qs = urlencode({
+        "query": expr, "start": start, "end": end, "step": "5m",
+    })
+    got = _series_map(_get_json(base + "/api/v1/query_range?" + qs))
+    want: dict = {}
+    for r in query_range(
+        state.get_store(), expr, start, end, step="5m"
+    ).collect():
+        want.setdefault((("source", r["source"]),), []).append(
+            [r["ts"].replace(tzinfo=timezone.utc).timestamp(),
+             str(float(r["value"]))]
+        )
+    want = {k: sorted(v) for k, v in want.items()}
+    assert got == want
+    # grid spacing is the step
+    for vs in got.values():
+        ts = [t for t, _ in vs]
+        assert all(b - a == 300 for a, b in zip(ts, ts[1:]))
+    # POST form works identically
+    req = urllib.request.Request(
+        base + "/api/v1/query_range", data=qs.encode(), method="POST"
+    )
+    req.add_header("Content-Type", "application/x-www-form-urlencoded")
+    import json
+
+    with urllib.request.urlopen(req) as r:
+        assert _series_map(json.loads(r.read())) == want
+
+
+def test_api_query_errors(promql_served, tmp_path, spark):
+    base, state = promql_served
+    # bad PromQL → 400 with the Prometheus error envelope
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get_json(base + "/api/v1/query?query=rate(")
+    assert e.value.code == 400
+    import json
+
+    body = json.loads(e.value.read())
+    assert body["status"] == "error" and body["errorType"] == "bad_data"
+    # missing query param
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get_json(base + "/api/v1/query")
+    assert e.value.code == 400
+    # range without bounds
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get_json(base + "/api/v1/query_range?query=tok")
+    assert e.value.code == 400
+    # unconfigured server → 503
+    server, st2 = make_server(str(tmp_path / "u2"), port=0)
+    st2.spark = spark
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get_json(
+                f"http://127.0.0.1:{server.server_address[1]}"
+                "/api/v1/query?query=tok"
+            )
+        assert e.value.code == 503
+    finally:
+        server.shutdown()

@@ -52,17 +52,35 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, StringType
 
 
-def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def word_freqs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
     """(word, freq): corpus word frequencies — the one corpus-scale pass.
 
     Map-side combine does the heavy lifting: the shuffle carries
-    (word, partial_count) per task, not one row per occurrence."""
+    (word, partial_count) per task, not one row per occurrence.
+
+    ``min_count`` / ``top_k`` bound the relation DISTRIBUTED-side, before
+    any trainer collects it: a raw 100 TB web corpus has >1e9 word types
+    (mostly hapax noise), and SentencePiece's standard recipe is exactly
+    this frequency floor. ``top_k`` compiles to TakeOrderedAndProject
+    (per-partition partial top-k, driver merge of k·partitions rows —
+    never a full sort); ties break (freq DESC, word ASC), deterministic
+    under any partitioning."""
     w = F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
-    return (
+    out = (
         docs.select(w.alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    if min_count > 1:
+        out = out.filter(F.col("freq") >= min_count)
+    if top_k is not None:
+        out = out.orderBy(F.col("freq").desc(), F.col("word")).limit(top_k)
+    return out
 
 
 def _chars(col):

@@ -109,6 +109,8 @@ def curate_corpus(
     model_tokens_col: str | None = None,
     tokenize: str | None = None,
     tokenize_train_rate: float = 0.05,
+    tokenize_min_count: int = 1,
+    tokenize_top_k: int | None = None,
     tokenizer_save: str | None = None,
     tokenizer_load: str | None = None,
 ) -> tuple[DataFrame, dict]:
@@ -146,7 +148,11 @@ def curate_corpus(
     collect; training never re-executes the curation chain's dedup
     shuffle), and the encode rides the shard-write scan as one more
     Arrow kernel — still a single action, with the encoded token count
-    joining the split observation."""
+    joining the split observation. ``tokenize_min_count`` /
+    ``tokenize_top_k`` bound the collected vocabulary distributed-side
+    (word_freqs pushes the floor/cap before the collect — the guard for
+    >1e9-type raw web corpora; SentencePiece's standard min-frequency
+    recipe)."""
     from pyspark.sql import Observation
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -224,7 +230,10 @@ def curate_corpus(
             )
             freqs = {
                 r["word"]: r["freq"]
-                for r in word_freqs(train_src, text_col).collect()
+                for r in word_freqs(
+                    train_src, text_col,
+                    min_count=tokenize_min_count, top_k=tokenize_top_k,
+                ).collect()
             }
             if kind == "bpe":
                 from workbook_exporter_fe_spark.operators.bpe import (
