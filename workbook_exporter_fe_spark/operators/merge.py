@@ -21,25 +21,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def anti_join_state(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+def anti_join_state(
+    new: DataFrame,
+    existing: DataFrame,
+    keys: list[str],
+    existing_stats=None,
+    broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
     """Rows of `new` whose key is NOT already in `existing` (O15, set-based).
 
-    The existing-keys side is deduplicated and broadcast when small —
-    Catalyst/AQE decides; at cluster scale pass an explicit broadcast for
-    dimension-sized state.
+    The existing-keys side is deduplicated and broadcast when small.
+    Without stats, Catalyst/AQE decides from runtime sizes; pass
+    ``existing_stats`` (operators/joinplan.TableStats, manifest-derived)
+    and the broadcast hint is decided from METADATA before any scan —
+    the r5 stats→planning loop (VERDICT r4 item #2).
     """
-    return new.join(existing.select(*keys).dropDuplicates(keys), keys, "left_anti")
+    keys_side = existing.select(*keys).dropDuplicates(keys)
+    if existing_stats is not None and existing_stats.bytes <= broadcast_bytes:
+        keys_side = F.broadcast(keys_side)
+    return new.join(keys_side, keys, "left_anti")
 
 
-def merge_upsert(existing: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    existing: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    new_stats=None,
+    broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
     """Insert-or-replace per key: rows in `new` win (O19).
 
     Equivalent to `MERGE INTO existing USING new ON keys WHEN MATCHED THEN
     UPDATE * WHEN NOT MATCHED THEN INSERT *` — idempotent: merging the same
     `new` twice yields the same table.
+
+    The new-keys side broadcasts by default (the usual incremental case:
+    a small batch against a big table). With ``new_stats`` (manifest-
+    derived TableStats) the hint is dropped when the batch is genuinely
+    big — forcing a 100 GB broadcast would OOM the driver; the plain
+    exchange is correct there.
     """
     new = new.select(*existing.columns)
-    kept = existing.join(F.broadcast(new.select(*keys).dropDuplicates(keys)), keys, "left_anti")
+    keys_side = new.select(*keys).dropDuplicates(keys)
+    if new_stats is None or new_stats.bytes <= broadcast_bytes:
+        keys_side = F.broadcast(keys_side)
+    kept = existing.join(keys_side, keys, "left_anti")
     return kept.unionByName(new)
 
 
