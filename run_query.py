@@ -114,8 +114,12 @@ def main() -> None:
 
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"out": args.out, "rows": spark.read.parquet(
-            args.out).count()}))
+        rep = {"out": args.out,
+               "rows": spark.read.parquet(args.out).count()}
+        if store.pruning_stats:
+            # SnapshotTable-backed metrics: what the manifest pruned
+            rep["pruning"] = store.pruning_stats
+        print(json.dumps(rep))
         return
     from pyspark.sql import functions as F
 
@@ -128,6 +132,8 @@ def main() -> None:
         if d.get("ts") is not None:
             d["ts"] = d["ts"].isoformat()
         print(json.dumps(d, default=str))
+    if store.pruning_stats:
+        print(json.dumps({"pruning": store.pruning_stats}))
 
 
 if __name__ == "__main__":

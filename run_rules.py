@@ -59,18 +59,56 @@ def _load_table(spark, path: str):
     return spark.read.parquet(path)
 
 
+def _snapshot_loader(spark, path: str, ts_col: str, name: str, store):
+    """Bounded loader for a SnapshotTable-backed metric: a prune window
+    becomes a manifest ``col_between`` on the bucket-timestamp column, so
+    min/max stats AND hidden-partitioning transforms (day(bucket_ts))
+    skip files before Spark lists anything. Records what it pruned in
+    ``store.pruning_stats[name]``."""
+    import datetime as _dt
+
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    table = SnapshotTable(spark, path)
+
+    def loader(bounds):
+        if bounds is None:
+            return table.read()
+        lo, hi = bounds
+        iso = lambda e: _dt.datetime.fromtimestamp(  # noqa: E731
+            max(int(e), 0), _dt.timezone.utc
+        ).replace(tzinfo=None).isoformat()
+        cb = {ts_col: (iso(lo), iso(hi))}
+        opened, pruned = table.scan_files(col_between=cb)
+        store.pruning_stats[name] = {
+            "files_opened": len(opened),
+            "files_pruned": pruned,
+            "window": [iso(lo), iso(hi)],
+        }
+        return table.read(col_between=cb)
+
+    return loader
+
+
 def build_store(spark, cfg: dict):
     from workbook_exporter_fe_spark.plans.promql import MetricStore
 
     store = MetricStore()
     for m in cfg.get("metrics", []):
-        store.register(
-            m["name"],
-            _load_table(spark, m["table"]),
+        path = m["table"]
+        kw = dict(
             labels=tuple(m.get("labels", ["source"])),
             ts_col=m.get("ts", "bucket_ts"),
             value_col=m.get("value", "value"),
         )
+        if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
+            store.register_lazy(
+                m["name"],
+                _snapshot_loader(spark, path, kw["ts_col"], m["name"], store),
+                **kw,
+            )
+        else:
+            store.register(m["name"], spark.read.parquet(path), **kw)
     return store
 
 

@@ -59,6 +59,14 @@ def main() -> None:
         help="batch watermark, e.g. 'interval 1 hour': drop tier-0 events "
         "behind (high-water - delay) so finalized buckets never reopen",
     )
+    ap.add_argument(
+        "--snapshot-tiers",
+        action="store_true",
+        help="after the run, publish tier1/2/3 as SnapshotTables under "
+        "OUT/snapshot_tiers/* with hidden partitioning "
+        "[day(bucket_ts), source] — the manifest-pruned serving store "
+        "run_query/run_rules read (files-opened ≈ the queried window)",
+    )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
         "--backfill",
@@ -152,6 +160,12 @@ def main() -> None:
         "resumed": args.resume,
         "master": spark.sparkContext.master,
     }
+    if args.snapshot_tiers:
+        from workbook_exporter_fe_spark.plans.pipeline import (
+            publish_snapshot_tiers,
+        )
+
+        result["snapshot_tiers"] = publish_snapshot_tiers(spark, args.out)
     if args.verify:
         result["verify"] = pipe.verify()
     print(json.dumps(result))

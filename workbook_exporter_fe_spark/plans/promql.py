@@ -81,10 +81,32 @@ class MetricStore:
 
     Each metric is a DataFrame with label columns (strings), a bucket
     timestamp column, and one value column; ``register`` standardizes to
-    internal (labels..., ts, value)."""
+    internal (labels..., ts, value).
+
+    ``register_lazy`` (r5) registers a LOADER instead of a DataFrame:
+    ``loader(bounds)`` with ``bounds`` either None (full table) or an
+    ``(lo_epoch, hi_epoch)`` prune window. This is the manifest-pruning
+    hook for SnapshotTable-backed tier stores — ``query_range`` derives
+    a conservative window from the expression and evaluates against
+    ``bounded(lo, hi)``, so a day's query over a year's table opens a
+    day's files. Loaders may record what they pruned in
+    ``pruning_stats[name]`` (run_rules.build_store's SnapshotTable
+    loader does)."""
 
     def __init__(self) -> None:
         self._metrics: dict[str, tuple[DataFrame, tuple[str, ...]]] = {}
+        self._lazy: dict[str, tuple] = {}
+        self.pruning_stats: dict[str, dict] = {}
+
+    @staticmethod
+    def _std(df: DataFrame, labels, ts_col: str, value_col: str) -> DataFrame:
+        # normalize NTZ → TIMESTAMP (UTC-pinned sessions make it exact)
+        # so offset-shifted and plain vectors join on one timestamp type
+        return df.select(
+            *[F.col(c).cast("string").alias(c) for c in labels],
+            F.col(ts_col).cast("timestamp").alias("ts"),
+            F.col(value_col).cast("double").alias("value"),
+        )
 
     def register(
         self,
@@ -94,21 +116,58 @@ class MetricStore:
         ts_col: str = "bucket_ts",
         value_col: str = "value",
     ) -> "MetricStore":
-        # normalize NTZ → TIMESTAMP (UTC-pinned sessions make it exact)
-        # so offset-shifted and plain vectors join on one timestamp type
-        std = df.select(
-            *[F.col(c).cast("string").alias(c) for c in labels],
-            F.col(ts_col).cast("timestamp").alias("ts"),
-            F.col(value_col).cast("double").alias("value"),
+        self._metrics[name] = (
+            self._std(df, labels, ts_col, value_col), tuple(labels)
         )
-        self._metrics[name] = (std, tuple(labels))
+        return self
+
+    def register_lazy(
+        self,
+        name: str,
+        loader,
+        labels: tuple[str, ...] = ("source",),
+        ts_col: str = "bucket_ts",
+        value_col: str = "value",
+    ) -> "MetricStore":
+        """``loader(bounds)`` → raw tier DataFrame; bounds is None or
+        ``(lo_epoch, hi_epoch)``. The pruned load must be a SUPERSET of
+        rows in the window (file-granularity pruning is) — evaluation
+        semantics (staleness lookback, window frames) make extra
+        out-of-window rows harmless."""
+        self._lazy[name] = (loader, tuple(labels), ts_col, value_col)
         return self
 
     def metric(self, name: str) -> "Vector":
         if name not in self._metrics:
-            raise PromQLError(f"unknown metric {name!r}")
+            if name in self._lazy:
+                loader, labels, ts_col, value_col = self._lazy[name]
+                self._metrics[name] = (
+                    self._std(loader(None), labels, ts_col, value_col),
+                    labels,
+                )
+            else:
+                raise PromQLError(f"unknown metric {name!r}")
         df, labels = self._metrics[name]
         return Vector(df, labels)
+
+    def bounded(self, lo_epoch: int, hi_epoch: int) -> "MetricStore":
+        """A store whose lazy metrics load only files intersecting the
+        window (manifest pruning); eager metrics pass through as-is.
+        pruning_stats is SHARED with the parent so callers can report
+        what a bounded evaluation pruned."""
+        if not self._lazy:
+            return self
+        s = MetricStore()
+        s._metrics = dict(self._metrics)
+        s.pruning_stats = self.pruning_stats
+        for name, (loader, labels, ts_col, value_col) in self._lazy.items():
+            s._metrics[name] = (
+                self._std(
+                    loader((lo_epoch, hi_epoch)), labels, ts_col, value_col
+                ),
+                labels,
+            )
+        return s
 
 
 @dataclass
@@ -1233,6 +1292,21 @@ def promql(store: MetricStore, query: str) -> DataFrame:
     return PromQL(store).eval(query)
 
 
+def prune_allowance(query: str) -> float | None:
+    """Conservative extra seconds a bounded evaluation of ``query`` can
+    reach beyond [start, end]: the SUM of every duration token in the
+    expression (ranges, offsets, subquery windows — any composition of
+    them reaches at most their sum). None when the expression uses the
+    ``@`` modifier, which pins evaluation to an ABSOLUTE time that may
+    lie anywhere — pruning is disabled rather than guessed."""
+    toks = _lex(query)
+    if any(val == "@" for _, val in toks):
+        return None
+    return sum(
+        duration_seconds(val) for kind, val in toks if kind == "DURATION"
+    )
+
+
 def query_range(
     store: MetricStore,
     query: str,
@@ -1281,6 +1355,18 @@ def query_range(
     look_s = int(duration_seconds(lookback) if isinstance(lookback, str) else lookback)
     if step_s <= 0 or t1 < t0:
         raise PromQLError("need end >= start and step > 0")
+
+    # manifest pruning (r5): the grid only reads samples in
+    # [start - lookback - Σdurations, end + Σdurations] — hand lazy
+    # (SnapshotTable-backed) metrics that window so a day's query over a
+    # year's tier store opens a day's files. File pruning is a superset;
+    # extra rows outside the window are excluded by evaluation semantics
+    # (staleness lookback / window frames), so results are pinned equal.
+    allow = prune_allowance(query)
+    if allow is not None:
+        store = store.bounded(
+            t0 - look_s - int(allow), t1 + int(allow)
+        )
 
     df = promql(store, query)
     labels = [c for c in df.columns if c not in ("ts", "value")]
