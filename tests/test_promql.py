@@ -779,6 +779,95 @@ def test_holt_winters_validates_factors(store):
         promql(store, "holt_winters(mem_bytes[5m], 0.5)")
 
 
+# ------------------------------------------------- approx mode (r5)
+
+
+def test_approx_holt_winters_equals_exact(store):
+    """Production mode drops the per-row struct sort; with unique
+    timestamps per series the frame's collect order IS time order, so
+    the fold output is bit-identical to exact mode."""
+    expr = "holt_winters(mem_bytes[10m], 0.5, 0.25)"
+    exact = _collect(promql(store, expr))
+    approx = _collect(promql(store, expr, mode="approx"))
+    assert approx == exact and len(exact) > 0
+
+
+def _approx_errs(store, expr, warmup_s=900):
+    """Relative errors on FULL windows (grid points at least one window
+    length past each series' first sample — partial warm-up windows of
+    1-3 items are noise in both modes and not the production regime)."""
+    exact = _collect(promql(store, expr))
+    approx = _collect(promql(store, expr, mode="approx"))
+    assert set(approx) == set(exact) and len(exact) > 0
+    t0 = {}
+    for k in exact:
+        t0[k[:-1]] = min(t0.get(k[:-1], k[-1]), k[-1])
+    errs = []
+    for k, v in exact.items():
+        a = approx[k]
+        if v is None:
+            assert a is None
+            continue
+        if k[-1] < t0[k[:-1]] + warmup_s:
+            continue
+        errs.append(abs(a - v) / max(abs(v), 1.0))
+    errs.sort()
+    return errs
+
+
+def test_approx_mad_and_quantile_envelope(store, spark):
+    """Production-mode envelope, pinned on BOTH the adversarial modular
+    gauge (jumps of ±22 every step) and a smooth tier-like series
+    (diurnal sine + ripple): MAD = quartile deviation (IQR/2 — equals
+    exact MAD for symmetric windows) stays within 15% median / 60%
+    worst-case relative; the GK quantile within 10%/40% (it returns a
+    window ITEM where exact interpolates between two). MAD's worst case
+    is 75%: item-quartiles on 15-item windows are one inter-item gap
+    coarser than the interpolated exact rank pick."""
+    import math
+
+    smooth = MetricStore()
+    rows = [
+        (s, T0 + i * 60,
+         float(100 + 20 * math.sin(2 * math.pi * i / 60)
+               + ((i * 7 + ord(s[-1])) % 5)))
+        for s in ("s0", "s1") for i in range(200)
+    ]
+    smooth.register("mem_bytes", spark.createDataFrame(
+        rows, "source string, tsec long, value double"
+    ).select("source", F.timestamp_seconds("tsec").alias("bucket_ts"),
+             "value"))
+    for st in (store, smooth):
+        errs = _approx_errs(st, "mad_over_time(mem_bytes[15m])")
+        assert errs[len(errs) // 2] <= 0.15, errs[len(errs) // 2]
+        assert errs[-1] <= 0.75, errs[-1]
+        errs = _approx_errs(st, "quantile_over_time(0.9, mem_bytes[15m])")
+        assert errs[len(errs) // 2] <= 0.10, errs[len(errs) // 2]
+        assert errs[-1] <= 0.40, errs[-1]
+
+
+def test_approx_mad_exact_on_stable_series(spark):
+    """A constant series has MAD 0 in both modes — the streaming
+    approximation is EXACT when the window median is stable."""
+    st = MetricStore()
+    rows = [("s0", T0 + i * 60, 7.0) for i in range(30)]
+    st.register("flat", spark.createDataFrame(
+        rows, "source string, tsec long, value double"
+    ).select("source", F.timestamp_seconds("tsec").alias("bucket_ts"),
+             "value"))
+    expr = "mad_over_time(flat[10m])"
+    assert _collect(promql(st, expr, mode="approx")) \
+        == _collect(promql(st, expr))
+    assert all(
+        v == 0.0 for v in _collect(promql(st, expr, mode="approx")).values()
+    )
+
+
+def test_promql_mode_validated(store):
+    with pytest.raises(PromQLError, match="unknown mode"):
+        promql(store, "mem_bytes", mode="fast")
+
+
 def test_at_modifier_pins_evaluation_time(store):
     """`m @ t` is the as-of value at t, constant across the series' own
     grid; `offset` composes relative to t; stale series are absent."""
