@@ -64,6 +64,11 @@ def main() -> None:
         help="epoch-repeat oversampling: budgets above a source's corpus "
         "replay it across epochs (shards gain a mix_epoch column)",
     )
+    ap.add_argument(
+        "--mixture-max-epochs", type=int, default=64,
+        help="fat-finger guard: raise if a budget legitimately needs "
+        "more than this many replays of a source",
+    )
     ap.add_argument("--mixture-token-col", default="n_chars")
     ap.add_argument("--mixture-source-col", default="source")
     ap.add_argument(
@@ -229,6 +234,7 @@ def main() -> None:
         max_records_per_file=args.max_records_per_file,
         mixture=mixture,
         mixture_epochs=args.mixture_epochs,
+        mixture_max_epochs=args.mixture_max_epochs,
         mixture_token_col=args.mixture_token_col,
         mixture_source_col=args.mixture_source_col,
         shuffle_seed=args.shuffle_seed,

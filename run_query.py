@@ -75,6 +75,12 @@ def main() -> None:
     )
     ap.add_argument("--step", default="1m")
     ap.add_argument("--lookback", default="5m")
+    ap.add_argument(
+        "--mode", choices=("exact", "approx"), default="exact",
+        help="approx = decomposable production variants of "
+        "mad_over_time/quantile_over_time/holt_winters (envelope-pinned; "
+        "exact is the oracle-replayable default)",
+    )
     ap.add_argument("--out", help="write the FULL result as parquet here")
     ap.add_argument(
         "--limit", type=int, default=20,
@@ -107,10 +113,10 @@ def main() -> None:
             ap.error("--range needs 'START..END'")
         df = query_range(
             store, args.promql, _epoch(start), _epoch(end),
-            step=args.step, lookback=args.lookback,
+            step=args.step, lookback=args.lookback, mode=args.mode,
         )
     else:
-        df = promql(store, args.promql)
+        df = promql(store, args.promql, mode=args.mode)
 
     if args.out:
         df.write.mode("overwrite").parquet(args.out)

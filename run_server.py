@@ -409,6 +409,7 @@ def make_handler(state: AppState):
                 query_range,
             )
 
+            mode = (params.get("mode") or ["exact"])[0]
             try:
                 with state.run_lock:
                     if range_:
@@ -427,9 +428,10 @@ def make_handler(state: AppState):
                             lookback=(
                                 params.get("lookback") or ["5m"]
                             )[0],
+                            mode=mode,
                         )
                     else:
-                        df = promql(store, query)
+                        df = promql(store, query, mode=mode)
                     label_cols = [
                         c for c in df.columns if c not in ("ts", "value")
                     ]

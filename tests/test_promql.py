@@ -868,6 +868,19 @@ def test_promql_mode_validated(store):
         promql(store, "mem_bytes", mode="fast")
 
 
+def test_query_range_mode_passthrough(store):
+    """query_range(mode='approx') evaluates the production kernels on
+    the same grid: identical row keys, envelope-close values."""
+    from workbook_exporter_fe_spark.plans.promql import query_range
+
+    expr = "mad_over_time(mem_bytes[15m])"
+    exact = _collect(query_range(store, expr, T0, T0 + 1800, step="5m"))
+    approx = _collect(
+        query_range(store, expr, T0, T0 + 1800, step="5m", mode="approx")
+    )
+    assert set(approx) == set(exact) and len(exact) > 0
+
+
 def test_at_modifier_pins_evaluation_time(store):
     """`m @ t` is the as-of value at t, constant across the series' own
     grid; `offset` composes relative to t; stale series are absent."""

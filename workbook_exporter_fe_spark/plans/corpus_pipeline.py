@@ -100,6 +100,7 @@ def curate_corpus(
     max_records_per_file: int = 100_000,
     mixture: dict[str, int] | None = None,
     mixture_epochs: bool = False,
+    mixture_max_epochs: int = 64,
     mixture_token_col: str = "n_chars",
     mixture_source_col: str = "source",
     shuffle_seed: int | None = None,
@@ -202,10 +203,13 @@ def curate_corpus(
             mixture_sample,
         )
 
+        extra = (
+            {"max_epochs": mixture_max_epochs} if mixture_epochs else {}
+        )
         fill = mixture_oversample if mixture_epochs else mixture_sample
         kept = fill(
             kept, mixture, token_col=mixture_token_col,
-            source_col=mixture_source_col, key_col=id_col,
+            source_col=mixture_source_col, key_col=id_col, **extra,
         ).observe(
             obs_mix, n, F.sum(mixture_token_col).alias("tokens")
         )

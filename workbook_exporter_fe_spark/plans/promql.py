@@ -1377,6 +1377,7 @@ def query_range(
     end,
     step: str = "1m",
     lookback: str = "5m",
+    mode: str = "exact",
 ) -> DataFrame:
     """Prometheus ``/api/v1/query_range`` evaluation shape: the expression
     resampled onto an explicit ``[start, end]`` grid with ``step`` spacing
@@ -1431,7 +1432,7 @@ def query_range(
             t0 - look_s - int(allow), t1 + int(allow)
         )
 
-    df = promql(store, query)
+    df = promql(store, query, mode=mode)
     labels = [c for c in df.columns if c not in ("ts", "value")]
 
     samples = df.select(
