@@ -111,14 +111,18 @@ class AppState:
         return self.spark
 
     def get_store(self):
-        """Lazy MetricStore over the configured tier tables (same loader
-        as run_rules/run_query — parquet dirs or SnapshotTable roots)."""
-        if self._store is None:
-            if not (self.metrics_cfg or {}).get("metrics"):
-                return None
-            from run_rules import build_store
+        """MetricStore over the configured tier tables (same loader as
+        run_rules/run_query — parquet dirs or SnapshotTable roots).
+        REBUILT per call: SnapshotTable metrics resolve their manifest at
+        load time, and a long-lived server must see new tier publishes —
+        registration itself is lazy, so a rebuild costs a manifest read
+        only when the query actually touches the metric (run_rules
+        --follow applies the same rebuild-per-pass rule)."""
+        if not (self.metrics_cfg or {}).get("metrics"):
+            return None
+        from run_rules import build_store
 
-            self._store = build_store(self.get_spark(), self.metrics_cfg)
+        self._store = build_store(self.get_spark(), self.metrics_cfg)
         return self._store
 
 

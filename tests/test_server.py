@@ -320,3 +320,48 @@ def test_api_query_errors(promql_served, tmp_path, spark):
         assert e.value.code == 503
     finally:
         server.shutdown()
+
+
+def test_api_sees_new_snapshots(spark, tmp_path):
+    """The store is rebuilt per request, so a tier publish (new
+    SnapshotTable commit) is visible to the NEXT query — the long-lived
+    server never pins the first-seen snapshot (r5 freshness rule)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    root = str(tmp_path / "tier1")
+    t = SnapshotTable(spark, root)
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.lit("s0").alias("source"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 60)
+        .alias("bucket_ts"),
+        F.col("id").cast("double").alias("sum_v"),
+    )
+    t.commit(mk(0, 10))
+    server, state = make_server(
+        str(tmp_path / "uploads"), port=0,
+        metrics_cfg={"metrics": [{
+            "name": "tok", "table": root,
+            "value": "sum_v", "labels": ["source"],
+        }]},
+    )
+    state.spark = spark
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        def n_points():
+            with urllib.request.urlopen(
+                base + "/api/v1/query?query=tok"
+            ) as r:
+                data = json.loads(r.read())["data"]["result"]
+            return sum(len(s["values"]) for s in data)
+
+        assert n_points() == 10
+        t.commit(mk(10, 25))  # append AFTER the first query
+        assert n_points() == 25
+    finally:
+        server.shutdown()
