@@ -326,3 +326,53 @@ def test_build_rules_absent_yaml():
     cfg["groups"][0]["rules"][0].pop("start")
     with _pytest.raises(ValueError):
         build_rules(cfg)
+
+
+def test_rule_materializer_snapshot_backed_store(spark, tmp_path):
+    """r5: the incremental refresh works over LAZY (SnapshotTable-backed)
+    metrics — the second pass restricts through store.bounded(), so the
+    refresh window becomes a manifest prune (files opened ≈ window) AND
+    the lazy metric doesn't vanish from the restricted view (the r5
+    _restrict fix). Results pinned equal to one full evaluation."""
+    from run_rules import build_store
+    from workbook_exporter_fe_spark.plans.rules import RuleMaterializer
+    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
+
+    root = str(tmp_path / "tier1")
+    tier = SnapshotTable(spark, root)
+
+    def mk_batch(lo: int, hi: int):
+        rows = [
+            (s, t, v)
+            for s in ("s0", "s1")
+            for t, v in sorted(_vals(s).items())
+            if T0 + lo * 60 <= t < T0 + hi * 60
+        ]
+        return spark.createDataFrame(
+            rows, "source string, tsec long, value double"
+        ).select(
+            "source", F.timestamp_seconds("tsec").alias("bucket_ts"), "value"
+        )
+
+    cfg = {"metrics": [{"name": "mem_bytes", "table": root,
+                        "value": "value", "labels": ["source"]}]}
+    rules = [
+        RecordingRule("job:mem:avg5m", "avg_over_time(mem_bytes[5m])"),
+        AlertingRule("MemHot", "mem_bytes > 50", for_s=180, step_s=60),
+    ]
+    mat = RuleMaterializer(spark, str(tmp_path / "rules"))
+    tier.commit(mk_batch(0, 30))
+    s1 = mat.refresh(build_store(spark, cfg), rules)
+    assert all(v["watermark"] is None for v in s1.values())
+    tier.commit(mk_batch(30, 60))
+    store2 = build_store(spark, cfg)
+    s2 = mat.refresh(store2, rules)
+    assert all(v["new_rows"] > 0 for v in s2.values())
+    # the second pass pruned through the manifest (bounded loader ran)
+    assert "mem_bytes" in store2.pruning_stats
+    # incremental result == one-shot full evaluation over the full store
+    full = RuleEngine(build_store(spark, cfg)).run(rules)
+    for name in ("job:mem:avg5m", "MemHot"):
+        got = sorted(map(tuple, mat._table(name).read().collect()))
+        want = sorted(map(tuple, full[name].collect()))
+        assert got == want, name

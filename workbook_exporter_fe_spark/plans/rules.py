@@ -277,11 +277,25 @@ class RuleMaterializer:
         return stats
 
 
+#: far-future epoch bound for one-sided restrictions (year ~3058)
+_FAR_FUTURE = 1 << 35
+
+
 def _restrict(store: MetricStore, min_ts: float) -> MetricStore:
     """A view of the store with every metric filtered to ts > min_ts —
-    a plain scan predicate Catalyst pushes down to the source."""
+    a plain scan predicate Catalyst pushes down to the source.
+
+    Lazy (SnapshotTable-backed) metrics are first resolved through
+    ``store.bounded(min_ts, ∞)``, so the incremental refresh window
+    becomes a manifest ``col_between`` and file pruning happens before
+    Spark lists anything — at 100 TB a day's rule refresh opens a
+    day-plus-lookback of tier files, never the table (r5; also the fix
+    for lazy metrics simply VANISHING from the restricted view, since
+    they live in ``_lazy``, not ``_metrics``, until first load)."""
+    src = store.bounded(int(min_ts), _FAR_FUTURE) if store._lazy else store
     sub = MetricStore()
-    for name, (df, labels) in store._metrics.items():
+    sub.pruning_stats = src.pruning_stats
+    for name, (df, labels) in src._metrics.items():
         sub._metrics[name] = (
             df.filter(
                 F.col("ts").cast("timestamp").cast("double") > F.lit(min_ts)
