@@ -51,12 +51,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load_table(spark, path: str):
-    from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
-
-    if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
-        return SnapshotTable(spark, path).read()
-    return spark.read.parquet(path)
+def _is_snapshot_root(path: str) -> bool:
+    """SnapshotTable-vs-plain-parquet dispatch, in ONE place."""
+    return os.path.exists(
+        os.path.join(path, "metadata", "version-hint.text")
+    )
 
 
 def _snapshot_loader(spark, path: str, ts_col: str, name: str, store):
@@ -79,13 +78,10 @@ def _snapshot_loader(spark, path: str, ts_col: str, name: str, store):
             max(int(e), 0), _dt.timezone.utc
         ).replace(tzinfo=None).isoformat()
         cb = {ts_col: (iso(lo), iso(hi))}
-        opened, pruned = table.scan_files(col_between=cb)
-        store.pruning_stats[name] = {
-            "files_opened": len(opened),
-            "files_pruned": pruned,
-            "window": [iso(lo), iso(hi)],
-        }
-        return table.read(col_between=cb)
+        st = {"window": [iso(lo), iso(hi)]}
+        out = table.read(col_between=cb, stats=st)  # ONE manifest prune
+        store.pruning_stats[name] = st
+        return out
 
     return loader
 
@@ -101,7 +97,7 @@ def build_store(spark, cfg: dict):
             ts_col=m.get("ts", "bucket_ts"),
             value_col=m.get("value", "value"),
         )
-        if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
+        if _is_snapshot_root(path):
             store.register_lazy(
                 m["name"],
                 _snapshot_loader(spark, path, kw["ts_col"], m["name"], store),
@@ -119,14 +115,23 @@ def _epoch(x) -> int:
     if isinstance(x, (int, float)):
         return int(x)
     s = str(x).strip()
-    try:  # numeric STRING epoch (HTTP params arrive as strings)
-        return int(float(s))
-    except ValueError:
-        pass
     import calendar
     import datetime as _dt
 
-    return calendar.timegm(_dt.datetime.fromisoformat(s).timetuple())
+    # ISO first: fromisoformat accepts compact dates like '20240101',
+    # which float() would silently misread as epoch 20,240,101 (≈1970).
+    # Numeric-string epochs (HTTP params arrive as strings) are the
+    # fallback for anything ISO rejects, e.g. '1700000000'.
+    try:
+        return calendar.timegm(_dt.datetime.fromisoformat(s).timetuple())
+    except ValueError:
+        pass
+    try:
+        return int(float(s))
+    except ValueError:
+        raise ValueError(
+            f"bad time bound {x!r}: need epoch seconds or ISO-8601"
+        ) from None
 
 
 def build_rules(cfg: dict):

@@ -247,9 +247,12 @@ def make_handler(state: AppState):
             if body is None:
                 return
             if path in ("/api/v1/query", "/api/v1/query_range"):
-                self._api_query(
-                    parse_qs(body.decode()), range_=path.endswith("_range")
-                )
+                try:
+                    params = parse_qs(body.decode())
+                except UnicodeDecodeError:
+                    self._api_error("request body is not valid UTF-8")
+                    return
+                self._api_query(params, range_=path.endswith("_range"))
             elif path == "/":
                 self._upload(sess, body)
             elif path == "/process":
@@ -426,8 +429,16 @@ def make_handler(state: AppState):
                             return
                         from run_rules import _epoch
 
+                        try:
+                            t0, t1 = _epoch(start), _epoch(end)
+                        except ValueError as e:
+                            self._api_error(
+                                f"invalid start/end: {e} (epoch seconds "
+                                "or ISO-8601)"
+                            )
+                            return
                         df = query_range(
-                            store, query, _epoch(start), _epoch(end),
+                            store, query, t0, t1,
                             step=(params.get("step") or ["1m"])[0],
                             lookback=(
                                 params.get("lookback") or ["5m"]

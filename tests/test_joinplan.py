@@ -136,6 +136,56 @@ def test_salt_bucket_clamps():
     assert plan2["strategy"] == "salt" and plan2["salt_buckets"] == 2
 
 
+def test_salt_swaps_when_big_side_is_right(spark, tables):
+    """r5 review fix: salted_join replicates its RIGHT side ×buckets, so
+    when the planner's big low-NDV side is the caller's right, inner
+    joins swap sides (column order restored) instead of replicating the
+    big table."""
+    fact, dim = tables
+    fs, ds = stats_for(fact, "source"), stats_for(dim, "source")
+    got, plan = auto_join(
+        dim.read(), fact.read(), ["source"], ds, fs, broadcast_bytes=1
+    )
+    assert plan["strategy"] == "salt"
+    want = dim.read().join(fact.read(), ["source"])
+    assert got.columns == want.columns  # order restored after the swap
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+
+
+def test_salt_degrades_to_shuffle_not_semantics_change(spark, tables):
+    """r5 review fix: shapes salting can't express (outer joins; left
+    join with the big side on the right) fall back to the PLAIN join —
+    never a silent inner-join downgrade."""
+    fact, dim = tables
+    fs, ds = stats_for(fact, "source"), stats_for(dim, "source")
+    extra = dim.read().unionByName(
+        spark.createDataFrame(
+            [("s9", "region-x")], "source string, region string"
+        )
+    )
+    # full outer with salt-triggering stats → degraded shuffle plan
+    got, plan = auto_join(
+        fact.read(), extra, ["source"], fs, ds, how="full",
+        broadcast_bytes=1,
+    )
+    assert plan["strategy"] == "shuffle" and "degraded" in plan["why"]
+    want = fact.read().join(extra, ["source"], "full")
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
+    # the unmatched dim row survived (an inner downgrade would drop it)
+    assert any(r.source == "s9" for r in got.collect())
+    # left join with big side on the right also degrades, keeps nulls
+    got2, plan2 = auto_join(
+        dim.read(), fact.read(), ["source"], ds, fs, how="left",
+        broadcast_bytes=1,
+    )
+    assert plan2["strategy"] == "shuffle"
+    want2 = dim.read().join(fact.read(), ["source"], "left")
+    assert sorted(map(tuple, got2.collect())) \
+        == sorted(map(tuple, want2.collect()))
+
+
 def test_merge_paths_take_stats(spark, tables):
     """anti_join_state/merge_upsert consume the same TableStats: small
     state → broadcast hint in the plan; big state → no forced hint."""

@@ -103,6 +103,22 @@ def test_alert_zero_for_fires_immediately(store):
     assert out.count() > 0
 
 
+def test_epoch_bounds_parsing():
+    """r5 review fix: ISO parsing wins over the numeric fast path —
+    compact ISO dates ('20240101') must not be misread as tiny epochs."""
+    from run_rules import _epoch
+
+    assert _epoch(1700000000) == 1700000000
+    assert _epoch("1700000000") == 1700000000
+    assert _epoch(" 1700000000.5 ") == 1700000000
+    assert _epoch("2023-11-14T22:13:20") == 1700000000  # naive = UTC
+    assert _epoch("20240101") == 1704067200  # compact ISO, NOT epoch 2e7
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad time bound"):
+        _epoch("not-a-time")
+
+
 def test_lookback_seconds():
     from workbook_exporter_fe_spark.plans.rules import lookback_seconds
 

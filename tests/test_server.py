@@ -306,6 +306,12 @@ def test_api_query_errors(promql_served, tmp_path, spark):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get_json(base + "/api/v1/query_range?query=tok")
     assert e.value.code == 400
+    # r5 review fix: malformed start/end → 400 envelope, not a dropped
+    # connection (only PromQLError was caught before)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get_json(base + "/api/v1/query_range?query=tok&start=abc&end=now")
+    assert e.value.code == 400
+    assert json.loads(e.value.read())["errorType"] == "bad_data"
     # unconfigured server → 503
     server, st2 = make_server(str(tmp_path / "u2"), port=0)
     st2.spark = spark

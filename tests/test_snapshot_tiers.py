@@ -63,13 +63,22 @@ def _store(spark, table_path):
 
 
 def test_prune_allowance():
-    assert prune_allowance("rate(x[5m])") == 300
+    assert prune_allowance("avg_over_time(x[5m])") == 300
     # subquery: range + inner range + offset all count; the ':1m' step
     # lexes as one ident and adds no reach (steps never extend windows)
-    assert prune_allowance("max_over_time(rate(x[5m])[30m:1m]) offset 1h") \
-        == 300 + 1800 + 3600
+    assert prune_allowance(
+        "max_over_time(avg_over_time(x[5m])[30m:1m]) offset 1h"
+    ) == 300 + 1800 + 3600
     assert prune_allowance("sum(x)") == 0
     assert prune_allowance("x @ 1700000000") is None
+    # r5 review fix: lag/min-anchored functions reach past any fixed
+    # window (predecessor via F.lag over the UNBOUNDED series sort,
+    # deriv/predict_linear anchor at whole-partition min) — pruning
+    # must be disabled, never guessed
+    for fn in ("rate", "increase", "irate", "idelta", "resets",
+               "changes", "deriv"):
+        assert prune_allowance(f"{fn}(x[5m])") is None, fn
+    assert prune_allowance("predict_linear(x[10m], 300)") is None
 
 
 def test_query_range_prunes_and_matches_unpartitioned(spark, tier_out):
@@ -91,6 +100,26 @@ def test_query_range_prunes_and_matches_unpartitioned(spark, tier_out):
     # ~2 days × 2 sources of files survive
     assert stats["files_opened"] <= 6
     assert stats["files_pruned"] >= total - 6
+
+
+def test_lag_functions_never_pruned(spark, tier_out):
+    """rate()'s per-sample delta references the predecessor via F.lag
+    over the UNBOUNDED series sort — a pruned file boundary would null
+    the first in-window delta. The fix disables pruning for these
+    functions; rows must be pinned equal to the eager store AND no
+    pruning stats recorded."""
+    from workbook_exporter_fe_spark.plans.promql import query_range
+
+    out, info = tier_out
+    lazy = _store(spark, info["tier1"]["root"])
+    eager = _store(spark, f"{out}/tier1")
+    expr = "rate(tok[2h])"
+    start, end = T0 + 10 * DAY, T0 + 11 * DAY
+    got = query_range(lazy, expr, start, end, step="1h").collect()
+    want = query_range(eager, expr, start, end, step="1h").collect()
+    key = lambda r: (r.source, r.ts)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key) and len(got) > 0
+    assert "tok" not in lazy.pruning_stats
 
 
 def test_instant_query_full_load(spark, tier_out):

@@ -163,11 +163,32 @@ def auto_join(
     if plan["strategy"] == "salt":
         from workbook_exporter_fe_spark.operators.skewjoin import salted_join
 
-        return (
-            salted_join(
-                left, right, keys, salt_buckets=plan["salt_buckets"],
-                how=how if how in ("inner", "left") else "inner",
-            ),
-            plan,
-        )
+        # salted_join salts the LEFT side and REPLICATES the right side
+        # ×buckets — the big low-NDV side must be on the left or the
+        # replication multiplies the big table. When the big side is the
+        # right, swap for inner joins (side-symmetric; restore column
+        # order after); any shape salting can't express degrades to the
+        # plain shuffle join — NEVER silently change join semantics.
+        big_is_right = right_stats.bytes > left_stats.bytes
+        if how == "inner" and big_is_right:
+            out_cols = keys + [
+                c for c in left.columns if c not in keys
+            ] + [c for c in right.columns if c not in keys]
+            swapped = salted_join(
+                right, left, keys, salt_buckets=plan["salt_buckets"],
+                how="inner",
+            )
+            return swapped.select(*out_cols), plan
+        if how in ("inner", "left") and not big_is_right:
+            return (
+                salted_join(
+                    left, right, keys,
+                    salt_buckets=plan["salt_buckets"], how=how,
+                ),
+                plan,
+            )
+        plan = {**plan, "strategy": "shuffle",
+                "why": plan["why"] + " (degraded to shuffle: salt "
+                "cannot express this side/how combination)"}
+        return left.join(right, keys, how), plan
     return left.join(right, keys, how), plan

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def hash_sample(
@@ -360,11 +361,17 @@ def mixture_oversample(
     budget over a tiny source would otherwise fabricate an unbounded
     number of replica rows per input row before the window sort ever
     runs — we validate the replica counts driver-side (the totals
-    relation is per-source, tiny) and raise instead."""
-    totals = df.groupBy(source_col).agg(
-        F.sum(token_col).cast("long").alias("_tot")
+    relation is per-source, tiny) and raise instead. The collected map
+    is then REUSED as the broadcast totals relation, so the upstream
+    chain (in curate_corpus: the whole dedup/filter pipeline) executes
+    once for the totals, not once for the guard and again in the plan
+    (the repo's persist-choice rule)."""
+    tot_rows = (
+        df.groupBy(source_col)
+        .agg(F.sum(token_col).cast("long").alias("_tot"))
+        .collect()
     )
-    tot_map = {r[source_col]: r["_tot"] for r in totals.collect()}
+    tot_map = {r[source_col]: r["_tot"] for r in tot_rows}
     for src, b in budgets.items():
         t = tot_map.get(src)
         if t and t > 0 and -(-int(b) // int(t)) > max_epochs:
@@ -374,6 +381,14 @@ def mixture_oversample(
                 f"{t} tokens) > max_epochs={max_epochs}; raise "
                 "max_epochs if this is intentional"
             )
+    spark = df.sparkSession
+    totals = spark.createDataFrame(
+        [(k, int(v)) for k, v in tot_map.items()],
+        StructType([
+            df.schema[source_col],
+            StructField("_tot", LongType()),
+        ]),
+    )
     budget = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv]
     )

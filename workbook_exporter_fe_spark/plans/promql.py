@@ -153,19 +153,25 @@ class MetricStore:
     def bounded(self, lo_epoch: int, hi_epoch: int) -> "MetricStore":
         """A store whose lazy metrics load only files intersecting the
         window (manifest pruning); eager metrics pass through as-is.
-        pruning_stats is SHARED with the parent so callers can report
-        what a bounded evaluation pruned."""
+        Lazy metrics stay LAZY — the bounds are curried into their
+        loaders and resolved by ``metric()`` on first reference, so an
+        evaluation touching one of three configured tiers pays one
+        metric's manifest work, and pruning_stats only ever reports
+        metrics the query actually read. pruning_stats is SHARED with
+        the parent so callers can report what a bounded evaluation
+        pruned. Unbounded memoized loads from the parent are NOT carried
+        over — the bounded loader must win for its own metrics."""
         if not self._lazy:
             return self
         s = MetricStore()
-        s._metrics = dict(self._metrics)
+        s._metrics = {
+            n: v for n, v in self._metrics.items() if n not in self._lazy
+        }
         s.pruning_stats = self.pruning_stats
         for name, (loader, labels, ts_col, value_col) in self._lazy.items():
-            s._metrics[name] = (
-                self._std(
-                    loader((lo_epoch, hi_epoch)), labels, ts_col, value_col
-                ),
-                labels,
+            s._lazy[name] = (
+                (lambda bounds, _l=loader: _l((lo_epoch, hi_epoch))),
+                labels, ts_col, value_col,
             )
         return s
 
@@ -553,12 +559,14 @@ class PromQL:
     implementations of the heaviest window functions for decomposable
     ones behind the SAME PromQL names:
 
-    - ``mad_over_time`` / ``quantile_over_time``: two-pass
-      ``percentile_approx`` (GK sketch, JVM aggregate) instead of the
-      collect_list + interpreted sorted-array rank pick. MAD becomes the
-      streaming approximation median(|xᵢ − m̂ᵢ|) with each sample's
-      deviation taken from its OWN window's median — exact when the
-      median is locally stable, envelope-pinned in tests otherwise.
+    - ``mad_over_time`` / ``quantile_over_time``: ``percentile_approx``
+      (GK sketch, JVM aggregate) instead of the collect_list +
+      interpreted sorted-array rank pick. MAD becomes the quartile
+      deviation (q75 − q25)/2 from ONE window aggregate — equal to the
+      exact MAD for symmetric window distributions, envelope-pinned in
+      tests otherwise (the median-of-own-window-deviations alternative
+      was measured and rejected: it loses the trend component of
+      spread, 4.6× worst-case on a drifting series).
     - ``holt_winters``: the same F.aggregate fold, but over the frame's
       native collect order (window frames iterate in the partition's
       time sort) instead of pre-collecting (t, x) structs and sorting
@@ -1355,15 +1363,36 @@ def promql(store: MetricStore, query: str, mode: str = "exact") -> DataFrame:
     return PromQL(store, approx=(mode == "approx")).eval(query)
 
 
+#: functions whose Spark implementation reaches UNBOUNDEDLY far back:
+#: rate/increase/irate/idelta/resets/changes take each sample's delta
+#: against its predecessor via F.lag over the unbounded series window
+#: (the engine's counter-continuation deviation — the predecessor may
+#: sit arbitrarily before the range window across a data gap), and
+#: deriv/predict_linear anchor elapsed time at min(_tsec) over the WHOLE
+#: partition. Pruning files could remove those far-back rows and change
+#: results, so any of these names disables pruning outright.
+_UNBOUNDED_REACH_FNS = frozenset({
+    "rate", "increase", "irate", "idelta", "resets", "changes",
+    "deriv", "predict_linear",
+})
+
+
 def prune_allowance(query: str) -> float | None:
     """Conservative extra seconds a bounded evaluation of ``query`` can
     reach beyond [start, end]: the SUM of every duration token in the
     expression (ranges, offsets, subquery windows — any composition of
-    them reaches at most their sum). None when the expression uses the
-    ``@`` modifier, which pins evaluation to an ABSOLUTE time that may
-    lie anywhere — pruning is disabled rather than guessed."""
+    them reaches at most their sum). None — pruning disabled rather
+    than guessed — when the expression uses the ``@`` modifier (pins
+    evaluation to an ABSOLUTE time that may lie anywhere) or any
+    function in :data:`_UNBOUNDED_REACH_FNS` (their lag/min-anchored
+    semantics reach past any fixed window)."""
     toks = _lex(query)
     if any(val == "@" for _, val in toks):
+        return None
+    if any(
+        kind == "IDENT" and val in _UNBOUNDED_REACH_FNS
+        for kind, val in toks
+    ):
         return None
     return sum(
         duration_seconds(val) for kind, val in toks if kind == "DURATION"

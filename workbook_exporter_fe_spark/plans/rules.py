@@ -285,23 +285,35 @@ def _restrict(store: MetricStore, min_ts: float) -> MetricStore:
     """A view of the store with every metric filtered to ts > min_ts —
     a plain scan predicate Catalyst pushes down to the source.
 
-    Lazy (SnapshotTable-backed) metrics are first resolved through
-    ``store.bounded(min_ts, ∞)``, so the incremental refresh window
-    becomes a manifest ``col_between`` and file pruning happens before
-    Spark lists anything — at 100 TB a day's rule refresh opens a
-    day-plus-lookback of tier files, never the table (r5; also the fix
-    for lazy metrics simply VANISHING from the restricted view, since
-    they live in ``_lazy``, not ``_metrics``, until first load)."""
-    src = store.bounded(int(min_ts), _FAR_FUTURE) if store._lazy else store
+    Lazy (SnapshotTable-backed) metrics STAY lazy: their loaders are
+    re-registered with the refresh window curried in as a manifest
+    ``col_between`` plus the exact row filter on top, so file pruning
+    happens before Spark lists anything AND only rules that reference
+    the metric pay its manifest work — at 100 TB a day's rule refresh
+    opens a day-plus-lookback of tier files, never the table (r5; also
+    the fix for lazy metrics simply VANISHING from the restricted view,
+    since they live in ``_lazy``, not ``_metrics``, until first load)."""
     sub = MetricStore()
-    sub.pruning_stats = src.pruning_stats
-    for name, (df, labels) in src._metrics.items():
+    sub.pruning_stats = store.pruning_stats
+    for name, (df, labels) in store._metrics.items():
+        if name in store._lazy:
+            continue  # a memoized UNBOUNDED load; the lazy path wins
         sub._metrics[name] = (
             df.filter(
                 F.col("ts").cast("timestamp").cast("double") > F.lit(min_ts)
             ),
             labels,
         )
+    for name, (loader, labels, ts_col, value_col) in store._lazy.items():
+
+        def _bounded_loader(bounds, _l=loader, _ts=ts_col):
+            raw = _l((int(min_ts), _FAR_FUTURE))
+            return raw.filter(
+                F.col(_ts).cast("timestamp").cast("double")
+                > F.lit(float(min_ts))
+            )
+
+        sub._lazy[name] = (_bounded_loader, labels, ts_col, value_col)
     return sub
 
 

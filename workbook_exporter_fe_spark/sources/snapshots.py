@@ -2255,12 +2255,16 @@ class SnapshotTable:
         sequence: int | None = None,
         col_between: dict | None = None,
         col_eq: dict | None = None,
+        stats: dict | None = None,
     ) -> DataFrame:
         """The snapshot's rows; ``sequence`` time-travels, ``col_between``
         ({col: (lo, hi)}) prunes whole files by manifest min/max before
         Spark lists anything, ``col_eq`` ({col: value}) prunes by manifest
         bloom (point lookups). Pruning is a superset guard — apply the
         actual row filter on top (exactly like partition pruning).
+        ``stats`` (a caller dict) receives ``files_opened`` /
+        ``files_pruned`` so observers don't need a second scan_files
+        pass over the manifest (r5).
 
         Reads against the MANIFEST schema (Iceberg-style): files written
         before an add-evolution null-fill the new column, files holding
@@ -2268,7 +2272,10 @@ class SnapshotTable:
         sweep, the metadata already knows the answer. Position deletes
         (merge-on-read) mask at scan time via ``_read_paths``."""
         manifest = self.snapshot(sequence)
-        paths, _ = self._select_files(manifest, col_between, col_eq)
+        paths, pruned = self._select_files(manifest, col_between, col_eq)
+        if stats is not None:
+            stats["files_opened"] = len(paths)
+            stats["files_pruned"] = pruned
         return self._read_paths(manifest, paths)
 
     def scan_files(
