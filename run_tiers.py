@@ -165,7 +165,13 @@ def main() -> None:
             publish_snapshot_tiers,
         )
 
-        result["snapshot_tiers"] = publish_snapshot_tiers(spark, args.out)
+        # incremental refresh (--events): dynamic-partition-overwrite
+        # publish scoped to the batch's (day, source) partitions —
+        # O(delta), never a full-tier republish
+        result["snapshot_tiers"] = publish_snapshot_tiers(
+            spark, args.out,
+            changed=batch if args.events else None,
+        )
     if args.verify:
         result["verify"] = pipe.verify()
     print(json.dumps(result))

@@ -706,6 +706,7 @@ def publish_snapshot_tiers(
     spark: SparkSession,
     out: str,
     tier_names: tuple[str, ...] = ("tier1", "tier2", "tier3"),
+    changed: DataFrame | None = None,
 ) -> dict:
     """Publish the pipeline's parquet tier dirs as SnapshotTables with
     hidden partitioning ``[day(bucket_ts), source]`` — the SERVING store
@@ -717,14 +718,33 @@ def publish_snapshot_tiers(
     files from the manifest alone: a query_range over one day of a
     year-long tier-1 opens ~that day's files (per-file min/max stats AND
     the day() partition transform both skip, before Spark lists
-    anything). Each publish is one ``overwrite`` commit — prior
+    anything). A full publish is one ``overwrite`` commit — prior
     publishes stay time-travelable and expire via normal snapshot
-    retention. At 100 TB the pipeline's merge stages would commit here
-    directly; the publish step keeps the two layouts decoupled without
-    changing the resume contract.
+    retention.
+
+    ``changed`` (r5): a relation carrying the rows FOLDED this run —
+    any (source, some timestamp column) shape, e.g. the incremental
+    batch's events. With it (and an already-published store), each
+    tier's publish becomes a DYNAMIC PARTITION OVERWRITE
+    (SnapshotTable.overwrite_partitions) touching only the changed
+    (day, source) partitions: a batch that landed 3 days × 5 sources
+    republishes 15 partitions, never the tier — the O(delta) publish a
+    100 TB continuous aggregate needs. Every tier granularity (1m/1h/1d)
+    truncates WITHIN the event's day, so the batch's (day, source) set
+    covers all changed rows of all three tiers.
     """
     from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
 
+    keys = None
+    if changed is not None:
+        ts_col = "event_ts" if "event_ts" in changed.columns else "bucket_ts"
+        keys = (
+            changed.select(
+                "source",
+                F.to_date(F.col(ts_col).cast("timestamp")).alias("_day"),
+            )
+            .distinct()
+        )
     info: dict = {}
     for name in tier_names:
         src = f"{out}/{name}"
@@ -736,9 +756,30 @@ def publish_snapshot_tiers(
             table.set_properties(
                 **{"partition.spec": ["day(bucket_ts)", "source"]}
             )
+        df = spark.read.parquet(src)
+        if keys is not None and table.current_sequence() > 0:
+            delta = df.join(
+                F.broadcast(keys),
+                (df["source"] == keys["source"])
+                & (
+                    F.to_date(df["bucket_ts"].cast("timestamp"))
+                    == keys["_day"]
+                ),
+                "left_semi",
+            )
+            rep = table.overwrite_partitions(
+                delta, summary={"published_from": src}
+            )
+            info[name] = {
+                "root": root,
+                "sequence": rep["sequence"],
+                "files": len(table.snapshot()["files"]),
+                "partitions_replaced": rep["partitions"],
+                "files_replaced": rep["files_replaced"],
+            }
+            continue
         seq = table.commit(
-            spark.read.parquet(src), mode="overwrite",
-            summary={"published_from": src},
+            df, mode="overwrite", summary={"published_from": src}
         )
         info[name] = {
             "root": root,

@@ -2559,6 +2559,113 @@ class SnapshotTable:
             "rows_dropped": n_dropped,
         }
 
+    def overwrite_partitions(
+        self, df: DataFrame, summary: dict | None = None
+    ) -> dict:
+        """Iceberg-style DYNAMIC PARTITION OVERWRITE (r5): replace
+        exactly the partitions ``df`` holds rows for, in ONE snapshot —
+        metadata-only retirement of the replaced files plus an O(delta)
+        write of the new rows. The 100 TB incremental-publish primitive:
+        a continuous-aggregate refresh that touched 3 days × 5 sources
+        rewrites 15 partitions, never the table (INSERT OVERWRITE with
+        Hive dynamic-partition semantics, Iceberg's
+        ``overwrite(byRowFilter=partition)`` shape).
+
+        The touched-partition probe is the writer's OWN derived columns
+        (partitioning.partition_columns), so the collected canonical
+        strings match the manifest tuples bit-exactly — the same
+        Spark-expr/Python-twin equivalence the pruning path pins.
+        Superset guard: refuses when any live file predates the spec (no
+        recorded tuple — it could hold rows in a replaced partition and
+        proof-by-tuple is the whole point; ``compact()`` first).
+        Commits ``operation='overwrite'``: incremental ``changes()``
+        consumers break loudly, exactly like any history rewrite.
+        Returns {sequence, files_replaced, rows_replaced, partitions}.
+        """
+        fields = self._partition_fields()
+        if not fields:
+            raise ValueError(
+                "overwrite_partitions needs a partition.spec table "
+                "property (dynamic overwrite replaces BY partition)"
+            )
+        parent = self.current_sequence()
+        if parent == 0:
+            seq = self.commit(df, summary=dict(summary or {}))
+            return {"sequence": seq, "files_replaced": 0,
+                    "rows_replaced": 0, "partitions": 0}
+        self._check_append_schema(df, against=parent)
+        m = self.snapshot(parent)
+        untupled = [f["path"] for f in m["files"] if not f.get("partition")]
+        if untupled:
+            raise ValueError(
+                f"{len(untupled)} live file(s) predate the partition "
+                "spec (no recorded tuple) — overwrite_partitions cannot "
+                "prove they miss the replaced partitions; compact() the "
+                "table first"
+            )
+        from workbook_exporter_fe_spark.sources.partitioning import (
+            partition_columns,
+        )
+
+        names = [f.name for f in fields]
+        probe_rows = (
+            df.select(*partition_columns(df, fields)).distinct().collect()
+        )
+        probes = {
+            tuple(
+                None if r[i] is None else str(r[i])
+                for i in range(len(names))
+            )
+            for r in probe_rows
+        }
+        replaced = [
+            f for f in m["files"]
+            if tuple(
+                (f.get("partition") or {}).get(n) for n in names
+            ) in probes
+        ]
+        replaced_set = {f["path"] for f in replaced}
+        commit_dir = os.path.join(
+            self.data,
+            f"c{max_sequence(self.root) + 1:08d}-{uuid.uuid4().hex[:8]}",
+        )
+        self._write_data(df, commit_dir)
+        new_files = [f for f in self._file_stats(commit_dir) if f["rows"] > 0]
+        carried = [f for f in m["files"] if f["path"] not in replaced_set]
+        replaced_rows = (
+            self._live_scope_rows(m, sorted(replaced_set))
+            if replaced_set else 0
+        )
+        try:
+            seq = self._commit_manifest(
+                operation="overwrite",
+                files=carried + new_files,
+                schema=m["schema"],
+                summary={
+                    **dict(summary or {}),
+                    "dynamic_partition_overwrite": True,
+                    "partitions_replaced": len(probes),
+                    "files_replaced": len(replaced),
+                    "files_carried": len(carried),
+                    "rows_replaced": replaced_rows,
+                    "rows_written": sum(f["rows"] for f in new_files),
+                },
+                expected_parent=parent,
+                deletes=carry_deletes(m, replaced_set),
+                base_raw=load_manifest_raw(self.root, parent),
+                removed_paths=replaced_set,
+                added_files=new_files,
+            )
+        except SnapshotConflict:
+            shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+        return {
+            "sequence": seq,
+            "files_replaced": len(replaced),
+            "rows_replaced": replaced_rows,
+            "partitions": len(probes),
+        }
+
     # ------------------------------------------------------------------ GC
     def row_diff(
         self, from_sequence: int | str, to_sequence: int | str | None = None,
