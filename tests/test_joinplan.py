@@ -186,6 +186,29 @@ def test_salt_degrades_to_shuffle_not_semantics_change(spark, tables):
         == sorted(map(tuple, want2.collect()))
 
 
+def test_stats_for_parquet_footers_only(spark, tmp_path):
+    """Plain parquet dirs get footer-based rows/bytes (no Spark job, no
+    data pages); NDV stays None so the planner never salts blind."""
+    from workbook_exporter_fe_spark.operators.joinplan import (
+        stats_for_parquet,
+    )
+
+    p = str(tmp_path / "plain")
+    _fact(spark, n=5000).write.partitionBy("source").parquet(p)
+    st = stats_for_parquet(p)
+    assert st.rows == 5000 and st.bytes > 0 and st.ndv is None
+    plan = plan_join_strategy(
+        st, TableStats(rows=10, bytes=1000, ndv=None)
+    )
+    assert plan["strategy"] == "broadcast" and plan["build_side"] == "right"
+    # big + unknown ndv on the big side → shuffle, never blind salt
+    plan2 = plan_join_strategy(
+        TableStats(rows=10**9, bytes=500 << 30, ndv=None),
+        TableStats(rows=10**8, bytes=50 << 30, ndv=None),
+    )
+    assert plan2["strategy"] == "shuffle"
+
+
 def test_merge_paths_take_stats(spark, tables):
     """anti_join_state/merge_upsert consume the same TableStats: small
     state → broadcast hint in the plan; big state → no forced hint."""

@@ -39,6 +39,7 @@ plans anyway.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -80,6 +81,28 @@ def stats_for(table, key: str, sequence: int | None = None) -> TableStats:
     return TableStats(
         rows=rows, bytes=total_bytes, ndv=table.column_ndv(key, sequence)
     )
+
+
+def stats_for_parquet(path: str, key: str | None = None) -> TableStats:
+    """Footer-only stats for a PLAIN parquet dir (no snapshot manifest):
+    rows and bytes from each file's parquet footer via pyarrow — still
+    zero data-page reads, one small footer read per file, no Spark job.
+    NDV is unavailable without sketch sidecars (``ndv=None`` — the
+    planner then never salts blind, falling through to shuffle), so the
+    broadcast decision is the one this variant powers: the pipeline's
+    hive-fallback merge paths (merge_upsert_path and friends) can pick
+    the hint from footers instead of caller flags."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    rows = 0
+    bytes_ = 0
+    for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                        recursive=True):
+        rows += pq.ParquetFile(f).metadata.num_rows
+        bytes_ += os.path.getsize(f)
+    return TableStats(rows=rows, bytes=bytes_, ndv=None)
 
 
 def plan_join_strategy(
