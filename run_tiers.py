@@ -63,9 +63,18 @@ def main() -> None:
         "--snapshot-tiers",
         action="store_true",
         help="after the run, publish tier1/2/3 as SnapshotTables under "
-        "OUT/snapshot_tiers/* with hidden partitioning "
-        "[day(bucket_ts), source] — the manifest-pruned serving store "
-        "run_query/run_rules read (files-opened ≈ the queried window)",
+        "OUT/snapshot_tiers/* with hidden partitioning — the "
+        "manifest-pruned serving store run_query/run_rules read "
+        "(files-opened ≈ the queried window); incremental runs publish "
+        "as a dynamic partition overwrite scoped to the batch (O(delta))",
+    )
+    ap.add_argument(
+        "--tier-partition-spec",
+        default="day(bucket_ts),source",
+        help="serving-store partition spec at FIRST publish (comma "
+        "list); at web-scale source cardinality use "
+        "'day(bucket_ts),bucket(64;source)' — ';' inside a transform "
+        "stands for ','",
     )
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
@@ -166,11 +175,16 @@ def main() -> None:
         )
 
         # incremental refresh (--events): dynamic-partition-overwrite
-        # publish scoped to the batch's (day, source) partitions —
-        # O(delta), never a full-tier republish
+        # publish scoped to the batch's partitions — O(delta), never a
+        # full-tier republish. ';' inside a transform stands for ','
+        # (same convention as run_maintenance --partition-spec).
         result["snapshot_tiers"] = publish_snapshot_tiers(
             spark, args.out,
             changed=batch if args.events else None,
+            spec=tuple(
+                p.replace(";", ",")
+                for p in args.tier_partition_spec.split(",")
+            ),
         )
     if args.verify:
         result["verify"] = pipe.verify()

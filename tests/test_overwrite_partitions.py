@@ -160,3 +160,50 @@ def test_incremental_publish_is_delta_scoped_and_equal(spark, tmp_path):
     assert got == want
     # file count stable: one partition swapped, everything else carried
     assert len(t.snapshot()["files"]) == files0
+
+
+def test_incremental_publish_bucketed_spec_preserves_bucket_mates(
+    spark, tmp_path
+):
+    """THE tuple-correctness pin: with spec [day(bucket_ts),
+    bucket(2, source)] a partition holds MANY sources; a batch touching
+    ONE source must republish the whole partition WITH its untouched
+    bucket-mates' rows (a raw (source, day) delta filter would silently
+    drop them). Result pinned equal to a full republish."""
+    from workbook_exporter_fe_spark.plans.pipeline import (
+        publish_snapshot_tiers,
+    )
+
+    out = str(tmp_path / "out")
+    sources = tuple(f"s{i}" for i in range(8))
+    tier = _rows(spark, range(4), sources)
+    tier.write.parquet(f"{out}/tier1")
+    spec = ("day(bucket_ts)", "bucket(2, source)")
+    publish_snapshot_tiers(spark, out, tier_names=("tier1",), spec=spec)
+
+    # batch touches s3 on day 2 only
+    updated = tier.withColumn(
+        "sum_v",
+        F.when(
+            (F.col("source") == "s3")
+            & (F.col("bucket_ts") >= F.timestamp_seconds(F.lit(T0 + 2 * DAY)))
+            & (F.col("bucket_ts") < F.timestamp_seconds(F.lit(T0 + 3 * DAY))),
+            F.col("sum_v") + 1e6,
+        ).otherwise(F.col("sum_v")),
+    )
+    import shutil
+
+    shutil.rmtree(f"{out}/tier1")
+    updated.write.parquet(f"{out}/tier1")
+    batch = spark.range(1).select(
+        F.lit("s3").alias("source"),
+        F.timestamp_seconds(F.lit(T0 + 2 * DAY + 60)).alias("event_ts"),
+    )
+    info = publish_snapshot_tiers(
+        spark, out, tier_names=("tier1",), changed=batch, spec=spec
+    )
+    assert info["tier1"]["partitions_replaced"] == 1  # (day2, s3's bucket)
+    t = SnapshotTable(spark, info["tier1"]["root"])
+    got = sorted(map(tuple, t.read().collect()))
+    want = sorted(map(tuple, updated.collect()))
+    assert got == want  # bucket-mates on day 2 survived, s3 replaced

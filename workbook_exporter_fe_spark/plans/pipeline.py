@@ -707,6 +707,7 @@ def publish_snapshot_tiers(
     out: str,
     tier_names: tuple[str, ...] = ("tier1", "tier2", "tier3"),
     changed: DataFrame | None = None,
+    spec: tuple[str, ...] = ("day(bucket_ts)", "source"),
 ) -> dict:
     """Publish the pipeline's parquet tier dirs as SnapshotTables with
     hidden partitioning ``[day(bucket_ts), source]`` — the SERVING store
@@ -727,23 +728,41 @@ def publish_snapshot_tiers(
     batch's events. With it (and an already-published store), each
     tier's publish becomes a DYNAMIC PARTITION OVERWRITE
     (SnapshotTable.overwrite_partitions) touching only the changed
-    (day, source) partitions: a batch that landed 3 days × 5 sources
-    republishes 15 partitions, never the tier — the O(delta) publish a
-    100 TB continuous aggregate needs. Every tier granularity (1m/1h/1d)
-    truncates WITHIN the event's day, so the batch's (day, source) set
-    covers all changed rows of all three tiers.
+    partitions: a batch that landed 3 days × 5 sources republishes
+    those partitions, never the tier — the O(delta) publish a 100 TB
+    continuous aggregate needs.
+
+    Delta scoping is TUPLE-correct for any ``spec``: the batch rows are
+    re-expressed as (source, bucket_ts) proxies and pushed through the
+    SPEC'S OWN derived partition columns, and the delta is every tier
+    row whose partition tuple matches — never a raw (source, day)
+    filter. That matters for bucketed specs: with ``bucket(64; source)``
+    a partition holds MANY sources, and overwrite_partitions replaces
+    whole partitions, so the delta must carry the untouched
+    bucket-mates' rows too (pinned in tests). day()/month() scoping is
+    sound for every tier granularity because 1m/1h/1d buckets truncate
+    WITHIN the event's calendar unit; an hour() spec field would not
+    cover tier-3's day-floored buckets, so it forces a full republish.
+
+    ``spec`` sets the partition layout at FIRST publish (an existing
+    store keeps its own spec property). At bounded source cardinality
+    the default [day(bucket_ts), source] is right; at web-scale source
+    cardinality use ``('day(bucket_ts)', 'bucket(64, source)')`` so the
+    partition count stays day-bounded.
     """
+    from workbook_exporter_fe_spark.sources.partitioning import (
+        PCOL_PREFIX,
+        parse_spec,
+        partition_columns,
+    )
     from workbook_exporter_fe_spark.sources.snapshots import SnapshotTable
 
-    keys = None
+    proxy = None
     if changed is not None:
         ts_col = "event_ts" if "event_ts" in changed.columns else "bucket_ts"
-        keys = (
-            changed.select(
-                "source",
-                F.to_date(F.col(ts_col).cast("timestamp")).alias("_day"),
-            )
-            .distinct()
+        proxy = changed.select(
+            F.col("source"),
+            F.col(ts_col).cast("timestamp").alias("bucket_ts"),
         )
     info: dict = {}
     for name in tier_names:
@@ -753,19 +772,26 @@ def publish_snapshot_tiers(
         root = f"{out}/snapshot_tiers/{name}"
         table = SnapshotTable(spark, root)
         if table.current_sequence() == 0:
-            table.set_properties(
-                **{"partition.spec": ["day(bucket_ts)", "source"]}
-            )
+            table.set_properties(**{"partition.spec": list(spec)})
         df = spark.read.parquet(src)
-        if keys is not None and table.current_sequence() > 0:
-            delta = df.join(
-                F.broadcast(keys),
-                (df["source"] == keys["source"])
-                & (
-                    F.to_date(df["bucket_ts"].cast("timestamp"))
-                    == keys["_day"]
-                ),
-                "left_semi",
+        fields = parse_spec(
+            list(table.properties().get("partition.spec") or [])
+        )
+        scoped = (
+            proxy is not None
+            and table.current_sequence() > 0
+            and fields
+            and all(f.transform != "hour" for f in fields)
+        )
+        if scoped:
+            pcols = [PCOL_PREFIX + f.name for f in fields]
+            tuples = (
+                proxy.select(*partition_columns(proxy, fields)).distinct()
+            )
+            delta = (
+                df.select("*", *partition_columns(df, fields))
+                .join(F.broadcast(tuples), pcols, "left_semi")
+                .drop(*pcols)
             )
             rep = table.overwrite_partitions(
                 delta, summary={"published_from": src}
